@@ -1,0 +1,62 @@
+"""Batch sources (SURVEY.md section 2.1).
+
+The reference scans Google Sheets / YouTube APIs / small JSON dims
+(reference: Python-pipeline/dataingestion1.py:48-101, dataingestion2.py:29-30,
+dataingestion3.py:29-37). Here every source is a file source: parquet
+for facts, multiLine JSON for dimension tables. Column pruning and
+predicate pushdown come from Catalyst — callers just ``select``/
+``filter`` and the parquet scan reads only what is needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata parquet table (S2/S3 analog).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as a
+    long (nanosAsLong conf in session.get_spark) and we convert to a
+    microsecond timestamp here with integer ``div`` (a double division
+    would lose precision above 2^53 ns). Note: filters on the
+    converted ``ts`` don't reach parquet row-group stats — push
+    predicates on the raw long column when scanning huge event data.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_json_dim(spark: SparkSession, path: str) -> DataFrame:
+    """S5: small JSON array -> DataFrame destined for broadcast.
+
+    Reference loads these into Python dicts (dataingestion1.py:48-59,
+    dataingestion3.py:33-37) — i.e. broadcast hash maps. The caller
+    applies last-wins dedup (operators.dedup.keep_last) before joining
+    to reproduce dict-comprehension overwrite semantics.
+    """
+    return spark.read.option("multiLine", "true").json(path)
