@@ -26,12 +26,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
     from youtube_etl_automated_pipeline_spark.plans.queries import QUERIES
+    from youtube_etl_automated_pipeline_spark.plans.queries_joins_aggs import (
+        QUERIES_JOINS_AGGS,
+    )
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_JOINS_AGGS}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same parquet tables as views)."""
     from youtube_etl_automated_pipeline_spark.plans.oracles import ORACLES
+    from youtube_etl_automated_pipeline_spark.plans.oracles_joins_aggs import (
+        ORACLES_JOINS_AGGS,
+    )
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_JOINS_AGGS}

@@ -1,0 +1,117 @@
+"""DuckDB oracles for plans/queries_joins_aggs.py (same conventions as
+plans/oracles.py: floor-based rounding, BIGINT casts for int sums)."""
+
+from __future__ import annotations
+
+ORACLES_JOINS_AGGS: dict[str, str] = {}
+
+ORACLES_JOINS_AGGS["broadcast_enrich_defaults"] = """
+WITH dim_raw AS (
+  SELECT n_nationkey, n_name, 1 AS _seq FROM nation WHERE n_nationkey < 20
+  UNION ALL
+  SELECT n_nationkey, n_name || '_V2' AS n_name, 2 AS _seq
+  FROM nation WHERE n_nationkey < 20 AND n_nationkey % 2 = 0
+),
+dim AS (
+  SELECT n_nationkey, n_name FROM (
+    SELECT *, row_number() OVER (PARTITION BY n_nationkey ORDER BY _seq DESC) AS _rn
+    FROM dim_raw
+  ) WHERE _rn = 1
+),
+enriched AS (
+  SELECT c.*, coalesce(d.n_name, 'Unknown Nation') AS n_name
+  FROM customer c LEFT JOIN dim d ON c.c_nationkey = d.n_nationkey
+)
+SELECT n_name,
+       count(*) AS n_customers,
+       floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS sum_acctbal
+FROM enriched
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLES_JOINS_AGGS["update_merge_revenue"] = """
+WITH upd AS (
+  SELECT l_orderkey AS o_orderkey,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS line_revenue,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       coalesce(u.line_revenue, 0.0) AS line_revenue,
+       coalesce(u.n_lines, 0) AS n_lines
+FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+ORACLES_JOINS_AGGS["two_key_rollup"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_total,
+       floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_total
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+ORACLES_JOINS_AGGS["min_over_group"] = """
+SELECT o_custkey,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+ORACLES_JOINS_AGGS["rollup_region_nation"] = """
+SELECT
+  r_name AS region_name,
+  n_name AS nation_name,
+  count(*) AS n_customers,
+  floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS sum_acctbal,
+  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS grouping_level
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST
+"""
+
+ORACLES_JOINS_AGGS["window_analytics"] = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  o_totalprice,
+  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    AS price_rank,
+  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    AS prev_total,
+  floor((sum(o_totalprice) OVER (
+     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+    AS running_total
+FROM orders
+ORDER BY o_orderkey
+"""
+
+ORACLES_JOINS_AGGS["set_ops_except_intersect"] = """
+WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+cust AS (SELECT c_custkey FROM customer)
+SELECT c_custkey, 'never_bought' AS segment_label
+FROM (SELECT c_custkey FROM cust EXCEPT SELECT c_custkey FROM buyers)
+UNION ALL
+SELECT c_custkey, 'active' AS segment_label
+FROM (SELECT c_custkey FROM cust INTERSECT SELECT c_custkey FROM buyers)
+ORDER BY c_custkey
+"""
+
+ORACLES_JOINS_AGGS["distinct_count_audit"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

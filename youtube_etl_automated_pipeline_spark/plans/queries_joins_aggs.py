@@ -1,0 +1,210 @@
+"""Join / aggregation / window / set-op query suite (SURVEY.md
+sections 2.4-2.8), second tranche of the operator inventory.
+
+Same contract as plans/queries.py: (spark, sf_dir) -> DataFrame with
+aliases matching plans/oracles_joins_aggs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.operators.joins import (
+    broadcast_enrich,
+    dim_last_wins,
+    update_merge,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def broadcast_enrich_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J3 (dataingestion1.py:129-133, dataingestion3.py:37-45):
+    broadcast left join with last-wins dup resolution in the dim and a
+    miss default for unmatched facts.
+
+    The dim is nation restricted to keys < 20 (so keys >= 20 miss ->
+    'Unknown Nation', the reference's 'Unknown Channel' semantics) and
+    unioned with a 'v2' copy for even keys (dup keys, last wins — the
+    reference's dict-comprehension overwrite, 65 dup codes in
+    showname.json). Fact side never shuffles: dim is broadcast.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    v1 = nat.filter(F.col("n_nationkey") < 20).select(
+        "n_nationkey", "n_name"
+    ).withColumn("_seq", F.lit(1))
+    v2 = (
+        nat.filter((F.col("n_nationkey") < 20) & (F.col("n_nationkey") % 2 == 0))
+        .select("n_nationkey", F.concat(F.col("n_name"), F.lit("_V2")).alias("n_name"))
+        .withColumn("_seq", F.lit(2))
+    )
+    dim = dim_last_wins(v1.unionByName(v2), "n_nationkey", ["_seq"]).drop("_seq")
+    enriched = broadcast_enrich(
+        cust.withColumnRenamed("c_nationkey", "n_nationkey"),
+        dim,
+        "n_nationkey",
+        defaults={"n_name": "Unknown Nation"},
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def update_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/J6 (dataprocessing.py:120-161): keyed batch MERGE — per-order
+    lineitem revenue merged into orders; orders with no lineitem keep
+    null-free defaults via coalesce, lineitem groups without an order
+    row are dropped (fact side preserved). Join shuffles both sides on
+    the key once; the rollup is map-side partial before it."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    upd = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "line_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    merged = update_merge(orders, upd, "o_orderkey", ["line_revenue", "n_lines"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("line_revenue"), F.lit(0.0)).alias("line_revenue"),
+        F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
+    ).orderBy("o_orderkey")
+
+
+def two_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (dataprocessing2.py:90): grouped rollup on two dimensions
+    (video x creatorContentType -> status x priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice"), 2).alias("sum_total"),
+            hround(F.avg("o_totalprice"), 4).alias("avg_total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def min_over_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (dataprocessing.py:87): min/max over group — first and last
+    order date per customer, as formatted strings."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP with grouping flags (engine extra beyond the
+    reference, SURVEY section 7 step 5): subtotals per region and grand
+    total in one pass — one shuffle, partial aggregation per level."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+        )
+    )
+    return (
+        joined.rollup("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            (F.grouping("region_name") * 2 + F.grouping("nation_name")).alias("grouping_level"),
+        )
+        .orderBy(
+            F.col("region_name").asc_nulls_first(), F.col("nation_name").asc_nulls_first()
+        )
+    )
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window suite (engine extras over W1-W2): rank, lag and
+    running sum per customer. Deterministic frame: total order via
+    (o_orderdate, o_orderkey). One shuffle on o_custkey shared by all
+    three windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(by_price).alias("price_rank"),
+        F.lag("o_totalprice", 1).over(by_date).alias("prev_total"),
+        hround(
+            F.sum("o_totalprice").over(
+                by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+    ).orderBy("o_orderkey")
+
+
+def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 + engine extras: customers split by behavior via
+    EXCEPT/INTERSECT on keys, unioned into one labeled result.
+    Spark compiles these to anti/semi joins — same physical shape as
+    the reference's waterfall (dataprocessing.py:112-113)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    never_bought = cust.exceptAll(buyers).withColumn(
+        "segment_label", F.lit("never_bought")
+    )
+    active = cust.intersect(buyers).withColumn("segment_label", F.lit("active"))
+    return never_bought.unionByName(active).orderBy("c_custkey")
+
+
+def distinct_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (dataingestion1.py:167-170) as a distributed audit: exact
+    distinct counts per group — COUNT(DISTINCT) compiles to a two-phase
+    expand+aggregate, no driver-side counting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES_JOINS_AGGS = {
+    "broadcast_enrich_defaults": broadcast_enrich_defaults,
+    "update_merge_revenue": update_merge_revenue,
+    "two_key_rollup": two_key_rollup,
+    "min_over_group": min_over_group,
+    "rollup_region_nation": rollup_region_nation,
+    "window_analytics": window_analytics,
+    "set_ops_except_intersect": set_ops_except_intersect,
+    "distinct_count_audit": distinct_count_audit,
+}
