@@ -29,8 +29,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_joins_aggs import (
         QUERIES_JOINS_AGGS,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_pipeline import (
+        QUERIES_PIPELINE,
+    )
 
-    return {**QUERIES, **QUERIES_JOINS_AGGS}
+    return {**QUERIES, **QUERIES_JOINS_AGGS, **QUERIES_PIPELINE}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -39,5 +42,8 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.oracles_joins_aggs import (
         ORACLES_JOINS_AGGS,
     )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_pipeline import (
+        ORACLES_PIPELINE,
+    )
 
-    return {**ORACLES, **ORACLES_JOINS_AGGS}
+    return {**ORACLES, **ORACLES_JOINS_AGGS, **ORACLES_PIPELINE}

@@ -32,7 +32,7 @@ def utc_to_local_date_time(published_at: Column, tz: str = "Asia/Karachi") -> tu
     """F14: ISO UTC string -> (local date 'yyyy-MM-dd', local time 'HH:mm:ss')
     (dataprocessing3.py:28-43). Empty/malformed input -> ('','').
     """
-    ts = F.to_timestamp(published_at, ISO_UTC_FMT)
+    ts = F.try_to_timestamp(published_at, F.lit(ISO_UTC_FMT))
     local = F.from_utc_timestamp(ts, tz)
     d = F.coalesce(F.date_format(local, "yyyy-MM-dd"), F.lit(""))
     t = F.coalesce(F.date_format(local, "HH:mm:ss"), F.lit(""))

@@ -40,6 +40,10 @@ def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | Non
         # nanosecond timestamp type -> read as long, converted to a
         # microsecond timestamp in sources.readers.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The reference is stringly-typed with null-on-failure parses
+        # everywhere (int(x or 0) / try-except, SURVEY section 1.1);
+        # ANSI mode would turn those into runtime errors.
+        .config("spark.sql.ansi.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
