@@ -32,8 +32,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_pipeline import (
         QUERIES_PIPELINE,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_ext import QUERIES_EXT
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        QUERIES_SIMILARITY,
+    )
 
-    return {**QUERIES, **QUERIES_JOINS_AGGS, **QUERIES_PIPELINE}
+    return {
+        **QUERIES,
+        **QUERIES_JOINS_AGGS,
+        **QUERIES_PIPELINE,
+        **QUERIES_EXT,
+        **QUERIES_SIMILARITY,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -45,5 +55,15 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.oracles_pipeline import (
         ORACLES_PIPELINE,
     )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import ORACLES_EXT
+    from youtube_etl_automated_pipeline_spark.plans.oracles_similarity import (
+        ORACLES_SIMILARITY,
+    )
 
-    return {**ORACLES, **ORACLES_JOINS_AGGS, **ORACLES_PIPELINE}
+    return {
+        **ORACLES,
+        **ORACLES_JOINS_AGGS,
+        **ORACLES_PIPELINE,
+        **ORACLES_EXT,
+        **ORACLES_SIMILARITY,
+    }

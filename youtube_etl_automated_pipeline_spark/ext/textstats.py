@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization stats, quality scoring, language ID, fingerprinting.
+
+All pure column expressions (JVM codegen, no UDFs) so they run at scan
+speed over 100 TB of documents: one projection, no shuffle. Hashes are
+md5-prefix based so the DuckDB oracle can reproduce them bit-for-bit
+(Spark's xxhash64/murmur aren't portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic argmax tiebreak order for language ID
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ein", "ist"),
+    "es": ("el", "los", "de", "y", "es"),
+    "fr": ("le", "la", "et", "un", "est"),
+    "zh": ("de", "shi", "le", "zai", "you"),
+}
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(
+        t.isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish segment count: letter runs + digit runs + single
+    punctuation marks (a cheap proxy for subword token budgets)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def marker_count(text: Column, word: str) -> Column:
+    """Occurrences of a word (word-boundary regex)."""
+    return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), 0))
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    out: dict[str, Column] = {}
+    for lang in LANG_PRIORITY:
+        acc: Column = F.lit(0)
+        for w in LANG_MARKERS[lang]:
+            acc = acc + marker_count(text, w)
+        out[lang] = acc
+    return out
+
+
+def predicted_lang(counts: dict[str, Column]) -> Column:
+    """Deterministic argmax over marker counts (priority-order ties)."""
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [counts[other] for other in LANG_PRIORITY if other != lang]
+        cond = counts[lang] >= F.greatest(*later) if len(later) > 1 else counts[lang] >= later[0]
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+
+
+def md5_long(col: Column, hex_chars: int = 8) -> Column:
+    """Portable hash: first ``hex_chars`` of md5 as a non-negative
+    long (DuckDB twin: CAST('0x' || substr(md5(x),1,n) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def normalized_text(text: Column) -> Column:
+    """lowercase + collapse whitespace — the exact-dedup key basis."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def content_hash(text: Column) -> Column:
+    """Full-document fingerprint over normalized text (15 hex chars =
+    60 bits, portable)."""
+    return md5_long(normalized_text(text), 15)
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Token n-grams as strings. ``greatest(...,1)`` keeps the index
+    sequence non-empty for short docs (Spark's sequence(1,0) would
+    yield a DESCENDING [1,0]); callers guard on size >= n."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def min_shingle_hash(text: Column, n: int = 3) -> Column:
+    """Winnowing-style fingerprint: min md5-hash over token n-grams
+    (the k=1 MinHash); short docs fall back to the full-text hash."""
+    toks = tokens(text)
+    grams = shingles(toks, n)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_min(F.transform(grams, lambda s: md5_long(s))),
+    ).otherwise(content_hash(text))

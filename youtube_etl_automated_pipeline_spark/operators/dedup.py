@@ -16,6 +16,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sort_cols(order_by: Sequence[Column | str], flip: bool) -> list[Column]:
+    """Strings get the variant's direction; Column entries are assumed
+    to be fully-specified sort expressions and are used verbatim."""
+    out: list[Column] = []
+    for c in order_by:
+        if isinstance(c, str):
+            out.append(F.col(c).desc() if flip else F.col(c).asc())
+        else:
+            out.append(c)
+    return out
+
+
 def keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
     """A5/W2: one row per key, the LAST by ``order_by`` ascending.
 
@@ -24,8 +36,7 @@ def keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | st
     shuffle on ``keys``; ties broken by the caller supplying a total
     order (e.g. a monotonically-increasing ingest_seq).
     """
-    cols = [F.col(c).desc() if isinstance(c, str) else c.desc() for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*cols)
+    w = Window.partitionBy(*keys).orderBy(*_sort_cols(order_by, flip=True))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -35,8 +46,7 @@ def keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | st
 
 def keep_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
     """A6/W1 variant: one row per key, FIRST by ``order_by`` ascending."""
-    cols = [F.col(c).asc() if isinstance(c, str) else c.asc() for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*cols)
+    w = Window.partitionBy(*keys).orderBy(*_sort_cols(order_by, flip=False))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -1,0 +1,143 @@
+"""DuckDB oracles for the extension operators. Marker lists / hash
+recipes are generated from ext.textstats constants so the two sides
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    LANG_PRIORITY,
+)
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_CONTENT_FP = f"CAST('0x' || substr(md5({_NORM}), 1, 15) AS BIGINT)"
+
+
+def _h8(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def _marker_cnt(lang: str) -> str:
+    parts = [
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _r(expr: str, dp: int) -> str:
+    p = float(10**dp)
+    return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
+
+
+_SHINGLES = (
+    f"list_transform(generate_series(1, len({_TOKS}) - 2),"
+    f" i -> array_to_string(({_TOKS})[i:i+2], ' '))"
+)
+_MIN_SHINGLE_FP = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN"
+    f" list_min(list_transform({_SHINGLES}, s -> {_h8('s')}))"
+    f" ELSE {_CONTENT_FP} END"
+)
+
+
+def _predicted_lang_case() -> str:
+    clauses = []
+    for lang in LANG_PRIORITY[:-1]:
+        others = [f"cnt_{o}" for o in LANG_PRIORITY if o != lang]
+        cond = " AND ".join(f"cnt_{lang} >= {o}" for o in others)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+
+
+ORACLES_EXT: dict[str, str] = {}
+
+ORACLES_EXT["text_token_stats"] = f"""
+SELECT doc_id, n_chars,
+  CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+  len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+  length(text) AS text_len
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES_EXT["text_quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+    {_marker_cnt("en")} AS stop_cnt,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+    length(text) AS text_len
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens > 0 THEN stop_cnt / n_tokens ELSE 0 END AS stop_ratio,
+    CASE WHEN text_len > 0 THEN punct / text_len ELSE 0 END AS punct_ratio,
+    least(n_tokens, 100) / 100.0 AS length_score
+  FROM base
+)
+SELECT doc_id, n_tokens,
+  {_r("stop_ratio", 4)} AS stopword_ratio,
+  {_r("punct_ratio", 4)} AS punct_ratio,
+  {_r("stop_ratio * 0.3 + length_score * 0.4 + (1.0 - punct_ratio) * 0.3", 4)}
+    AS quality_score,
+  ({_r("stop_ratio * 0.3 + length_score * 0.4 + (1.0 - punct_ratio) * 0.3", 4)}) >= 0.5
+    AS keep_flag
+FROM ratios
+ORDER BY doc_id
+"""
+
+ORACLES_EXT["text_lang_id"] = f"""
+WITH counted AS (
+  SELECT doc_id, lang,
+    {", ".join(f'{_marker_cnt(lang)} AS cnt_{lang}' for lang in LANG_PRIORITY)}
+  FROM documents
+)
+SELECT doc_id, lang,
+  {", ".join(f"cnt_{lang}" for lang in LANG_PRIORITY)},
+  {_predicted_lang_case()} AS predicted_lang
+FROM counted
+ORDER BY doc_id
+"""
+
+ORACLES_EXT["doc_fingerprint"] = f"""
+SELECT doc_id,
+  {_CONTENT_FP} AS content_fp,
+  {_MIN_SHINGLE_FP} AS min_shingle_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES_EXT["dedup_exact"] = f"""
+SELECT {_CONTENT_FP.replace("text", "text")} AS content_fp,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+ORACLES_EXT["dedup_ngram_jaccard"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_distinct({_SHINGLES}) AS shingle_set,
+    {_MIN_SHINGLE_FP} AS block_key
+  FROM documents
+  WHERE len(list_distinct({_SHINGLES})) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.shingle_set, b.shingle_set)) AS n_inter,
+    len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS n_union
+  FROM base a JOIN base b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  {_r("CASE WHEN n_union > 0 THEN n_inter / n_union ELSE 0 END", 4)} AS jaccard
+FROM pairs
+WHERE ({_r("CASE WHEN n_union > 0 THEN n_inter / n_union ELSE 0 END", 4)}) >= 0.2
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,107 @@
+"""DuckDB oracles for the similarity queries. Cosine is computed
+manually (generate_series index walk, double-cast elements) rather
+than via list_cosine_similarity so the arithmetic matches Spark's
+zip_with/aggregate kernel; both sides round to 6dp before any
+ordering or thresholding.
+"""
+
+from __future__ import annotations
+
+from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+    IVF_QUERY_HI,
+    IVF_QUERY_LO,
+    N_CENTROIDS,
+    N_QUERIES,
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def _cos(a: str, b: str, dp: int = 6) -> str:
+    p = float(10**dp)
+    denom = f"({_norm(a)} * {_norm(b)})"
+    raw = f"CASE WHEN {denom} > 0 THEN {_dot(a, b)} / {denom} ELSE 0 END"
+    return f"floor(({raw}) * {p!r} + 0.5) / {p!r}"
+
+
+ORACLES_SIMILARITY: dict[str, str] = {}
+
+ORACLES_SIMILARITY["similarity_bruteforce_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos("q_emb", "c_emb")} AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+ORACLES_SIMILARITY["similarity_ivf_topk"] = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+q_assign AS (
+  SELECT query_id, q_emb, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos("e.embedding", "c.cent_emb")} DESC, c.centroid_id ASC) AS _rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id >= {IVF_QUERY_LO} AND e.vec_id < {IVF_QUERY_HI}
+  ) WHERE _rn = 1
+),
+c_assign AS (
+  SELECT neighbor_id, c_emb, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos("e.embedding", "c.cent_emb")} DESC, c.centroid_id ASC) AS _rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id >= {IVF_QUERY_HI}
+  ) WHERE _rn = 1
+),
+cand AS (
+  SELECT q.query_id, c.cluster_id, c.neighbor_id,
+         {_cos("q.q_emb", "c.c_emb")} AS cos_sim
+  FROM c_assign c JOIN q_assign q USING (cluster_id)
+)
+SELECT query_id, cluster_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+ORACLES_SIMILARITY["dedup_embedding_cosine"] = f"""
+SELECT label, vec_a, vec_b, cos_sim FROM (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos("a.embedding", "b.embedding")} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.3
+ORDER BY vec_a, vec_b
+"""

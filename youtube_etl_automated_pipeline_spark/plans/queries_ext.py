@@ -1,0 +1,150 @@
+"""Extension-operator queries: text analysis, dedup, fingerprinting
+over the documents table (training-data-pipeline operators; BASELINE
+north star). All column-expression based — projection-speed at scan,
+exact dedup is one hash shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish segments + punct
+    census per document. Pure projection (scan-speed at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        TS.token_count(text).alias("n_tokens"),
+        TS.bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        TS.punct_count(text).alias("n_punct"),
+        F.length(text).alias("text_len"),
+    ).orderBy("doc_id")
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punct mix -> [0,1] score and a
+    keep flag (the classic pre-training filter shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = TS.token_count(text)
+    stop_cnt = TS.lang_marker_counts(text)["en"]
+    punct = TS.punct_count(text)
+    text_len = F.length(text)
+    stop_ratio = F.when(n_tokens > 0, stop_cnt / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(text_len > 0, punct / text_len).otherwise(F.lit(0.0))
+    length_score = F.least(n_tokens, F.lit(100)) / 100.0
+    score = hround(
+        stop_ratio * 0.3 + length_score * 0.4 + (1.0 - punct_ratio) * 0.3, 4
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        hround(stop_ratio, 4).alias("stopword_ratio"),
+        hround(punct_ratio, 4).alias("punct_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep_flag"),
+    ).orderBy("doc_id")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: marker-word census per language, deterministic
+    argmax (priority tiebreak). An n-gram heuristic shaped like
+    fastText-lite, kept oracle-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = TS.lang_marker_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[counts[lang].alias(f"cnt_{lang}") for lang in TS.LANG_PRIORITY],
+        TS.predicted_lang(counts).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5-derived 60-bit hash +
+    winnowing-style min 3-gram-shingle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        TS.content_hash(text).alias("content_fp"),
+        TS.min_shingle_hash(text, 3).alias("min_shingle_fp"),
+    ).orderBy("doc_id")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one hash-shuffle
+    groupBy; keeps the min doc_id per group (deterministic survivor
+    policy) and reports group size. At 100 TB this is the standard
+    first dedup pass — the shuffle key is the 60-bit content hash, so
+    skew is impossible unless the corpus is pathological."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", TS.content_hash(F.col("text")).alias("content_fp")
+    )
+    return (
+        keyed.groupBy("content_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by 3-gram Jaccard within a blocking
+    key (min-shingle-hash block = cheap LSH with one band). Pairs with
+    the same block key get exact Jaccard over distinct shingle sets;
+    emit pairs >= 0.2.
+
+    Scale: the self-join is per-block (block key is a 32-bit hash ->
+    tiny groups), so the quadratic blowup is bounded by block size,
+    the classic blocked-dedup trade. No full cross join ever happens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TS.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(TS.shingles(toks, 3)).alias("shingle_set"),
+        TS.min_shingle_hash(F.col("text"), 3).alias("block_key"),
+    ).filter(F.size("shingle_set") >= 3)
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle_set").alias("set_a"),
+        "block_key",
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle_set").alias("set_b"),
+        "block_key",
+    )
+    pairs = a.join(b, "block_key").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.array_union(F.col("set_a"), F.col("set_b")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            "doc_a", "doc_b", hround(jac, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES_EXT = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}

@@ -1,0 +1,129 @@
+"""Similarity-search queries over the embeddings table: brute-force
+cosine top-k (exact baseline), IVF-bucketed top-k (the scale path),
+and embedding-cosine near-dup pairs (label-blocked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext.similarity import cosine, topk_by_query
+from youtube_etl_automated_pipeline_spark.operators.dedup import keep_first
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+N_QUERIES = 5
+N_CENTROIDS = 8
+IVF_QUERY_LO, IVF_QUERY_HI = 8, 13
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact cosine top-10 for each query vector
+    (vec_id < 5) against the rest of the corpus.
+
+    Scale shape: the query side is tiny and broadcast, the corpus is
+    scanned once (no shuffle of the corpus); per-query top-k is a
+    window on the join result. At 100 TB the corpus scan dominates and
+    parallelizes perfectly; this is the exact-recall yardstick the IVF
+    path is judged against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+    )
+    return (
+        topk_by_query(scored, "query_id", "cos_sim", "neighbor_id", 10)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: vectors are assigned to their nearest of 8
+    'trained' centroids (here: the first 8 vectors — a stand-in for a
+    k-means fit); each query searches only its own bucket.
+
+    Scale shape: assignment is a broadcast map-side pass (centroids
+    tiny), bucketing turns the N x M search into N x M/k with an
+    equi-join on cluster_id that Spark shuffles on — the classic IVF
+    trade of recall for a k-fold candidate cut. nprobe>1 = union more
+    clusters per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            id_col,
+            emb_col,
+            "centroid_id",
+            cosine(F.col(emb_col), F.col("cent_emb")).alias("_cos"),
+        )
+        best = keep_first(
+            scored, [id_col], [F.col("_cos").desc(), F.col("centroid_id").asc()]
+        )
+        return best.select(id_col, emb_col, F.col("centroid_id").alias("cluster_id"))
+
+    queries = assign(
+        emb.filter(
+            (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
+        "query_id",
+        "q_emb",
+    )
+    corpus = assign(
+        emb.filter(F.col("vec_id") >= IVF_QUERY_HI).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        ),
+        "neighbor_id",
+        "c_emb",
+    )
+    candidates = corpus.join(F.broadcast(queries), "cluster_id").select(
+        "query_id",
+        "neighbor_id",
+        "cluster_id",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+    )
+    return (
+        topk_by_query(candidates, "query_id", "cos_sim", "neighbor_id", 5)
+        .select("query_id", "cluster_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the natural
+    cluster key; at scale the block key would be an IVF/LSH bucket so
+    the pairwise pass stays per-block quadratic, never global)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "label",
+        "vec_a",
+        "vec_b",
+        cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= 0.3).orderBy("vec_a", "vec_b")
+
+
+QUERIES_SIMILARITY = {
+    "similarity_bruteforce_topk": similarity_bruteforce_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
