@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         QUERIES_SIMILARITY,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        QUERIES_DEDUP_ADV,
+    )
 
     return {
         **QUERIES,
@@ -43,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_PIPELINE,
         **QUERIES_EXT,
         **QUERIES_SIMILARITY,
+        **QUERIES_DEDUP_ADV,
     }
 
 
@@ -59,6 +63,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.oracles_similarity import (
         ORACLES_SIMILARITY,
     )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_dedup_adv import (
+        ORACLES_DEDUP_ADV,
+    )
 
     return {
         **ORACLES,
@@ -66,4 +73,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_PIPELINE,
         **ORACLES_EXT,
         **ORACLES_SIMILARITY,
+        **ORACLES_DEDUP_ADV,
     }

@@ -1,0 +1,100 @@
+"""Near-duplicate detection: MinHash+LSH and SimHash.
+
+Both are built from portable md5-derived hashes (ext.textstats
+.md5_long) so the DuckDB oracle reproduces signatures bit-for-bit —
+Spark's murmur/xxhash64 are engine-private.
+
+Scale shape (the point of these ops at 100 TB):
+- MinHash: one projection computes the k signatures per doc; LSH
+  banding turns all-pairs into per-band equi-joins (shuffle on the
+  band key), and only candidates get the exact-Jaccard verify. Global
+  cost is O(docs) + O(candidate pairs), never O(docs^2).
+- SimHash: one projection per doc -> 64-bit sketch; banding on bit
+  ranges gives the same equi-join candidate structure; verification is
+  a popcount on XOR, no shingle sets needed at pair time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (
+    md5_long,
+    shingles,
+    tokens,
+)
+
+# fixed MinHash permutation constants: h_j(x) = (A[j]*(x%P) + B[j]) % P
+MINHASH_P = 2147483647  # 2^31 - 1: A*(x%P) stays < 2^62, no overflow
+MINHASH_A = (3, 7, 31, 127, 8191, 131071, 524287, 1048573)
+MINHASH_B = (11, 101, 1009, 10007, 100003, 1000003, 1999993, 999983)
+N_PERM = len(MINHASH_A)
+
+SIMHASH_BITS = 60  # md5_long(.., 15) yields 60-bit hashes
+SIMHASH_BANDS = 4  # 15-bit bands for candidate blocking
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct token-n-gram hashes (the MinHash input set)."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(shingles(toks, n), lambda s: md5_long(s))
+    )
+
+
+def minhash_signature(hashes: Column, j: int) -> Column:
+    """j-th MinHash: min over the permuted shingle hashes."""
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return F.array_min(
+        F.transform(hashes, lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P)
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Adds sig_0..sig_{k-1} columns (one projection, no shuffle)."""
+    hashes = shingle_hashes(F.col(text_col), n)
+    out = df.withColumn("_sh_hashes", hashes)
+    for j in range(N_PERM):
+        out = out.withColumn(f"sig_{j}", minhash_signature(F.col("_sh_hashes"), j))
+    return out
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash over distinct tokens: per-bit majority vote of
+    token-hash bits, folded into one long. Pure nested higher-order
+    expressions — no UDF, no shuffle — and a SINGLE pass over the
+    token hashes (the vote accumulator is a 60-long array zipped with
+    a constant bitmask array)."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: md5_long(t, 15))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    bit_votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # fold votes into the sketch: bit b set iff vote > 0
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_band(sketch: Column, band: int) -> Column:
+    """15-bit band extract for LSH blocking on sketches."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    return F.shiftright(sketch, band * width).bitwiseAND(F.lit((1 << width) - 1))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,126 @@
+"""DuckDB oracles for MinHash-LSH / SimHash dedup. Every hash,
+permutation constant, band width, and threshold is imported from
+ext.dedup so Spark and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from youtube_etl_automated_pipeline_spark.ext.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_PERM,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
+from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+    HAMMING_THRESHOLD,
+    JACCARD_THRESHOLD,
+)
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = (
+    f"list_transform(generate_series(1, len({_TOKS}) - 2),"
+    f" i -> array_to_string(({_TOKS})[i:i+2], ' '))"
+)
+# distinct shingle hashes (8 hex chars = 32 bits, matches md5_long default)
+_SH_HASHES = (
+    f"list_distinct(list_transform({_SHINGLES},"
+    f" s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)))"
+)
+
+
+def _sig(j: int, hashes_expr: str = "hs") -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return (
+        f"list_min(list_transform({hashes_expr},"
+        f" h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+    )
+
+
+# 60-bit SimHash: per-bit majority vote over distinct-token 60-bit md5
+# hashes, folded into one BIGINT. Empty/null text -> empty hash list ->
+# all votes 0 -> sketch 0 (mirrors Spark's aggregate-with-init-0).
+_TOK_HASHES = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS BIGINT[]) "
+    f"ELSE list_transform(list_distinct({_TOKS}),"
+    " t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) END"
+)
+_SKETCH = (
+    "coalesce(list_sum(list_transform("
+    f"generate_series(0, {SIMHASH_BITS - 1}), bb -> "
+    "CASE WHEN coalesce(list_sum(list_transform(hs, h -> "
+    "CASE WHEN ((h >> bb) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+    "THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END)), 0)"
+)
+
+_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_W) - 1
+
+
+def _band(b: int, sketch_expr: str = "sketch") -> str:
+    return f"(({sketch_expr} >> {b * _BAND_W}) & {_BAND_MASK})"
+
+
+ORACLES_DEDUP_ADV: dict[str, str] = {}
+
+_JACC = sql_hround(
+    "CASE WHEN n_union > 0 THEN n_inter / n_union ELSE 0 END", 4
+)
+ORACLES_DEDUP_ADV["dedup_minhash_lsh"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_distinct({_SHINGLES}) AS shingle_set,
+    {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len(list_distinct({_SHINGLES})) >= 3
+),
+sigs AS (
+  SELECT doc_id, shingle_set,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.shingle_set, b.shingle_set)) AS n_inter,
+    len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS n_union
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})
+)
+SELECT doc_a, doc_b, {_JACC} AS jaccard
+FROM pairs
+WHERE ({_JACC}) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES_DEDUP_ADV["dedup_simhash"] = f"""
+WITH hashed AS (
+  SELECT doc_id, {_TOK_HASHES} AS hs FROM documents
+),
+sk AS (
+  SELECT doc_id, {_SKETCH} AS sketch FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.sketch, b.sketch)) AS INT) AS hamming
+FROM sk a JOIN sk b
+  ON a.doc_id < b.doc_id
+ AND ({" OR ".join(f"{_band(b, 'a.sketch')} = {_band(b, 'b.sketch')}"
+                   for b in range(SIMHASH_BANDS))})
+WHERE bit_count(xor(a.sketch, b.sketch)) <= {HAMMING_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES_DEDUP_ADV["dedup_simhash_sketches"] = f"""
+WITH hashed AS (
+  SELECT doc_id, {_TOK_HASHES} AS hs FROM documents
+),
+sk AS (
+  SELECT doc_id, {_SKETCH} AS sketch FROM hashed
+)
+SELECT doc_id, sketch,
+  {", ".join(f"{_band(b)} AS band_{b}" for b in range(SIMHASH_BANDS))}
+FROM sk
+ORDER BY doc_id
+"""

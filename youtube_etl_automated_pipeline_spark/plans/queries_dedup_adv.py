@@ -1,0 +1,145 @@
+"""MinHash-LSH and SimHash dedup queries over documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext.dedup import (
+    N_PERM,
+    SIMHASH_BANDS,
+    hamming64,
+    simhash,
+    simhash_band,
+    with_minhash,
+)
+from youtube_etl_automated_pipeline_spark.ext.textstats import shingles, tokens
+from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.2
+HAMMING_THRESHOLD = 20
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8) + LSH (8 bands x 1 row) candidate generation,
+    exact-Jaccard verification >= 0.2.
+
+    Plan shape: signature projection (no shuffle) -> band explode ->
+    self-equi-join per band key (shuffle on band value) -> distinct
+    candidate pairs -> verify join pulls the two shingle sets -> exact
+    Jaccard filter. All-pairs never materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = (
+        with_minhash(docs.select("doc_id", "text"))
+        .withColumn("shingle_set", F.array_distinct(shingles(toks, 3)))
+        .filter(F.size("shingle_set") >= 3)
+        .select("doc_id", "shingle_set", *[f"sig_{j}" for j in range(N_PERM)])
+    )
+    bands = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band_id"), F.col(f"sig_{j}").alias("sig"))
+                    for j in range(N_PERM)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("set_a"))
+    sets_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("set_b"))
+    verified = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hround(
+                F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+                / F.size(F.array_union(F.col("set_a"), F.col("set_b"))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketches + banded blocking; pairs within Hamming
+    distance <= 20 of each other (of 60 bits). Verification is a
+    popcount on XOR — constant-time per candidate pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketched = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
+    bands = sketched.select(
+        "doc_id",
+        "sketch",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        simhash_band(F.col("sketch"), b).alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sketch", "band.band_id", "band.band_val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sketch").alias("sketch_a"),
+            F.col("b.sketch").alias("sketch_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("sketch_a"), F.col("sketch_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash sketch + band keys (the materialized-index
+    form a production pipeline would persist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
+    for b in range(SIMHASH_BANDS):
+        out = out.withColumn(f"band_{b}", simhash_band(F.col("sketch"), b))
+    return out.orderBy("doc_id")
+
+
+QUERIES_DEDUP_ADV = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_sketches": dedup_simhash_sketches,
+}
