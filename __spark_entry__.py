@@ -39,6 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
         QUERIES_DEDUP_ADV,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        QUERIES_STREAMING,
+    )
 
     return {
         **QUERIES,
@@ -47,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EXT,
         **QUERIES_SIMILARITY,
         **QUERIES_DEDUP_ADV,
+        **QUERIES_STREAMING,
     }
 
 
@@ -66,6 +70,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.oracles_dedup_adv import (
         ORACLES_DEDUP_ADV,
     )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_streaming import (
+        ORACLES_STREAMING,
+    )
 
     return {
         **ORACLES,
@@ -74,4 +81,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EXT,
         **ORACLES_SIMILARITY,
         **ORACLES_DEDUP_ADV,
+        **ORACLES_STREAMING,
     }

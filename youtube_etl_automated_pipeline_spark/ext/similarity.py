@@ -2,18 +2,31 @@
 
 Brute-force cosine top-k is the exact baseline; the IVF variant is
 the scale path (assign to nearest centroid, search only the bucket —
-the candidate set shrinks by the cluster count). Kernels are built-in
-higher-order functions (zip_with/aggregate): JVM-side, codegen'd,
-no Python in the hot loop. A Pandas-UDF path would only win if the
-kernel needed BLAS-level batching; at 64 dims the expression kernel
-is cheaper than Arrow round-trips.
+the candidate set shrinks by the cluster count).
+
+Kernel design for the O(pairs) hot path: Spark's higher-order
+functions (zip_with/aggregate) are INTERPRETED (CodegenFallback), so
+anything per-pair must avoid them. The pattern here:
+
+1. ``unit()`` — normalize each vector ONCE per row (interpreted, but
+   O(rows), off the hot path);
+2. ``dot_unrolled()`` — the per-pair kernel is a flat sum of
+   ``element_at`` products (dimension known up front), which
+   whole-stage codegen compiles to a tight loop-free Java expression.
+
+Cosine of unit vectors is just the dot product, so per-pair cost
+drops from 2 norms + 1 dot of interpreted lambdas to one codegen'd
+expression.
 
 Cross-engine determinism: cosines are rounded (floor-trick, 6dp)
 before any ordering/thresholding so Spark and the DuckDB oracle agree
-on ranks and set membership.
+on ranks and set membership; the oracle mirrors the same
+normalize-then-dot arithmetic term by term.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -37,8 +50,42 @@ def norm(a: Column) -> Column:
     )
 
 
+def unit(vec: Column) -> Column:
+    """Unit-normalized double vector; zero vectors stay zero (so a
+    later dot with anything is 0, matching the zero-norm guard)."""
+    vd = as_double(vec)
+    n = norm(vd)
+    return F.when(n > 0, F.transform(vd, lambda x: x / n)).otherwise(
+        F.transform(vd, lambda x: F.lit(0.0))
+    )
+
+
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-friendly fixed-dimension dot product: a flat left-to-
+    right sum of element products — no lambda, no interpreted eval."""
+    return reduce(
+        lambda acc, i: acc + F.element_at(a, i) * F.element_at(b, i),
+        range(2, dim + 1),
+        F.element_at(a, 1) * F.element_at(b, 1),
+    )
+
+
+def cosine_unit(a: Column, b: Column, dim: int, dp: int = 6) -> Column:
+    """Rounded cosine of two PRE-NORMALIZED (unit) vectors."""
+    return hround(dot_unrolled(a, b, dim), dp)
+
+
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Read the (fixed) vector dimension from the first row — one tiny
+    driver action, done once per query build."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
 def cosine(a: Column, b: Column, dp: int = 6) -> Column:
-    """Rounded cosine similarity; zero-norm inputs -> 0."""
+    """Rounded cosine similarity; zero-norm inputs -> 0. General-dim
+    interpreted form — fine off the hot path; use unit()+cosine_unit()
+    for per-pair kernels."""
     ad, bd = as_double(a), as_double(b)
     denom = norm(ad) * norm(bd)
     return hround(F.when(denom > 0, dot(ad, bd) / denom).otherwise(F.lit(0.0)), dp)

@@ -71,20 +71,19 @@ _JACC = sql_hround(
 ORACLES_DEDUP_ADV["dedup_minhash_lsh"] = f"""
 WITH base AS (
   SELECT doc_id,
-    list_distinct({_SHINGLES}) AS shingle_set,
     {_SH_HASHES} AS hs
   FROM documents
-  WHERE len(list_distinct({_SHINGLES})) >= 3
+  WHERE len({_SH_HASHES}) >= 3
 ),
 sigs AS (
-  SELECT doc_id, shingle_set,
+  SELECT doc_id, hs,
     {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
   FROM base
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    len(list_intersect(a.shingle_set, b.shingle_set)) AS n_inter,
-    len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS n_union
+    len(list_intersect(a.hs, b.hs)) AS n_inter,
+    len(list_distinct(list_concat(a.hs, b.hs))) AS n_union
   FROM sigs a JOIN sigs b
     ON a.doc_id < b.doc_id
    AND ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})

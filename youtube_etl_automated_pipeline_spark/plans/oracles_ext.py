@@ -121,18 +121,20 @@ GROUP BY 1
 ORDER BY keep_doc_id
 """
 
+_SH_HASHES = f"list_distinct(list_transform({_SHINGLES}, s -> {_h8('s')}))"
+
 ORACLES_EXT["dedup_ngram_jaccard"] = f"""
 WITH base AS (
   SELECT doc_id,
-    list_distinct({_SHINGLES}) AS shingle_set,
-    {_MIN_SHINGLE_FP} AS block_key
+    {_SH_HASHES} AS hash_set,
+    list_min({_SH_HASHES}) AS block_key
   FROM documents
-  WHERE len(list_distinct({_SHINGLES})) >= 3
+  WHERE len({_SH_HASHES}) >= 3
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    len(list_intersect(a.shingle_set, b.shingle_set)) AS n_inter,
-    len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS n_union
+    len(list_intersect(a.hash_set, b.hash_set)) AS n_inter,
+    len(list_distinct(list_concat(a.hash_set, b.hash_set))) AS n_union
   FROM base a JOIN base b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,

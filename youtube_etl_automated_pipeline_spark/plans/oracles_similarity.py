@@ -36,6 +36,20 @@ def _cos(a: str, b: str, dp: int = 6) -> str:
     return f"floor(({raw}) * {p!r} + 0.5) / {p!r}"
 
 
+def _cos_unit(a: str, b: str, dp: int = 6) -> str:
+    """Twin of Spark's unit()+dot_unrolled(): each element divided by
+    its vector norm, products summed left-to-right — term-identical
+    IEEE arithmetic to the engine's normalize-then-dot kernel."""
+    p = float(10**dp)
+    na, nb = _norm(a), _norm(b)
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> (CAST({a}[i] AS DOUBLE) / {na}) * (CAST({b}[i] AS DOUBLE) / {nb})))"
+    )
+    raw = f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} ELSE 0 END"
+    return f"floor(({raw}) * {p!r} + 0.5) / {p!r}"
+
+
 ORACLES_SIMILARITY: dict[str, str] = {}
 
 ORACLES_SIMILARITY["similarity_bruteforce_topk"] = f"""
@@ -48,7 +62,7 @@ c AS (
   WHERE vec_id >= {N_QUERIES}
 ),
 scored AS (
-  SELECT query_id, neighbor_id, {_cos("q_emb", "c_emb")} AS cos_sim
+  SELECT query_id, neighbor_id, {_cos_unit("q_emb", "c_emb")} AS cos_sim
   FROM c CROSS JOIN q
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -84,7 +98,7 @@ c_assign AS (
 ),
 cand AS (
   SELECT q.query_id, c.cluster_id, c.neighbor_id,
-         {_cos("q.q_emb", "c.c_emb")} AS cos_sim
+         {_cos_unit("q.q_emb", "c.c_emb")} AS cos_sim
   FROM c_assign c JOIN q_assign q USING (cluster_id)
 )
 SELECT query_id, cluster_id, neighbor_id, cos_sim, rank FROM (
@@ -98,7 +112,7 @@ ORDER BY query_id, rank
 ORACLES_SIMILARITY["dedup_embedding_cosine"] = f"""
 SELECT label, vec_a, vec_b, cos_sim FROM (
   SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_cos("a.embedding", "b.embedding")} AS cos_sim
+         {_cos_unit("a.embedding", "b.embedding")} AS cos_sim
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
 )

@@ -1,0 +1,51 @@
+"""DuckDB oracles for the windowed/sessionized event queries.
+
+Session-window twin: Spark's ``session_window(ts, gap)`` starts a new
+session when an event is >= gap after the previous one (window ends
+are exclusive at last+gap) — the classic gaps-and-islands SQL below
+uses ``>= INTERVAL`` to match exactly.
+"""
+
+from __future__ import annotations
+
+from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
+
+_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_hround("sum(value)", 4)} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+ORACLES_STREAMING: dict[str, str] = {
+    "events_tumbling_window": _TUMBLING,
+    "streaming_tumbling_window": _TUMBLING,
+    "events_session_window": f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_last,
+       count(*) AS n_events,
+       {sql_hround("sum(value)", 4)} AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+}

@@ -13,9 +13,8 @@ from youtube_etl_automated_pipeline_spark.ext.dedup import (
     simhash_band,
     with_minhash,
 )
-from youtube_etl_automated_pipeline_spark.ext.textstats import shingles, tokens
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
-from youtube_etl_automated_pipeline_spark.sources import load_table
+from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
 
 JACCARD_THRESHOLD = 0.2
 HAMMING_THRESHOLD = 20
@@ -30,13 +29,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs -> verify join pulls the two shingle sets -> exact
     Jaccard filter. All-pairs never materializes.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     base = (
         with_minhash(docs.select("doc_id", "text"))
-        .withColumn("shingle_set", F.array_distinct(shingles(toks, 3)))
-        .filter(F.size("shingle_set") >= 3)
-        .select("doc_id", "shingle_set", *[f"sig_{j}" for j in range(N_PERM)])
+        .filter(F.size("_sh_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.col("_sh_hashes").alias("hash_set"),
+            *[f"sig_{j}" for j in range(N_PERM)],
+        )
     )
     bands = base.select(
         "doc_id",
@@ -60,8 +61,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets_a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingle_set").alias("set_a"))
-    sets_b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingle_set").alias("set_b"))
+    sets_a = base.select(F.col("doc_id").alias("doc_a"), F.col("hash_set").alias("set_a"))
+    sets_b = base.select(F.col("doc_id").alias("doc_b"), F.col("hash_set").alias("set_b"))
     verified = (
         cand.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
@@ -75,16 +76,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches + banded blocking; pairs within Hamming
     distance <= 20 of each other (of 60 bits). Verification is a
     popcount on XOR — constant-time per candidate pair."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     sketched = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
     bands = sketched.select(
         "doc_id",
@@ -124,18 +123,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming64(F.col("sketch_a"), F.col("sketch_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
 
 
 def dedup_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash sketch + band keys (the materialized-index
     form a production pipeline would persist)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     out = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
     for b in range(SIMHASH_BANDS):
         out = out.withColumn(f"band_{b}", simhash_band(F.col("sketch"), b))
-    return out.orderBy("doc_id")
+    return out
 
 
 QUERIES_DEDUP_ADV = {

@@ -11,13 +11,13 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
-from youtube_etl_automated_pipeline_spark.sources import load_table
+from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish segments + punct
     census per document. Pure projection (scan-speed at 100 TB)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -26,13 +26,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.bpe_ish_token_count(text).alias("n_bpe_tokens"),
         TS.punct_count(text).alias("n_punct"),
         F.length(text).alias("text_len"),
-    ).orderBy("doc_id")
+    )
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/punct mix -> [0,1] score and a
     keep flag (the classic pre-training filter shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     n_tokens = TS.token_count(text)
     stop_cnt = TS.lang_marker_counts(text)["en"]
@@ -51,33 +51,33 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(punct_ratio, 4).alias("punct_ratio"),
         score.alias("quality_score"),
         (score >= 0.5).alias("keep_flag"),
-    ).orderBy("doc_id")
+    )
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: marker-word census per language, deterministic
     argmax (priority tiebreak). An n-gram heuristic shaped like
     fastText-lite, kept oracle-reproducible."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     counts = TS.lang_marker_counts(F.col("text"))
     return docs.select(
         "doc_id",
         "lang",
         *[counts[lang].alias(f"cnt_{lang}") for lang in TS.LANG_PRIORITY],
         TS.predicted_lang(counts).alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5-derived 60-bit hash +
     winnowing-style min 3-gram-shingle hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     return docs.select(
         "doc_id",
         TS.content_hash(text).alias("content_fp"),
         TS.min_shingle_hash(text, 3).alias("min_shingle_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +86,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy) and reports group size. At 100 TB this is the standard
     first dedup pass — the shuffle key is the 60-bit content hash, so
     skew is impossible unless the corpus is pathological."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     keyed = docs.select(
         "doc_id", TS.content_hash(F.col("text")).alias("content_fp")
     )
@@ -96,7 +96,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .orderBy("keep_doc_id")
+
     )
 
 
@@ -109,22 +109,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the self-join is per-block (block key is a 32-bit hash ->
     tiny groups), so the quadratic blowup is bounded by block size,
     the classic blocked-dedup trade. No full cross join ever happens.
+    Verification intersects DISTINCT SHINGLE-HASH sets (array<long>)
+    rather than shingle strings: the hashes are already computed for
+    the block key, and the pair join then carries ~8-byte elements
+    instead of n-gram strings.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = TS.tokens(F.col("text"))
+    from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
-        "doc_id",
-        F.array_distinct(TS.shingles(toks, 3)).alias("shingle_set"),
-        TS.min_shingle_hash(F.col("text"), 3).alias("block_key"),
-    ).filter(F.size("shingle_set") >= 3)
+        "doc_id", shingle_hashes(F.col("text"), 3).alias("hash_set")
+    ).filter(F.size("hash_set") >= 3)
+    base = base.withColumn("block_key", F.array_min("hash_set"))
     a = base.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shingle_set").alias("set_a"),
+        F.col("hash_set").alias("set_a"),
         "block_key",
     )
     b = base.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("shingle_set").alias("set_b"),
+        F.col("hash_set").alias("set_b"),
         "block_key",
     )
     pairs = a.join(b, "block_key").filter(F.col("doc_a") < F.col("doc_b"))
@@ -136,7 +140,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", hround(jac, 4).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.2)
-        .orderBy("doc_a", "doc_b")
     )
 
 

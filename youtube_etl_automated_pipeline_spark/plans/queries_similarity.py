@@ -8,9 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.ext.similarity import cosine, topk_by_query
+from youtube_etl_automated_pipeline_spark.ext.similarity import (
+    cosine,
+    cosine_unit,
+    embedding_dim,
+    topk_by_query,
+    unit,
+)
 from youtube_etl_automated_pipeline_spark.operators.dedup import keep_first
-from youtube_etl_automated_pipeline_spark.sources import load_table
+from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
 
 N_QUERIES = 5
 N_CENTROIDS = 8
@@ -27,17 +33,18 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes perfectly; this is the exact-recall yardstick the IVF
     path is judged against.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    dim = embedding_dim(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), unit(F.col("embedding")).alias("q_u")
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"), unit(F.col("embedding")).alias("c_u")
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
     )
     return (
         topk_by_query(scored, "query_id", "cos_sim", "neighbor_id", 10)
@@ -57,7 +64,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade of recall for a k-fold candidate cut. nprobe>1 = union more
     clusters per query.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
     )
@@ -88,11 +95,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "c_emb",
     )
+    dim = embedding_dim(emb)
+    queries = queries.select("query_id", "cluster_id", unit(F.col("q_emb")).alias("q_u"))
+    corpus = corpus.select("neighbor_id", "cluster_id", unit(F.col("c_emb")).alias("c_u"))
     candidates = corpus.join(F.broadcast(queries), "cluster_id").select(
         "query_id",
         "neighbor_id",
         "cluster_id",
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
     )
     return (
         topk_by_query(candidates, "query_id", "cos_sim", "neighbor_id", 5)
@@ -105,21 +115,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the natural
     cluster key; at scale the block key would be an IVF/LSH bucket so
     the pairwise pass stays per-block quadratic, never global)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    dim = embedding_dim(emb)
+    normed = emb.select("vec_id", unit(F.col("embedding")).alias("u"), "label")
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a"), "label"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b"), "label"
     )
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
         "label",
         "vec_a",
         "vec_b",
-        cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        cosine_unit(F.col("u_a"), F.col("u_b"), dim).alias("cos_sim"),
     )
-    return scored.filter(F.col("cos_sim") >= 0.3).orderBy("vec_a", "vec_b")
+    return scored.filter(F.col("cos_sim") >= 0.3)
 
 
 QUERIES_SIMILARITY = {

@@ -51,6 +51,19 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> 
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Raise a scan's partition count to the session's parallelism when
+    the source produced fewer (a single small local file -> 1 task,
+    serializing CPU-heavy per-row work like hashing/sketching). At real
+    scale a 100 TB scan already yields >= cores partitions, so this is
+    a no-op; locally it is a ~150 KB round-robin shuffle that unlocks
+    every core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_json_dim(spark: SparkSession, path: str) -> DataFrame:
     """S5: small JSON array -> DataFrame destined for broadcast.
 

@@ -1,0 +1,179 @@
+"""Incremental / Structured Streaming re-expression of the reference's
+hand-rolled micro-batch flow (SURVEY.md section 2.11).
+
+The reference runs a cron'd 7-process chain: ingest a sliding late-data
+window (dataingestion1.py:119-121), merge keep-last by key into staging
+(dataingestion1.py:166-168), periodically flush to the durable sink and
+truncate staging (ingestdatainbigquery.py:103-136). Here that is:
+
+- a file stream source (``readStream`` over the events parquet),
+- ``withWatermark`` for the late-data policy (the reference's fixed
+  4-day pickup window),
+- windowed aggregations (tumbling via ``F.window``, sessionization via
+  ``F.session_window``) built by plan functions SHARED with the batch
+  API — one logical plan, batch or stream, Catalyst does the rest,
+- a ``foreachBatch`` keep-last upsert sink (the staging-merge-flush
+  cycle with exactly-once-per-batch semantics from checkpointing).
+
+Scale notes: stateful window aggs shuffle on (window, group key) and
+keep state bounded by the watermark; the foreachBatch upsert rewrites
+only the state table (partition it by key range at real scale, or use
+a MERGE-capable table format). Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.operators.dedup import keep_last
+
+# events.parquet stores TIMESTAMP(NANOS); with the session's
+# nanosAsLong conf the parquet column arrives as long (see
+# sources.readers.load_table, which this schema must mirror).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+_memsink_seq = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table (S1's paginated pull
+    re-expressed: new files appear -> new micro-batch; the date-window
+    predicate becomes the watermark)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str | None = "4 days",
+) -> DataFrame:
+    """Tumbling-window rollup per event_type. Works identically on a
+    batch or streaming DataFrame (watermark only applies to streams).
+
+    The 4-day default watermark is the reference's late-data policy
+    (videos picked up 3-4 days after publish, dataingestion1.py:119-121).
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            hround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "4 days",
+) -> DataFrame:
+    """Per-user sessionization: events closer than ``gap`` merge into
+    one session (dynamic-gap analog of the reference's per-run batch
+    grouping). Session end is last event + gap (Spark semantics)."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            hround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame,
+    name: str = "stream_result",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming plan to completion with trigger(availableNow)
+    into a memory sink; returns the sink table. availableNow processes
+    everything currently in the source then stops — the deterministic
+    'catch-up run' mode matching the reference's cron semantics."""
+    qname = f"{name}_{next(_memsink_seq)}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return result.sparkSession.table(qname)
+
+
+def foreach_batch_upsert(
+    state_dir: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> Callable[[DataFrame, int], None]:
+    """K3/E3 as a streaming sink: each micro-batch merges into a
+    parquet state table with keep-last-by-key semantics.
+
+    Keep-last order is (batch_id, *order_by): later batches win, ties
+    within a batch resolved by the caller's total order — the
+    reference's ingest-sequence semantics (dataingestion1.py:166-168)
+    made deterministic. The rewrite goes to a temp dir then swaps, so
+    a failed batch never corrupts state (re-running the batch is
+    idempotent: same keys, same keep-last outcome).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+        if os.path.exists(state_dir):
+            merged = spark.read.parquet(state_dir).unionByName(batch)
+        else:
+            merged = batch
+        deduped = keep_last(merged, list(keys), ["_batch_id", *order_by])
+        tmp = state_dir + ".inprogress"
+        deduped.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+
+    return _apply
+
+
+def run_upsert_stream(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = ("event_id",),
+    order_by: Sequence[str] = ("ts",),
+) -> None:
+    """Drive a stream through the foreachBatch upsert to completion."""
+    query = (
+        events.writeStream.foreachBatch(foreach_batch_upsert(state_dir, keys, order_by))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
