@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
         QUERIES_STREAMING,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_multimodal import (
+        QUERIES_MULTIMODAL,
+    )
 
     return {
         **QUERIES,
@@ -51,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_SIMILARITY,
         **QUERIES_DEDUP_ADV,
         **QUERIES_STREAMING,
+        **QUERIES_MULTIMODAL,
     }
 
 
@@ -73,6 +77,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.oracles_streaming import (
         ORACLES_STREAMING,
     )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_multimodal import (
+        ORACLES_MULTIMODAL,
+    )
 
     return {
         **ORACLES,
@@ -82,4 +89,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_SIMILARITY,
         **ORACLES_DEDUP_ADV,
         **ORACLES_STREAMING,
+        **ORACLES_MULTIMODAL,
     }

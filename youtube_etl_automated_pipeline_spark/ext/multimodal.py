@@ -1,0 +1,231 @@
+"""Multimodal (image/audio/video) columns as opaque binary payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+This is the plumbing a 100 TB multimodal training-data pipeline needs:
+binary column + metadata schema, per-batch vectorized numpy kernels,
+one-row-to-many-rows frame explosion — all real and tested. The only
+stubbed piece is REAL codec decode (PIL/ffmpeg are not in this
+container): ``decode_image_features`` takes an injectable ``decoder``
+and raises ``NotImplementedError`` without one; tests and the gate
+queries use ``fake_gray_decoder`` (a deterministic bytes->grayscale
+fake) so every downstream kernel (resize, block-mean thumbnail,
+feature stats) runs for real.
+
+Determinism contract with the DuckDB oracle: payloads here are UTF-8
+bytes of ASCII document text, and every statistic is an EXACT integer
+byte accumulation with a single final division — no float sum order
+to drift between numpy, the JVM, and DuckDB.
+
+Scale shape: every op is a per-row kernel inside mapInPandas — no
+shuffle, no state, embarrassingly parallel over partitions; Arrow
+moves columnar batches, numpy vectorizes within the batch. Partition
+count is whatever the scan gives (widen_scan'd locally).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+HIST_BINS = 8  # 256 / 32
+FRAME_BYTES = 64
+FRAME_EVERY = 2
+
+
+def _hround(x: float, dp: int = 6) -> float:
+    p = float(10**dp)
+    return math.floor(x * p + 0.5) / p
+
+
+def media_type_for(doc_id: Column) -> Column:
+    """Deterministic modality assignment (doc_id mod 3)."""
+    return F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (doc_id % 3 + 1).cast("int"))
+
+
+def to_media_table(docs: DataFrame) -> DataFrame:
+    """documents -> media table: opaque binary payload + typed
+    metadata. At scale this is the parquet layout you'd store:
+    binary column, small metadata struct, modality partition key."""
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        media_type_for(F.col("doc_id")).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("documents").alias("source"),
+        ).alias("meta"),
+    )
+
+
+BYTE_STATS_SCHEMA = (
+    "media_id bigint, media_type string, n_bytes int,"
+    " byte_sum bigint, byte_min int, byte_max int, hist array<bigint>"
+)
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """Payload byte census: size, sum, min/max, 8-bin histogram.
+    The 'did the bytes survive the pipeline' integrity check."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    rows.append((mid, mtype, 0, 0, 0, 0, [0] * HIST_BINS))
+                    continue
+                hist = np.bincount(arr >> 5, minlength=HIST_BINS)
+                rows.append(
+                    (
+                        mid,
+                        mtype,
+                        int(arr.size),
+                        int(arr.sum(dtype=np.int64)),
+                        int(arr.min()),
+                        int(arr.max()),
+                        [int(h) for h in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "n_bytes",
+                    "byte_sum",
+                    "byte_min",
+                    "byte_max",
+                    "hist",
+                ],
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, BYTE_STATS_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = "media_id bigint, n_samples int, rms double, peak double"
+
+
+def audio_waveform_stats(media: DataFrame) -> DataFrame:
+    """'Decode' audio payloads as centered 8-bit PCM and compute
+    RMS energy + peak amplitude. Integer square-sum, one division,
+    one sqrt — bit-stable across engines."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+                n = int(arr.size)
+                if n == 0:
+                    rows.append((mid, 0, 0.0, 0.0))
+                    continue
+                sq = int((arr * arr).sum())
+                rms = _hround(math.sqrt(sq / (n * 16384)))
+                peak = _hround(int(np.abs(arr).max()) / 128.0)
+                rows.append((mid, n, rms, peak))
+            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "rms", "peak"])
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, AUDIO_STATS_SCHEMA)
+    )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id bigint, frame_idx int, frame_len int, frame_sum bigint"
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = FRAME_BYTES, every: int = FRAME_EVERY
+) -> DataFrame:
+    """Sample every ``every``-th fixed-size frame from video payloads
+    (one input row -> many output rows; the UDTF shape). The ragged
+    final frame is kept — exactly what a real frame sampler faces."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = (arr.size + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    chunk = arr[i * frame_bytes : (i + 1) * frame_bytes]
+                    rows.append(
+                        (mid, i, int(chunk.size), int(chunk.sum(dtype=np.int64)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_len", "frame_sum"]
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+    )
+
+
+def fake_gray_decoder(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image codec: interpret the
+    first w*w payload bytes (w = isqrt(len)) as a square grayscale
+    image. Swap for a PIL/cv2 decode in production."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    w = math.isqrt(arr.size)
+    return arr[: w * w].reshape(w, w)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id bigint, width int, mean_pixel double, thumb array<double>"
+)
+
+
+def decode_image_features(
+    media: DataFrame, decoder: Callable[[bytes], np.ndarray] | None = None
+) -> DataFrame:
+    """Decode -> 2x2 block-mean thumbnail + mean pixel. ``decoder``
+    maps payload bytes to a 2-D grayscale array; without one this is
+    a stub (real codecs aren't in this container)."""
+    if decoder is None:
+        raise NotImplementedError(
+            "image decode requires a codec; inject decoder= (e.g. a PIL "
+            "loader in production, fake_gray_decoder in tests)"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decoder(payload)
+                w = int(img.shape[0])
+                if w < 2:
+                    continue
+                mean_pixel = _hround(int(img.sum(dtype=np.int64)) / (img.size))
+                half = w // 2
+                crop = img[: 2 * half, : 2 * half].astype(np.int64)
+                quads = crop.reshape(2, half, 2, half).sum(axis=(1, 3))
+                thumb = [_hround(int(q) / (half * half)) for q in quads.flatten()]
+                rows.append((mid, w, mean_pixel, thumb))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "mean_pixel", "thumb"]
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+    )

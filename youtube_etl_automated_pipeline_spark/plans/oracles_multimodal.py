@@ -1,0 +1,111 @@
+"""DuckDB oracles for the multimodal kernels. The media payload is
+UTF-8 bytes of ASCII document text, so byte arithmetic is expressible
+as character-codepoint arithmetic; every statistic is an exact integer
+accumulation with one final division, so numpy and DuckDB agree
+bit-for-bit (see ext.multimodal module docstring).
+"""
+
+from __future__ import annotations
+
+from youtube_etl_automated_pipeline_spark.ext.multimodal import (
+    FRAME_BYTES,
+    FRAME_EVERY,
+    HIST_BINS,
+)
+from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
+
+_BIN_W = 256 // HIST_BINS
+_BL = "list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))"
+_MEDIA_TYPE = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
+    " WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+ORACLES_MULTIMODAL: dict[str, str] = {}
+
+ORACLES_MULTIMODAL["multimodal_byte_stats"] = f"""
+WITH b AS (
+  SELECT doc_id, {_MEDIA_TYPE} AS media_type, {_BL} AS bl FROM documents
+)
+SELECT doc_id AS media_id, media_type,
+  len(bl) AS n_bytes,
+  CAST(coalesce(list_sum(bl), 0) AS BIGINT) AS byte_sum,
+  coalesce(list_min(bl), 0) AS byte_min,
+  coalesce(list_max(bl), 0) AS byte_max,
+  list_transform(generate_series(0, {HIST_BINS - 1}),
+    h -> CAST(len(list_filter(bl, x -> x // {_BIN_W} = h)) AS BIGINT)) AS hist
+FROM b
+ORDER BY media_id
+"""
+
+ORACLES_MULTIMODAL["multimodal_audio_stats"] = f"""
+WITH b AS (
+  SELECT doc_id, {_BL} AS bl FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id AS media_id, len(bl) AS n_samples,
+  CASE WHEN len(bl) = 0 THEN 0.0 ELSE
+    {sql_hround(
+        "sqrt(CAST(list_sum(list_transform(bl, x -> (x-128)*(x-128))) AS DOUBLE)"
+        " / (len(bl) * 16384))", 6)}
+  END AS rms,
+  CASE WHEN len(bl) = 0 THEN 0.0 ELSE
+    {sql_hround(
+        "CAST(list_max(list_transform(bl, x -> abs(x-128))) AS DOUBLE) / 128.0", 6)}
+  END AS peak
+FROM b
+ORDER BY media_id
+"""
+
+ORACLES_MULTIMODAL["multimodal_frame_sample"] = f"""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 2 AND length(text) > 0
+),
+fr AS (
+  SELECT doc_id, text,
+    unnest(list_filter(
+      generate_series(0, CAST((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS INT) - 1),
+      i -> i % {FRAME_EVERY} = 0)) AS frame_idx
+  FROM v
+),
+ch AS (
+  SELECT doc_id, frame_idx,
+    substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+  FROM fr
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+  length(chunk) AS frame_len,
+  CAST(coalesce(list_sum(list_transform(
+    generate_series(1, length(chunk)), j -> ord(substr(chunk, j, 1)))), 0) AS BIGINT)
+    AS frame_sum
+FROM ch
+ORDER BY media_id, frame_idx
+"""
+
+
+def _quad(dr: int, dc: int) -> str:
+    inner = (
+        f"list_sum(list_transform(generate_series(0, half - 1), c ->"
+        f" ord(substr(text, ({dr} * half + r) * w + ({dc} * half + c) + 1, 1))))"
+    )
+    s = f"list_sum(list_transform(generate_series(0, half - 1), r -> {inner}))"
+    return sql_hround(f"CAST({s} AS DOUBLE) / (half * half)", 6)
+
+
+ORACLES_MULTIMODAL["multimodal_image_features"] = f"""
+WITH im AS (
+  SELECT doc_id, text,
+    CAST(floor(sqrt(length(text))) AS INT) AS w
+  FROM documents WHERE doc_id % 3 = 0
+),
+f AS (
+  SELECT doc_id, text, w, w // 2 AS half FROM im WHERE w >= 2
+)
+SELECT doc_id AS media_id, w AS width,
+  {sql_hround(
+      "CAST(list_sum(list_transform(generate_series(1, w * w),"
+      " i -> ord(substr(text, i, 1)))) AS DOUBLE) / (w * w)", 6)} AS mean_pixel,
+  [{_quad(0, 0)}, {_quad(0, 1)}, {_quad(1, 0)}, {_quad(1, 1)}] AS thumb
+FROM f
+ORDER BY media_id
+"""
