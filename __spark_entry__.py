@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_multimodal import (
         QUERIES_MULTIMODAL,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_sql import QUERIES_SQL
 
     return {
         **QUERIES,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_DEDUP_ADV,
         **QUERIES_STREAMING,
         **QUERIES_MULTIMODAL,
+        **QUERIES_SQL,
     }
 
 
@@ -80,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.oracles_multimodal import (
         ORACLES_MULTIMODAL,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_sql import ORACLES_SQL
 
     return {
         **ORACLES,
@@ -90,4 +93,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_DEDUP_ADV,
         **ORACLES_STREAMING,
         **ORACLES_MULTIMODAL,
+        **ORACLES_SQL,
     }

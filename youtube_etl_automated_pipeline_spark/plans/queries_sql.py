@@ -1,0 +1,61 @@
+"""Pure-SQL-API queries (spark.sql over registered views) — the
+engine's second query surface beyond the DataFrame API, plus sketch
+aggregates the reference never had but any OLAP engine exposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.sources import load_table, register_views
+
+GROUPING_SETS_SQL = """
+SELECT n.n_name AS nation_name,
+       o.o_orderpriority AS priority,
+       count(*) AS n_orders,
+       floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+       CAST(grouping(n.n_name) AS INT) AS g_nation,
+       CAST(grouping(o.o_orderpriority) AS INT) AS g_priority
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+"""
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in one shuffle pass via GROUPING SETS
+    (nation x priority, nation, grand total) with grouping()
+    indicators disambiguating real NULLs from subtotal rows. Executed
+    through the SQL surface end-to-end."""
+    register_views(spark, sf_dir, tables=("orders", "customer", "nation"))
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-customer counts per order priority next
+    to the exact count. Engine-specific sketch -> rows-only gate check
+    (no cross-engine oracle can hash-match an HLL estimate); the unit
+    test asserts the <=5%-error envelope instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES_SQL = {
+    "sql_grouping_sets": sql_grouping_sets,
+    "approx_distinct_customers": approx_distinct_customers,
+}
+
+ORACLES_SQL = {
+    # DuckDB runs the very same ANSI SQL text (views carry the same
+    # names); only the grouping() cast spelling is shared already.
+    "sql_grouping_sets": GROUPING_SETS_SQL,
+}

@@ -1,0 +1,95 @@
+"""Sinks (SURVEY.md section 2.2 K1-K5) and the E3 flush lifecycle.
+
+The reference's durable-sink flow (ingestdatainbigquery.py:49-136):
+append the staging frame into BigQuery (WRITE_APPEND / WRITE_EMPTY by
+table existence, :53-76), window-dedup the table with ROW_NUMBER SQL
+and swap it in place (:84-96), then truncate staging keeping the
+header (:103-112). Re-expressed over parquet table directories:
+
+- K4  append_table      - mode('append') / create on first write
+- A6  dedup_table_swap  - the same ROW_NUMBER SQL via spark.sql,
+                          written to a temp dir and atomically swapped
+- K5  truncate_staging  - overwrite with the empty (limit 0) frame,
+                          schema preserved
+- E3  flush             - the composition
+
+Scale notes: append is a no-shuffle write; the dedup pass shuffles
+once on the key (window, not dropDuplicates — SURVEY section 4 note on
+keep-last); the swap keeps readers consistent (a table format with
+MERGE — Delta/Iceberg — replaces the swap at production scale).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from youtube_etl_automated_pipeline_spark.operators.dedup import keep_last
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    """K4: existence-dependent append (the reference probes the table
+    to pick WRITE_APPEND vs WRITE_EMPTY, ingestdatainbigquery.py:53-57;
+    parquet's append mode subsumes both)."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """K1: full overwrite (clear + rewrite, dataingestion1.py:173-174).
+    Routed through a temp dir so a failure mid-write never leaves a
+    half-table (the reference's clear()-then-write has that hole)."""
+    tmp = path + ".inprogress"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def dedup_table_swap(
+    spark: SparkSession, path: str, key: str = "video_id", order_col: str | None = None
+) -> None:
+    """A6/W1: the reference's BigQuery dedup
+    (``ROW_NUMBER() OVER (PARTITION BY video_id ORDER BY ...) ...
+    WHERE row_num = 1`` + table swap, ingestdatainbigquery.py:84-96).
+
+    The reference orders by CURRENT_TIMESTAMP() — a constant, i.e.
+    arbitrary-row-per-key. We demand a real ``order_col`` for
+    determinism (keep-last); pass None to reproduce the reference's
+    arbitrary pick (dropDuplicates).
+    """
+    table = spark.read.parquet(path)
+    if order_col is None:
+        deduped = table.dropDuplicates([key])
+    else:
+        deduped = keep_last(table, [key], [order_col])
+    tmp = path + ".inprogress"
+    deduped.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def truncate_staging(spark: SparkSession, path: str) -> None:
+    """K5: clear the staging table but keep its schema (the reference
+    re-appends the header row after clear(), :103-112)."""
+    schema_keeper = spark.read.parquet(path).limit(0)
+    overwrite_table(schema_keeper, path)
+
+
+def flush(
+    spark: SparkSession,
+    staging_path: str,
+    table_path: str,
+    key: str = "video_id",
+    order_col: str | None = None,
+) -> None:
+    """E3: staging -> durable table append -> window dedup + swap ->
+    staging truncate (ingestdatainbigquery.py:115-136). Empty staging
+    short-circuits (P9, :119-121)."""
+    staging = spark.read.parquet(staging_path)
+    if staging.isEmpty():
+        return
+    append_table(staging, table_path)
+    dedup_table_swap(spark, table_path, key, order_col)
+    truncate_staging(spark, staging_path)
