@@ -128,7 +128,7 @@ def code_derivation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("code_len", F.length("main_code"))
     df = df.withColumn("code", X.code_prefix(F.col("main_code"), F.col("code_len")))
     df = df.withColumn("resource_code", X.last_char(F.col("main_code")))
-    return df.orderBy("p_partkey")
+    return df
 
 
 def date_time_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +144,7 @@ def date_time_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_date.alias("published_date_local"),
         local_time.alias("published_time_local"),
         D.seconds_to_hms(F.col("value").cast("long")).alias("avg_view_duration_hms"),
-    ).orderBy("event_id")
+    )
 
 
 def keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +153,7 @@ def keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return keep_last(ev, ["user_id"], ["ts", "event_id"]).select(
         "user_id", "event_id", "event_type", "value"
-    ).orderBy("user_id")
+    )
 
 
 def merge_upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +235,7 @@ def derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("engagement_pct"),
         M.cpv(F.col("revenue"), F.col("views")).alias("cpv"),
         M.rpm(F.col("revenue"), F.col("views")).alias("rpm"),
-    ).orderBy("l_orderkey")
+    )
 
 
 QUERIES = {

@@ -30,6 +30,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard filter. All-pairs never materializes.
     """
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    # persist the signature table: it feeds the band explode AND both
+    # sides of the verify join (3 consumers). In production this is
+    # the materialized signature index you'd write to parquet.
     base = (
         with_minhash(docs.select("doc_id", "text"))
         .filter(F.size("_sh_hashes") >= 3)
@@ -38,6 +41,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_sh_hashes").alias("hash_set"),
             *[f"sig_{j}" for j in range(N_PERM)],
         )
+        .persist()
     )
     bands = base.select(
         "doc_id",

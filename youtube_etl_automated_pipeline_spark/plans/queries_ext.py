@@ -117,10 +117,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
 
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id", shingle_hashes(F.col("text"), 3).alias("hash_set")
-    ).filter(F.size("hash_set") >= 3)
-    base = base.withColumn("block_key", F.array_min("hash_set"))
+    # persist: the hashed-shingle table feeds BOTH self-join sides;
+    # without it the md5 shingle projection runs once per side (and
+    # again inside the filter). Production would materialize this as
+    # the dedup index table.
+    base = (
+        docs.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hash_set"))
+        .filter(F.size("hash_set") >= 3)
+        .withColumn("block_key", F.array_min("hash_set"))
+        .persist()
+    )
     a = base.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hash_set").alias("set_a"),

@@ -77,7 +77,7 @@ def update_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.coalesce(F.col("line_revenue"), F.lit(0.0)).alias("line_revenue"),
         F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
-    ).orderBy("o_orderkey")
+    )
 
 
 def two_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +106,6 @@ def min_over_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_date"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -161,7 +160,7 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("running_total"),
-    ).orderBy("o_orderkey")
+    )
 
 
 def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +178,7 @@ def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment_label", F.lit("never_bought")
     )
     active = cust.intersect(buyers).withColumn("segment_label", F.lit("active"))
-    return never_bought.unionByName(active).orderBy("c_custkey")
+    return never_bought.unionByName(active)
 
 
 def distinct_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,7 +189,7 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cpv",
         "rpm",
         "cpm_category",
-    ).orderBy("video_id")
+    )
 
 
 QUERIES_PIPELINE = {"pipeline_e2e": pipeline_e2e}
