@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         QUERIES_MULTIMODAL,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import QUERIES_SQL
+    from youtube_etl_automated_pipeline_spark.plans.queries_extra import QUERIES_EXTRA
 
     return {
         **QUERIES,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_STREAMING,
         **QUERIES_MULTIMODAL,
         **QUERIES_SQL,
+        **QUERIES_EXTRA,
     }
 
 
@@ -83,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         ORACLES_MULTIMODAL,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import ORACLES_SQL
+    from youtube_etl_automated_pipeline_spark.plans.queries_extra import ORACLES_EXTRA
 
     return {
         **ORACLES,
@@ -94,4 +97,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_STREAMING,
         **ORACLES_MULTIMODAL,
         **ORACLES_SQL,
+        **ORACLES_EXTRA,
     }

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the properties that make the
+engine scale (predicate pushdown to parquet, column pruning, dims
+broadcast not shuffled, equi-joins never degrading to cartesian /
+nested-loop) must survive refactors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # the 16-column table is scanned with exactly the 2 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries import (
+        flagship_enrich_dedup_agg,
+    )
+
+    plan = plan_of(flagship_enrich_dedup_agg(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_e2e_no_cartesian_no_nested_loop(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_pipeline import pipeline_e2e
+
+    plan = plan_of(pipeline_e2e(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_lsh_band_joins_are_equi_joins(spark):
+    """Candidate generation must stay an equi-join on the band key —
+    a nested-loop degradation would be O(n^2) at scale."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_ext import (
+        dedup_ngram_jaccard,
+    )
+
+    for q in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard):
+        plan = plan_of(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__

@@ -1,0 +1,126 @@
+"""Engine extras beyond the reference's surface: as-of join and
+semi-structured (JSON) column processing over the events stream
+table. Oracles live alongside (ORACLES_EXTRA).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.functions.compat import hround, sql_hround
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order ON
+    OR BEFORE the event date (the classic point-in-time enrichment
+    Spark lacks as a built-in).
+
+    Implementation: equi-join on the key with the temporal predicate
+    in the join condition (shuffle on the key; per-key fan-out is
+    bounded by orders-per-customer), then a keep-first window with a
+    deterministic tiebreak (date DESC, orderkey DESC). Events with no
+    qualifying order keep NULLs via the left join. At extreme per-key
+    fan-out the union-and-sort formulation replaces this; the plan
+    here stays two bounded shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = ev.join(
+        ords,
+        (ev.user_id == ords.o_custkey) & (ords.o_orderdate <= ev.event_date),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("o_orderdate"), F.desc_nulls_last("o_orderkey")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.datediff("event_date", F.col("o_orderdate")).alias("days_since_order"),
+        )
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: schema-on-read JSON parse
+    (from_json) in a pure projection — scan-speed at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return ev.select(
+        "event_id",
+        "event_type",
+        k.alias("prop_k"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-derived metric rollup per event type (parse + aggregate in
+    one pass, partial aggregation map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            hround(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_EXTRA = {
+    "events_asof_order": events_asof_order,
+    "events_json_extract": events_json_extract,
+    "events_json_agg": events_json_agg,
+}
+
+_JSON_K = "CAST(json_extract(props, '$.k') AS INT)"
+
+ORACLES_EXTRA = {
+    "events_asof_order": """
+WITH j AS (
+  SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+         o.o_orderkey, o.o_orderdate,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS DATE)
+)
+SELECT event_id, user_id,
+       o_orderkey AS last_orderkey,
+       o_orderdate AS last_orderdate,
+       date_diff('day', o_orderdate, event_date) AS days_since_order
+FROM j WHERE rn = 1
+ORDER BY event_id
+""",
+    "events_json_extract": f"""
+SELECT event_id, event_type, {_JSON_K} AS prop_k, {_JSON_K} % 10 AS k_bucket
+FROM events
+ORDER BY event_id
+""",
+    "events_json_agg": f"""
+SELECT event_type, count(*) AS n_events,
+       sum({_JSON_K}) AS sum_k,
+       {sql_hround(f"avg({_JSON_K})", 4)} AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+}
