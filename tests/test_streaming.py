@@ -67,3 +67,59 @@ def test_session_window_invariants(spark):
         for a, b in zip(user_rows, user_rows[1:]):
             # next session starts >= 30 min after the last event of the prior
             assert (b["session_start"] - a["session_last"]).total_seconds() >= 1800
+
+
+def test_stateful_accumulates_across_batches(spark, tmp_path):
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        stateful_user_stats,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ev.filter("event_id < 500").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id >= 500").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1  # proves >1 micro-batch ran
+
+    updates = spark.table("stateful_mb")
+    # final state per user = row with the max n_events (counts only grow)
+    from youtube_etl_automated_pipeline_spark.operators.dedup import keep_first
+
+    final = {
+        r["user_id"]: r
+        for r in keep_first(updates, ["user_id"], [F.col("n_events").desc()]).collect()
+    }
+    truth = {
+        r["user_id"]: r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(truth)
+    for uid, t in truth.items():
+        assert final[uid]["n_events"] == t["n"]
+        assert abs(final[uid]["sum_value"] - t["s"]) < 1e-6

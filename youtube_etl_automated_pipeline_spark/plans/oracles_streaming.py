@@ -23,6 +23,22 @@ ORDER BY window_start, event_type
 ORACLES_STREAMING: dict[str, str] = {
     "events_tumbling_window": _TUMBLING,
     "streaming_tumbling_window": _TUMBLING,
+    "streaming_stateful_user_stats": f"""
+WITH last AS (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS n_events,
+         {sql_hround("sum(value)", 4)} AS sum_value
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, a.n_events, a.sum_value, l.event_id AS last_event_id
+FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+ORDER BY a.user_id
+""",
     "events_session_window": f"""
 WITH flagged AS (
   SELECT user_id, ts, value,

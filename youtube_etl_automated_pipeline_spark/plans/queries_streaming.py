@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.operators.dedup import keep_first
 from youtube_etl_automated_pipeline_spark.sources import load_table
 from youtube_etl_automated_pipeline_spark.streaming.incremental import (
     read_events_stream,
@@ -44,8 +48,31 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run by the
+    streaming engine: per-user running totals + latest event. The
+    keep_first normalization collapses per-batch update rows to the
+    final state per key, so the result is batch-count-invariant."""
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        stateful_user_stats,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    updates = run_stream_to_memory(
+        stateful_user_stats(stream), "stateful_user_stats", output_mode="update"
+    )
+    final = keep_first(updates, ["user_id"], [F.col("n_events").desc()])
+    return final.select(
+        "user_id",
+        "n_events",
+        hround(F.col("sum_value"), 4).alias("sum_value"),
+        "last_event_id",
+    ).orderBy("user_id")
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
     "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_stateful_user_stats": streaming_stateful_user_stats,
 }

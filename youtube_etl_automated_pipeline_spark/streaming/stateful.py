@@ -1,0 +1,61 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md section 2.11: the reference's keyed keep-last upsert state,
+held by hand in a spreadsheet, as real managed stream state).
+
+Per-key state: running event count, value sum, and the latest event
+(by (ts, event_id) — a deterministic total order). Arrow batches in,
+one updated row per key out, state persisted by the engine between
+micro-batches (checkpointable, watermark-evictable with a TTL conf).
+
+Scale shape: state is partitioned by the grouping key across
+executors (RocksDB-backed state store on a real cluster); each
+micro-batch touches only the keys present in the batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, last_event_id bigint"
+)
+STATE_SCHEMA = "n bigint, sum_v double, last_ts bigint, last_eid bigint"
+
+
+def _user_stats(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (n, sum_v, last_ts, last_eid) = (
+        state.get if state.exists else (0, 0.0, -1, -1)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        sum_v += float(pdf["value"].sum())
+        best = max(zip(pdf["us"], pdf["event_id"]))
+        if best > (last_ts, last_eid):
+            last_ts, last_eid = int(best[0]), int(best[1])
+    state.update((n, sum_v, last_ts, last_eid))
+    yield pd.DataFrame(
+        [(key[0], n, sum_v, last_eid)],
+        columns=["user_id", "n_events", "sum_value", "last_event_id"],
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Apply the stateful per-user aggregator to a STREAMING events
+    DataFrame. Each micro-batch emits the refreshed totals for the
+    keys it touched (output mode 'update')."""
+    keyed = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
