@@ -36,6 +36,10 @@ def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed-table home for bucketed tables (bucketBy needs
+        # saveAsTable); kept out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type -> read as long, converted to a
         # microsecond timestamp in sources.readers.load_table.

@@ -93,3 +93,28 @@ def flush(
     append_table(staging, table_path)
     dedup_table_swap(spark, table_path, key, order_col)
     truncate_staging(spark, staging_path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> None:
+    """Bucketed managed table (hash-bucketed + sorted by the join
+    key). Two tables bucketed the same way join with NO shuffle on
+    either side — the 100 TB co-located-join strategy (the shuffle is
+    paid once at write time, amortized over every later join).
+    Verified by tests/test_bucketing.py."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # the in-memory catalog forgets tables across sessions but the
+        # warehouse directory persists; clear an orphaned location
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table
+        )
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
