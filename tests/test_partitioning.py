@@ -1,0 +1,46 @@
+"""Partitioned-table writes + partition pruning, and CSV source
+round-trip (S2's header-schema scan for non-parquet edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy on the date column: a date-filtered scan
+    must read only the matching partition directories (the 100 TB
+    time-series layout — pruning happens at planning, not runtime)."""
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(path)
+
+    n_days = ev.select("event_date").distinct().count()
+    assert n_days > 1
+
+    one_day = ev.select(F.min("event_date")).first()[0]
+    scan = spark.read.parquet(path).filter(F.col("event_date") == F.lit(one_day))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate lands in PartitionFilters (planning-time
+    # directory pruning), NOT in PushedFilters/post-scan Filter
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    assert f"(event_date#" in plan and str(one_day) in plan
+    expected = ev.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert scan.count() == expected
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """S2: header'd CSV scan with explicit schema matches the parquet
+    source row-for-row."""
+    path = str(tmp_path / "nation_csv")
+    nat = load_table(spark, SF_SMOKE, "nation")
+    nat.write.option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(nat.schema).csv(path)
+    assert back.schema == nat.schema
+    a = sorted(map(tuple, nat.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

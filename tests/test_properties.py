@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): the engine's column-expression
+re-implementations must match a pure-Python mirror of the reference's
+pandas semantics on arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# mirror of the reference chain (dataingestion2.py:33-64), pure python
+PRINTABLE = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+def ref_extract_last_word(title: str | None) -> str:
+    if not title:
+        return ""
+    words = title.replace("|", " ").split()
+    return words[-1] if words else ""
+
+
+def ref_clean(code: str) -> str:
+    if len(code) not in (3, 4, 5):
+        return ""
+    if code.isdigit():
+        return ""
+    if sum(1 for c in code if c.islower() and c.isascii()) > 1:
+        return ""
+    return code
+
+
+def ref_prefix(code: str) -> str:
+    return code[:2] if len(code) == 4 else code[:3]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), PRINTABLE), min_size=1, max_size=25))
+def test_code_chain_matches_reference_semantics(spark, titles):
+    from youtube_etl_automated_pipeline_spark.functions import text as X
+
+    df = spark.createDataFrame([(t,) for t in titles], "title string")
+    raw = X.extract_last_word(F.col("title"))
+    out = df.select(
+        "title",
+        raw.alias("raw"),
+        X.clean_main_code(raw).alias("clean"),
+        X.code_prefix(X.clean_main_code(raw), F.length(X.clean_main_code(raw))).alias(
+            "prefix"
+        ),
+        X.last_char(X.clean_main_code(raw)).alias("last"),
+    ).collect()
+    for r in out:
+        exp_raw = ref_extract_last_word(r["title"])
+        assert (r["raw"] or "") == exp_raw, r
+        exp_clean = ref_clean(exp_raw)
+        assert (r["clean"] or "") == exp_clean, r
+        assert (r["prefix"] or "") == ref_prefix(exp_clean), r
+        assert (r["last"] or "") == (exp_clean[-1] if exp_clean else ""), r
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_keep_last_matches_pandas_semantics(spark, rows):
+    """keep_last == pandas drop_duplicates(keep='last') over a frame
+    sorted by the order column (dataingestion1.py:166-168)."""
+    import pandas as pd
+
+    from youtube_etl_automated_pipeline_spark.operators.dedup import keep_last
+
+    data = [(k, seq, i) for i, (k, seq) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key int, seq int, uid int")
+    got = {
+        r["key"]: r["uid"]
+        for r in keep_last(df, ["key"], ["seq", "uid"]).collect()
+    }
+    pdf = pd.DataFrame(data, columns=["key", "seq", "uid"]).sort_values(
+        ["seq", "uid"], kind="stable"
+    )
+    exp = pdf.drop_duplicates(subset=["key"], keep="last").set_index("key")["uid"]
+    assert got == exp.to_dict()
