@@ -123,3 +123,55 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
     for uid, t in truth.items():
         assert final[uid]["n_events"] == t["n"]
         assert abs(final[uid]["sum_value"] - t["s"]) < 1e-6
+
+
+def test_incremental_pipeline_equals_batch(spark, tmp_path):
+    """Two micro-batches (initial ingest, then restated re-ingest)
+    through the full enrichment chain must produce exactly the batch
+    pipeline's wide-fact table."""
+    import time
+
+    from youtube_etl_automated_pipeline_spark.plans import queries_pipeline as QP
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        incremental_pipeline,
+    )
+
+    src = str(tmp_path / "videos")
+    fact = str(tmp_path / "fact")
+    ckpt = str(tmp_path / "ckpt")
+
+    videos = QP._videos(spark, SF_SMOKE)
+    videos.filter("ingest_seq = 1").coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    videos.filter("ingest_seq = 2").coalesce(1).write.mode("append").parquet(src)
+
+    resource_names = spark.createDataFrame(
+        QP.RESOURCE_ROWS, "employee_code string, team string"
+    )
+    shownames = spark.createDataFrame(
+        QP.SHOWNAMES_ROWS, "code string, show_name string, broadcaster string, category string"
+    )
+    cpm_categories = spark.createDataFrame(
+        QP.CPM_ROWS, "show_name string, cpm_category string"
+    )
+
+    stream = spark.readStream.schema(
+        "video_id string, title string, channel_id string,"
+        " published_at string, ingest_seq int"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    incremental_pipeline(
+        stream,
+        QP._channels(spark, SF_SMOKE),
+        resource_names,
+        shownames,
+        cpm_categories,
+        QP._analytics(spark, SF_SMOKE),
+        fact,
+        ckpt,
+    )
+
+    batch = QP.pipeline_e2e(spark, SF_SMOKE)
+    inc = spark.read.parquet(fact).select(*batch.columns)
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(a) == len(b) and a == b

@@ -132,6 +132,7 @@ def foreach_batch_upsert(
     state_dir: str,
     keys: Sequence[str],
     order_by: Sequence[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """K3/E3 as a streaming sink: each micro-batch merges into a
     parquet state table with keep-last-by-key semantics.
@@ -146,6 +147,8 @@ def foreach_batch_upsert(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if transform is not None:
+            batch_df = transform(batch_df)
         batch = batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
         if os.path.exists(state_dir):
             merged = spark.read.parquet(state_dir).unionByName(batch)
@@ -171,6 +174,50 @@ def run_upsert_stream(
     """Drive a stream through the foreachBatch upsert to completion."""
     query = (
         events.writeStream.foreachBatch(foreach_batch_upsert(state_dir, keys, order_by))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def incremental_pipeline(
+    video_stream: DataFrame,
+    channels: DataFrame,
+    resource_names: DataFrame,
+    shownames: DataFrame,
+    cpm_categories: DataFrame,
+    analytics: DataFrame,
+    fact_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The E1 pipeline, incremental: each micro-batch of newly
+    ingested videos runs the FULL enrichment chain (pipeline.
+    build_wide_fact — dedup, broadcast dims, analytics merge, derived
+    metrics) and upserts into the wide-fact table keep-last by
+    video_id. This is the reference's twice-daily cron loop
+    (dags/Dashboard-pipeline.py:26) as a checkpointed stream: a
+    re-ingested video in a later batch overwrites its earlier row,
+    exactly like the sheet-merge + BigQuery-dedup cycle.
+
+    All enrichment is per-row (dims broadcast), so incremental
+    results equal the batch pipeline over the union of batches —
+    verified by tests/test_streaming.py.
+    """
+    from youtube_etl_automated_pipeline_spark.pipeline import build_wide_fact
+
+    def enrich(batch: DataFrame) -> DataFrame:
+        return build_wide_fact(
+            batch, channels, resource_names, shownames, cpm_categories, analytics
+        )
+
+    query = (
+        video_stream.writeStream.foreachBatch(
+            foreach_batch_upsert(
+                fact_dir, ["video_id"], ["ingest_seq"], transform=enrich
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
