@@ -44,3 +44,27 @@ def test_csv_source_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, nat.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_ingest_window_predicate_pushes_down(spark):
+    """F12/P3: the as_of-parameterized late-data window is a pushable
+    parquet predicate (the reference's publishedAfter/Before range)."""
+    from youtube_etl_automated_pipeline_spark.functions.dates import (
+        in_ingest_window,
+        ingest_window,
+    )
+
+    assert ingest_window("2024-01-10") == (
+        "2024-01-06 00:00:00",
+        "2024-01-07 23:59:59",
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_ts", F.col("o_orderdate").cast("timestamp")
+    )
+    windowed = orders.filter(in_ingest_window(F.col("o_ts"), "2024-03-01"))
+    n = windowed.count()
+    # matches a hand-computed range filter
+    manual = orders.filter(
+        (F.col("o_orderdate") >= "2024-02-26") & (F.col("o_orderdate") <= "2024-02-27")
+    ).count()
+    assert n == manual

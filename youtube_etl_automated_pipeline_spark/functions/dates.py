@@ -52,3 +52,26 @@ def seconds_to_hms(seconds: Column) -> Column:
         F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
         F.lpad((s % 60).cast("string"), 2, "0"),
     )
+
+
+def ingest_window(as_of: str) -> tuple[str, str]:
+    """F12: the reference's sliding ingest window — [D-4 00:00:00,
+    D-3 23:59:59] UTC for run date D (dataingestion1.py:119-123).
+
+    The reference uses wall-clock ``utcnow()``; the engine takes an
+    explicit ``as_of`` date string so runs are deterministic and
+    replayable (SURVEY section 7 risk register: nondeterminism).
+    """
+    from datetime import date, timedelta
+
+    d = date.fromisoformat(as_of)
+    return (
+        f"{d - timedelta(days=4)} 00:00:00",
+        f"{d - timedelta(days=3)} 23:59:59",
+    )
+
+
+def in_ingest_window(ts: Column, as_of: str) -> Column:
+    """P3: the window as a pushable scan predicate."""
+    start, end = ingest_window(as_of)
+    return ts.between(F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp"))
