@@ -108,3 +108,35 @@ def topk_by_query(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def label_norm_stats(emb: DataFrame) -> DataFrame:
+    """Grouped-map applyInPandas: per-label vector-norm statistics.
+    One Arrow batch per label group, numpy-vectorized within the
+    group — the grouped-map flavor of the Pandas UDF surface (the
+    stateful and mapInPandas flavors live in streaming/ and
+    ext/multimodal.py). Shuffles once on the group key."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["label"].iloc[0]),
+                    len(pdf),
+                    r6(norms.min()),
+                    r6(norms.max()),
+                    r6(norms.sum() / len(norms)),
+                )
+            ],
+            columns=["label", "n_vecs", "min_norm", "max_norm", "mean_norm"],
+        )
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        stats,
+        "label int, n_vecs long, min_norm double, max_norm double, mean_norm double",
+    )

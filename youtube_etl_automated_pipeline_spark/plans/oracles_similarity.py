@@ -119,3 +119,25 @@ SELECT label, vec_a, vec_b, cos_sim FROM (
 WHERE cos_sim >= 0.3
 ORDER BY vec_a, vec_b
 """
+
+_NORM_D = (
+    "sqrt(list_sum(list_transform(generate_series(1, len(embedding)),"
+    " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+)
+
+
+def _r6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+ORACLES_SIMILARITY["embedding_label_stats"] = f"""
+WITH n AS (
+  SELECT label, {_NORM_D} AS nrm FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+  {_r6("min(nrm)")} AS min_norm,
+  {_r6("max(nrm)")} AS max_norm,
+  {_r6("sum(nrm) / count(*)")} AS mean_norm
+FROM n GROUP BY label
+ORDER BY label
+"""

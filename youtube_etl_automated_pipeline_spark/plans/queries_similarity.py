@@ -12,6 +12,7 @@ from youtube_etl_automated_pipeline_spark.ext.similarity import (
     cosine,
     cosine_unit,
     embedding_dim,
+    label_norm_stats,
     topk_by_query,
     unit,
 )
@@ -134,8 +135,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= 0.3)
 
 
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas over the embeddings table: per-label
+    norm statistics (the Pandas-UDF grouped-map surface)."""
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    return label_norm_stats(emb).orderBy("label")
+
+
 QUERIES_SIMILARITY = {
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_label_stats": embedding_label_stats,
 }
