@@ -98,3 +98,59 @@ def simhash_band(sketch: Column, band: int) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: each
+    node's label becomes min(own, neighbors') until fixpoint. Input
+    ``edges`` needs columns (src, dst) (undirected pairs, one
+    direction is enough). Returns (node, component) where component =
+    min node id in the component.
+
+    Iterative DataFrame algorithm done the scalable way: every
+    iteration is one join + one aggregate (both shuffle on node id),
+    lineage truncated per iteration with localCheckpoint so the plan
+    stays O(1) deep (on a cluster: checkpoint to HDFS instead).
+    Convergence in O(component diameter) rounds — near-dup clusters
+    are dense, so typically 2-3.
+    """
+    from pyspark.sql import functions as F
+
+    undirected = edges.selectExpr("src", "dst").union(
+        edges.selectExpr("dst AS src", "src AS dst")
+    )
+    und = undirected.persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

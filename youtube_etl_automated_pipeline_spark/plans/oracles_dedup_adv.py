@@ -123,3 +123,23 @@ SELECT doc_id, sketch,
 FROM sk
 ORDER BY doc_id
 """
+
+
+# connected components over the verified pair set via recursive CTE —
+# same pair SQL inlined twice (DuckDB has no CTE-of-CTE reuse here)
+_PAIRS_SQL = ORACLES_DEDUP_ADV["dedup_minhash_lsh"]
+ORACLES_DEDUP_ADV["dedup_minhash_clusters"] = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({_PAIRS_SQL}) p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ({_PAIRS_SQL}) p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+ORDER BY doc_id
+"""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from youtube_etl_automated_pipeline_spark.ext.dedup import (
     N_PERM,
     SIMHASH_BANDS,
+    connected_components,
     hamming64,
     simhash,
     simhash_band,
@@ -140,8 +141,23 @@ def dedup_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH verified pairs -> connected
+    components (iterative min-label propagation) -> one cluster id
+    (min doc_id) per duplicate group. The step that turns pairwise
+    similarity into the keep-one-per-group dedup decision."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 QUERIES_DEDUP_ADV = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_sketches": dedup_simhash_sketches,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
 }
