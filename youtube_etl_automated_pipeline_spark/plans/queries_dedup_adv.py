@@ -146,8 +146,12 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (iterative min-label propagation) -> one cluster id
     (min doc_id) per duplicate group. The step that turns pairwise
     similarity into the keep-one-per-group dedup decision."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # persist: the undirected-edge union reads the pair set twice, and
+    # every propagation round joins against it
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
     )
     comp = connected_components(pairs)
     return comp.select(
