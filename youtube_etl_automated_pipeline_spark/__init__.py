@@ -13,3 +13,35 @@ is on, and every join declares which side is broadcastable.
 """
 
 __version__ = "0.1.0"
+
+from youtube_etl_automated_pipeline_spark.session import get_spark
+from youtube_etl_automated_pipeline_spark.sources import (
+    load_json_dim,
+    load_table,
+    register_views,
+    widen_scan,
+)
+from youtube_etl_automated_pipeline_spark.pipeline import build_wide_fact
+from youtube_etl_automated_pipeline_spark.sinks import (
+    append_table,
+    dedup_table_swap,
+    flush,
+    overwrite_table,
+    truncate_staging,
+    write_bucketed,
+)
+
+__all__ = [
+    "get_spark",
+    "load_json_dim",
+    "load_table",
+    "register_views",
+    "widen_scan",
+    "build_wide_fact",
+    "append_table",
+    "dedup_table_swap",
+    "flush",
+    "overwrite_table",
+    "truncate_staging",
+    "write_bucketed",
+]
