@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import QUERIES_SQL
     from youtube_etl_automated_pipeline_spark.plans.queries_extra import QUERIES_EXTRA
+    from youtube_etl_automated_pipeline_spark.plans.queries_olap import QUERIES_OLAP
 
     return {
         **QUERIES,
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_MULTIMODAL,
         **QUERIES_SQL,
         **QUERIES_EXTRA,
+        **QUERIES_OLAP,
     }
 
 
@@ -86,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import ORACLES_SQL
     from youtube_etl_automated_pipeline_spark.plans.queries_extra import ORACLES_EXTRA
+    from youtube_etl_automated_pipeline_spark.plans.queries_olap import ORACLES_OLAP
 
     return {
         **ORACLES,
@@ -98,4 +101,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_MULTIMODAL,
         **ORACLES_SQL,
         **ORACLES_EXTRA,
+        **ORACLES_OLAP,
     }

@@ -1,0 +1,168 @@
+"""OLAP-surface extras: exact percentiles, pivot/unpivot reshaping,
+and a binned range join (interval containment without an equi key —
+the operator family Spark lacks as a built-in). Oracles inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.functions.compat import hround, sql_hround
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based
+    aggregate; for 100 TB you'd switch to percentile_approx and accept
+    the sketch error — both surfaces exist, this one is the
+    oracle-matchable baseline)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            hround(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            hround(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            hround(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide: per-user event counts pivoted by event type
+    (explicit value list keeps the schema deterministic — never let
+    pivot infer values from data at scale: that is an extra job plus
+    an unstable schema)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long: per-type metric columns melted to (metric, value)
+    rows via DataFrame.unpivot (UNION-ALL-free melt)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        hround(F.sum("value"), 4).alias("sum_value"),
+        hround(F.avg("value"), 4).alias("avg_value"),
+    )
+    return wide.unpivot(
+        "event_type",
+        ["n_events", "sum_value", "avg_value"],
+        "metric",
+        "value",
+    ).orderBy("event_type", "metric")
+
+
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join WITHOUT an equi key, made
+    scalable by time binning: 2-hour 'incident windows' around error
+    events are exploded into hourly bins, points join on their own
+    bin (equi-join!), then the exact containment predicate filters.
+    Cost is O(points + intervals * bins_per_interval) shuffled on the
+    bin key — never the O(points * intervals) cartesian a naive theta
+    join degrades to. Per-incident rollup output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 7 == 0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        )
+    )
+    bins = iv.select(
+        "incident_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    pts = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("point_id"),
+        F.col("ts").alias("p_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("bin"),
+    )
+    matched = bins.join(pts, "bin").filter(
+        (F.col("p_ts") >= F.col("s")) & (F.col("p_ts") <= F.col("e"))
+    )
+    return (
+        matched.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("p_ts").alias("first_point"),
+            F.max("p_ts").alias("last_point"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+QUERIES_OLAP = {
+    "percentile_stats": percentile_stats,
+    "pivot_event_counts": pivot_event_counts,
+    "unpivot_event_metrics": unpivot_event_metrics,
+    "range_join_binned": range_join_binned,
+}
+
+_PIVOT_COLS = ", ".join(
+    'sum(CASE WHEN event_type = \'{t}\' THEN 1 ELSE 0 END) AS "{t}"'.format(t=t)
+    for t in EVENT_TYPES
+)
+
+ORACLES_OLAP = {
+    "percentile_stats": f"""
+SELECT event_type, count(*) AS n,
+  {sql_hround("quantile_cont(value, 0.5)", 6)} AS p50,
+  {sql_hround("quantile_cont(value, 0.95)", 6)} AS p95,
+  {sql_hround("quantile_cont(value, 0.99)", 6)} AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "pivot_event_counts": f"""
+SELECT user_id, {_PIVOT_COLS}
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "unpivot_event_metrics": f"""
+WITH wide AS (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE) AS n_events,
+    {sql_hround("sum(value)", 4)} AS sum_value,
+    {sql_hround("avg(value)", 4)} AS avg_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+UNION ALL SELECT event_type, 'sum_value', sum_value FROM wide
+UNION ALL SELECT event_type, 'avg_value', avg_value FROM wide
+ORDER BY event_type, metric
+""",
+    "range_join_binned": """
+WITH iv AS (
+  SELECT event_id AS incident_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_type = 'error' AND event_id % 7 = 0
+),
+pts AS (
+  SELECT event_id AS point_id, ts AS p_ts FROM events
+  WHERE event_type <> 'error'
+)
+SELECT incident_id, count(*) AS n_points,
+       min(p_ts) AS first_point, max(p_ts) AS last_point
+FROM iv JOIN pts ON p_ts BETWEEN s AND e
+GROUP BY incident_id
+ORDER BY incident_id
+""",
+}
