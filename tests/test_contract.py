@@ -1,0 +1,49 @@
+"""Driver-contract guards: bench.py output shape and metadata ops."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_driver_contract_json():
+    """bench.py must print ONE JSON line with the driver's required
+    keys; every queries() entry must appear with a float timing."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    assert d["unit"] == "sec" and d["sf"] == 0.001
+    assert d["value"] > 0
+
+    import __spark_entry__ as em
+
+    assert set(d["queries"]) == set(em.queries())
+    assert all(isinstance(v, (int, float)) and v >= 0 for v in d["queries"].values())
+
+
+def test_sanitize_column_name():
+    """F8 (ingestdatainbigquery.py:37-46): warehouse-safe names."""
+    from youtube_etl_automated_pipeline_spark.functions.text import (
+        sanitize_column_name,
+    )
+
+    assert sanitize_column_name("Watch Time (Hours)") == "Watch_Time_Hours"
+    assert sanitize_column_name("Engagement %") == "Engagement"
+    assert sanitize_column_name("__already__ok__") == "already_ok"
+    assert sanitize_column_name("cpv") == "cpv"
