@@ -175,3 +175,58 @@ def test_incremental_pipeline_equals_batch(spark, tmp_path):
     a = sorted(map(tuple, inc.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert len(a) == len(b) and a == b
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Append-mode + 10-min watermark: a row arriving in a later
+    micro-batch for an hour-window already past the watermark must be
+    DROPPED (the reference's fixed ingest window tolerates 4 days of
+    lateness then never revisits — same policy, engine-managed)."""
+    import time
+    from datetime import datetime as DT
+
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        tumbling_window_agg,
+    )
+
+    src = str(tmp_path / "src")
+    sch = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+
+    d = lambda h, m: DT(2024, 1, 1, h, m, 0)
+    # batch 1: three rows in hour 10, two in hour 12 (advances the
+    # watermark to 12:30 - 10min = 12:20 > hour-10 window end)
+    write_batch([(1, d(10, 5), "x", 1.0), (2, d(10, 20), "x", 1.0),
+                 (3, d(10, 40), "x", 1.0), (4, d(12, 10), "x", 1.0),
+                 (5, d(12, 30), "x", 1.0)])
+    time.sleep(1.1)
+    # batch 2: on-time row at 13:10 — hour-10's state (end 11:00 <=
+    # watermark 12:20) is emitted and EVICTED this batch
+    write_batch([(6, d(13, 10), "x", 1.0)])
+    time.sleep(1.1)
+    # batch 3: a LATE row for the already-evicted hour-10 window ->
+    # dropped by the watermark (never re-opens emitted state)
+    write_batch([(7, d(10, 45), "x", 1.0)])
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = tumbling_window_agg(stream, "1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {r["window_start"].hour: r["n_events"] for r in spark.table("wm_append").collect()}
+    # hour-10 window finalized with ONLY the 3 on-time rows
+    assert out.get(10) == 3
+    # hour-13 never finalized (watermark stops at 13:00) -> absent
+    assert 13 not in out

@@ -166,3 +166,71 @@ GROUP BY incident_id
 ORDER BY incident_id
 """,
 }
+
+
+def gap_fill_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated per-type daily date spine
+    left-joined to actual daily rollups, missing days carried forward
+    (last_value IGNORE NULLS window). The standard dense-timeline
+    operator for downstream window/trend math.
+
+    Scale shape: the spine is date_range x types (tiny, generated with
+    sequence+explode, no driver loop); the rollup shuffles once on
+    (type, day); the fill is one window per type ordered by day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.select(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+        )
+        .crossJoin(daily.select("event_type").distinct())
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last(F.col("n_events"), ignorenulls=True).over(w).alias("n_filled"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES_OLAP["gap_fill_daily_counts"] = gap_fill_daily_counts
+
+ORACLES_OLAP["gap_fill_daily_counts"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+),
+spine AS (
+  SELECT t.event_type, CAST(u.day AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds) u
+)
+SELECT s.event_type, s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       last_value(d.n_events IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""
