@@ -18,7 +18,11 @@ from youtube_etl_automated_pipeline_spark.functions.compat import hround
 from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
 
 JACCARD_THRESHOLD = 0.2
-HAMMING_THRESHOLD = 20
+# With SIMHASH_BANDS=4, banding has PERFECT recall for any pair within
+# Hamming distance 3: three differing bits can spoil at most three of
+# the four 15-bit bands, so one clean band always collides (pigeonhole).
+# Threshold <= bands-1 is the principled choice for banded SimHash.
+HAMMING_THRESHOLD = 3
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,9 +89,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash sketches + banded blocking; pairs within Hamming
-    distance <= 20 of each other (of 60 bits). Verification is a
-    popcount on XOR — constant-time per candidate pair."""
+    """SimHash sketches + banded blocking; near-dup pairs within
+    Hamming distance <= 3 (of 60 bits). Verification is a popcount on
+    XOR — constant-time per candidate pair — and recall is exact, not
+    approximate: <= 3 flipped bits cannot touch all 4 bands."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     sketched = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
     bands = sketched.select(
