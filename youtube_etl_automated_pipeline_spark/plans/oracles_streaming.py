@@ -39,6 +39,9 @@ SELECT a.user_id, a.n_events, a.sum_value, l.event_id AS last_event_id
 FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
 ORDER BY a.user_id
 """,
+    "streaming_dedup_ids": """
+SELECT DISTINCT event_id FROM events ORDER BY event_id
+""",
     "events_session_window": f"""
 WITH flagged AS (
   SELECT user_id, ts, value,

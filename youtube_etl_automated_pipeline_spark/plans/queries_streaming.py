@@ -70,9 +70,27 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id")
 
 
+def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark: state-backed
+    exactly-once id emission with watermark-bounded state (the
+    reference's keep-last re-ingest guard as an engine primitive).
+    Projected to the key so the result is arrival-order-independent."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "4 days")
+        .select("event_id", "ts")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return run_stream_to_memory(deduped, "dedup_ids", output_mode="append").orderBy(
+        "event_id"
+    )
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_stateful_user_stats": streaming_stateful_user_stats,
+    "streaming_dedup_ids": streaming_dedup_ids,
 }
