@@ -65,3 +65,47 @@ def test_salted_agg_matches_direct(spark):
     for k in direct:
         assert salted[k]["n_rows"] == direct[k]["n_rows"]
         assert abs(salted[k]["sum_value"] - direct[k]["sum_value"]) < 1e-6
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: a 90%-one-key join gets its skewed
+    reducer partition split across mapper ranges (SortMergeJoin
+    skew=true) instead of serializing on one task. Thresholds are
+    lowered to make the tiny local data 'skewed'; splitting needs
+    multiple mappers (widen_scan) — at real scale both are automatic.
+    """
+    from youtube_etl_automated_pipeline_spark.sources import widen_scan
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = widen_scan(load_table(spark, SF_SMOKE, "lineitem")).select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            F.md5(F.concat_ws("-", "l_orderkey", "l_partkey", "l_linenumber")).alias(
+                "pay"
+            ),
+        )
+        right = widen_scan(load_table(spark, SF_SMOKE, "orders")).select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        j = li.join(right, "k")
+        n = len(j.collect())
+        assert n == load_table(spark, SF_SMOKE, "lineitem").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
