@@ -82,15 +82,41 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array result: per-user sorted distinct event types +
+    per-type daily first/last seen. collect_set -> array_sort keeps
+    the array deterministic (never rely on collection order)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES_EXTRA = {
     "events_asof_order": events_asof_order,
     "events_json_extract": events_json_extract,
     "events_json_agg": events_json_agg,
+    "user_event_summary": user_event_summary,
 }
 
 _JSON_K = "CAST(json_extract(props, '$.k') AS INT)"
 
 ORACLES_EXTRA = {
+    "user_event_summary": """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       count(*) AS n_events,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen
+FROM events GROUP BY user_id ORDER BY user_id
+""",
     "events_asof_order": """
 WITH j AS (
   SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
