@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import QUERIES_SQL
     from youtube_etl_automated_pipeline_spark.plans.queries_extra import QUERIES_EXTRA
     from youtube_etl_automated_pipeline_spark.plans.queries_olap import QUERIES_OLAP
+    from youtube_etl_automated_pipeline_spark.plans.queries_tpch import QUERIES_TPCH
 
     return {
         **QUERIES,
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_SQL,
         **QUERIES_EXTRA,
         **QUERIES_OLAP,
+        **QUERIES_TPCH,
     }
 
 
@@ -89,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import ORACLES_SQL
     from youtube_etl_automated_pipeline_spark.plans.queries_extra import ORACLES_EXTRA
     from youtube_etl_automated_pipeline_spark.plans.queries_olap import ORACLES_OLAP
+    from youtube_etl_automated_pipeline_spark.plans.queries_tpch import ORACLES_TPCH
 
     return {
         **ORACLES,
@@ -102,4 +105,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_SQL,
         **ORACLES_EXTRA,
         **ORACLES_OLAP,
+        **ORACLES_TPCH,
     }
