@@ -234,3 +234,52 @@ SELECT s.event_type, s.day,
 FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
 ORDER BY s.event_type, s.day
 """
+
+
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-priority daily order revenue with a
+    trailing 7-day (current day + 6 preceding) rolling sum and count.
+    The range frame is over epoch seconds so sparse days contribute
+    nothing (a ROWS frame would silently skip gaps)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        hround(F.sum("o_totalprice"), 2).alias("day_revenue"),
+        F.count(F.lit(1)).alias("day_orders"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_revenue",
+        hround(F.sum("day_revenue").over(w), 2).alias("rev_7d"),
+        F.sum("day_orders").over(w).alias("orders_7d"),
+    ).orderBy("o_orderpriority", "day")
+
+
+QUERIES_OLAP["rolling_7day_revenue"] = rolling_7day_revenue
+
+ORACLES_OLAP["rolling_7day_revenue"] = f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         {sql_hround("sum(o_totalprice)", 2)} AS day_revenue,
+         count(*) AS day_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day, day_revenue,
+  {sql_hround('''sum(day_revenue) OVER (
+     PARTITION BY o_orderpriority ORDER BY day
+     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)''', 2)} AS rev_7d,
+  sum(day_orders) OVER (
+     PARTITION BY o_orderpriority ORDER BY day
+     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS orders_7d
+FROM daily
+ORDER BY o_orderpriority, day
+"""

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from youtube_etl_automated_pipeline_spark.functions.compat import hround, sql_hround
 from youtube_etl_automated_pipeline_spark.sources import load_table
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    # built lazily: classic-mode Column construction needs an active
+    # SparkContext, which doesn't exist at import time
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,7 +39,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(hround(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(hround(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -63,7 +66,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.col("n_name").alias("nation_name"))
-        .agg(hround(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(hround(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "nation_name")
     )
 
@@ -82,7 +85,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
-        .agg(hround(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(hround(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
