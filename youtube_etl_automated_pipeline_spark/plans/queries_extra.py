@@ -150,3 +150,68 @@ GROUP BY event_type
 ORDER BY event_type
 """,
 }
+
+
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: events and orders cogrouped by user/
+    customer key, merged per group in one numpy/pandas kernel (the
+    API for per-key alignment logic too awkward for joins — e.g.
+    feature windows around purchases). Both sides shuffle once on the
+    key; each group pair arrives as two Arrow batches.
+
+    Output is plain per-key totals so the DuckDB oracle is a
+    FULL OUTER JOIN of two rollups — proving the cogroup plumbing
+    preserves exactly the join semantics.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+
+    def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        n_ev, n_ord = len(ev_pdf), len(ord_pdf)
+        sum_v = float(ev_pdf["value"].sum()) if n_ev else 0.0
+        sum_p = float(ord_pdf["o_totalprice"].sum()) if n_ord else 0.0
+        r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4
+        return pd.DataFrame(
+            [(int(key[0]), n_ev, r4(sum_v), n_ord, r4(sum_p))],
+            columns=["user_id", "n_events", "sum_value", "n_orders", "sum_spend"],
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_events bigint, sum_value double,"
+            " n_orders bigint, sum_spend double",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES_EXTRA["cogroup_user_activity"] = cogroup_user_activity
+
+ORACLES_EXTRA["cogroup_user_activity"] = f"""
+WITH e AS (
+  SELECT user_id, count(*) AS n_events,
+         {sql_hround("sum(value)", 4)} AS sum_value
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         {sql_hround("sum(o_totalprice)", 4)} AS sum_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(e.user_id, o.user_id) AS user_id,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(e.sum_value, 0.0) AS sum_value,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.sum_spend, 0.0) AS sum_spend
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+ORDER BY user_id
+"""
