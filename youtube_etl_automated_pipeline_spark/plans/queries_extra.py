@@ -153,38 +153,50 @@ ORDER BY event_type
 
 
 def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped applyInPandas: events and orders cogrouped by user/
-    customer key, merged per group in one numpy/pandas kernel (the
-    API for per-key alignment logic too awkward for joins — e.g.
-    feature windows around purchases). Both sides shuffle once on the
-    key; each group pair arrives as two Arrow batches.
+    """Cogrouped applyInPandas: events and orders cogrouped and merged
+    per key group in one numpy/pandas kernel (the API for per-key
+    alignment logic too awkward for joins).
 
-    Output is plain per-key totals so the DuckDB oracle is a
-    FULL OUTER JOIN of two rollups — proving the cogroup plumbing
-    preserves exactly the join semantics.
+    CRITICAL scale detail: cogrouping directly on user_id would mean
+    one Python invocation per key — tens of thousands of tiny Arrow
+    batches, all overhead (measured 10x slower). Instead cogroup on a
+    COARSE BUCKET of the key and vectorize the per-user aggregation
+    inside the kernel with pandas groupby: ~cores buckets, each one
+    sizable batch. Output stays per-user; the oracle (a FULL OUTER
+    JOIN of two rollups) proves semantics are unchanged.
     """
+    import math
+
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    N_BUCKETS = 32
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(N_BUCKETS)).alias("bucket"), "user_id", "value"
+    )
     orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_totalprice"
+        F.pmod(F.col("o_custkey"), F.lit(N_BUCKETS)).alias("bucket"),
+        F.col("o_custkey").alias("user_id"),
+        "o_totalprice",
     )
 
     def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
-        n_ev, n_ord = len(ev_pdf), len(ord_pdf)
-        sum_v = float(ev_pdf["value"].sum()) if n_ev else 0.0
-        sum_p = float(ord_pdf["o_totalprice"].sum()) if n_ord else 0.0
-        r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4
+        ea = ev_pdf.groupby("user_id")["value"].agg(["size", "sum"])
+        oa = ord_pdf.groupby("user_id")["o_totalprice"].agg(["size", "sum"])
+        m = ea.join(oa, how="outer", lsuffix="_e", rsuffix="_o").fillna(0.0)
+        r4 = lambda x: math.floor(float(x) * 1e4 + 0.5) / 1e4
         return pd.DataFrame(
-            [(int(key[0]), n_ev, r4(sum_v), n_ord, r4(sum_p))],
-            columns=["user_id", "n_events", "sum_value", "n_orders", "sum_spend"],
+            {
+                "user_id": m.index.astype("int64"),
+                "n_events": m["size_e"].astype("int64"),
+                "sum_value": [r4(x) for x in m["sum_e"]],
+                "n_orders": m["size_o"].astype("int64"),
+                "sum_spend": [r4(x) for x in m["sum_o"]],
+            }
         )
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("user_id"))
+        ev.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
         .applyInPandas(
             merge,
             "user_id bigint, n_events bigint, sum_value double,"
