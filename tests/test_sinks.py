@@ -50,3 +50,46 @@ def test_approx_distinct_error_envelope(spark):
         assert abs(r["approx_custs"] - r["exact_custs"]) <= max(
             0.05 * r["exact_custs"], 2
         )
+
+
+def test_full_dag_pipeline_to_warehouse(spark, tmp_path):
+    """The reference's complete DAG including task 7: wide-fact chain
+    (E1) -> all-string sanitized sink projection (F8/F9) -> staging ->
+    warehouse flush with window dedup (E3). One row per video_id
+    survives; re-flushing restated data overwrites keep-last."""
+    from youtube_etl_automated_pipeline_spark.pipeline import to_sink_projection
+    from youtube_etl_automated_pipeline_spark.plans.queries_pipeline import (
+        pipeline_e2e,
+    )
+
+    staging = str(tmp_path / "staging")
+    warehouse = str(tmp_path / "warehouse")
+
+    wide = pipeline_e2e(spark, SF_SMOKE)
+    sinkable = to_sink_projection(wide).withColumn("_seq", F.lit(1))
+    # every column stringly-typed with warehouse-safe names (F8/F9)
+    for f in sinkable.schema.fields:
+        if f.name != "_seq":
+            assert f.dataType.simpleString() == "string"
+            assert all(c.isalnum() or c == "_" for c in f.name), f.name
+
+    sinkable.write.parquet(staging)
+    sinks.flush(spark, staging, warehouse, key="video_id", order_col="_seq")
+
+    wh = spark.read.parquet(warehouse)
+    n = wide.count()
+    assert wh.count() == n
+    assert wh.select("video_id").distinct().count() == n
+
+    # restated re-flush: 10 videos restated -> keep-last wins, count stable
+    restated = (
+        spark.read.parquet(warehouse)
+        .limit(10)
+        .withColumn("title", F.lit("RESTATED"))
+        .withColumn("_seq", F.lit(2))
+    )
+    sinks.overwrite_table(restated, staging)
+    sinks.flush(spark, staging, warehouse, key="video_id", order_col="_seq")
+    wh2 = spark.read.parquet(warehouse)
+    assert wh2.count() == n
+    assert wh2.filter(F.col("title") == "RESTATED").count() == 10
