@@ -283,3 +283,80 @@ SELECT o_orderpriority, day, day_revenue,
 FROM daily
 ORDER BY o_orderpriority, day
 """
+
+
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause shape): per-priority
+    counts/sums restricted by predicates inside one aggregate pass —
+    no self-joins, no second scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_totalprice") > 200000
+    open_ = F.col("o_orderstatus") == "O"
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(high).alias("n_high_value"),
+            hround(F.sum(F.when(high, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+                "high_value_total"
+            ),
+            F.count_if(high & open_).alias("n_high_open"),
+            hround(
+                F.avg(F.when(open_, F.col("o_totalprice"))), 4
+            ).alias("avg_open_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def nth_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/second/latest order per customer via first_value /
+    nth_value / last_value over a full-partition frame with a
+    deterministic total order."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_orderkey").over(w).alias("first_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+            F.last_value("o_orderkey").over(w).alias("latest_order"),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+QUERIES_OLAP["conditional_aggregates"] = conditional_aggregates
+QUERIES_OLAP["nth_order_per_customer"] = nth_order_per_customer
+
+ORACLES_OLAP["conditional_aggregates"] = f"""
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(*) FILTER (o_totalprice > 200000) AS n_high_value,
+  {sql_hround("coalesce(sum(o_totalprice) FILTER (o_totalprice > 200000), 0)", 2)}
+    AS high_value_total,
+  count(*) FILTER (o_totalprice > 200000 AND o_orderstatus = 'O') AS n_high_open,
+  {sql_hround("avg(o_totalprice) FILTER (o_orderstatus = 'O')", 4)}
+    AS avg_open_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES_OLAP["nth_order_per_customer"] = """
+SELECT DISTINCT o_custkey,
+  first_value(o_orderkey) OVER w AS first_order,
+  nth_value(o_orderkey, 2) OVER w AS second_order,
+  last_value(o_orderkey) OVER w AS latest_order,
+  count(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
