@@ -360,3 +360,35 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY o_custkey
 """
+
+
+def statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance,
+    correlation and covariance per group — single-pass distributed
+    moments (partial aggregation composes across partitions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            hround(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            hround(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            hround(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+            hround(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+                "price_disc_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES_OLAP["statistical_aggregates"] = statistical_aggregates
+
+ORACLES_OLAP["statistical_aggregates"] = f"""
+SELECT l_returnflag, count(*) AS n,
+  {sql_hround("stddev_samp(l_extendedprice)", 4)} AS price_stddev,
+  {sql_hround("var_samp(l_quantity)", 4)} AS qty_var,
+  {sql_hround("corr(l_extendedprice, l_quantity)", 6)} AS price_qty_corr,
+  {sql_hround("covar_samp(l_extendedprice, l_discount)", 4)} AS price_disc_covar
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
