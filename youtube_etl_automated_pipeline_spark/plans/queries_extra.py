@@ -227,3 +227,34 @@ SELECT coalesce(e.user_id, o.user_id) AS user_id,
 FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
 ORDER BY user_id
 """
+
+
+def doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (UDTF-shape) coverage: posexplode flattens each
+    document's token array into (doc_id, pos, token) rows — the
+    row-to-many-rows primitive every tokenization pipeline starts
+    with. Bounded to doc_id < 50 to keep the gate output stable
+    across scale factors."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+QUERIES_EXTRA["doc_token_positions"] = doc_token_positions
+
+# DuckDB: index the token list with a lateral generate_series
+# (1-based -> subtract 1 to match 0-based posexplode)
+ORACLES_EXTRA["doc_token_positions"] = """
+WITH b AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE doc_id < 50 AND text IS NOT NULL AND trim(text) <> ''
+)
+SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, toks[g.i] AS token
+FROM b, unnest(generate_series(1, len(toks))) AS g(i)
+ORDER BY doc_id, pos
+"""
