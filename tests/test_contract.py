@@ -7,6 +7,8 @@ import os
 import subprocess
 import sys
 
+from pyspark.sql import functions as F
+
 
 def test_bench_emits_driver_contract_json():
     """bench.py must print ONE JSON line with the driver's required
@@ -47,3 +49,29 @@ def test_sanitize_column_name():
     assert sanitize_column_name("Engagement %") == "Engagement"
     assert sanitize_column_name("__already__ok__") == "already_ok"
     assert sanitize_column_name("cpv") == "cpv"
+
+
+def test_stratified_sample_rates(spark):
+    """sampleBy rates land near their fractions (±5 sigma) and are
+    seed-deterministic."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_extra import (
+        stratified_sample_events,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fractions = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
+    run1 = {r["event_type"]: r["n_sampled"] for r in stratified_sample_events(spark, sf).collect()}
+    run2 = {r["event_type"]: r["n_sampled"] for r in stratified_sample_events(spark, sf).collect()}
+    assert run1 == run2  # seed-deterministic
+    for t, frac in fractions.items():
+        n, k = totals[t], run1.get(t, 0)
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(k - n * frac) <= max(5 * sigma, 3), (t, k, n * frac)

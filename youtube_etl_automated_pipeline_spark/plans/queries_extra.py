@@ -258,3 +258,22 @@ SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, toks[g.i] AS token
 FROM b, unnest(generate_series(1, len(toks))) AS g(i)
 ORDER BY doc_id, pos
 """
+
+
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-event-type fractions with a
+    fixed seed — the data-curation primitive for class rebalancing.
+    Deterministic within Spark (seeded Bernoulli per row) but not
+    reproducible in another engine -> rows-only gate; the unit test
+    asserts per-stratum rates within concentration bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
+    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES_EXTRA["stratified_sample_events"] = stratified_sample_events
