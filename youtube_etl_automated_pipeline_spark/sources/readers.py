@@ -29,6 +29,29 @@ TESTDATA_TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable session confs every query assumes,
+    so queries behave identically on a CALLER-provided session (the
+    driver builds its own) as on session.get_spark():
+
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS) — unreadable
+      without it (PARQUET_TYPE_ILLEGAL);
+    - ANSI off: the reference's null-on-failure parse semantics
+      (SURVEY 1.1), and Spark 4 defaults ANSI on;
+    - UTC session timezone: timestamp collect/format parity with the
+      DuckDB oracle.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not recognized in some build: keep going
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (S2/S3 analog).
 
@@ -39,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted ``ts`` don't reach parquet row-group stats — push
     predicates on the raw long column when scanning huge event data.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
