@@ -49,6 +49,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table (S1's paginated pull
     re-expressed: new files appear -> new micro-batch; the date-window
     predicate becomes the watermark)."""
+    from youtube_etl_automated_pipeline_spark.sources.readers import (
+        ensure_session_confs,
+    )
+
+    ensure_session_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
