@@ -105,3 +105,45 @@ def min_shingle_hash(text: Column, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.array_min(F.transform(grams, lambda s: md5_long(s))),
     ).otherwise(content_hash(text))
+
+
+RABIN_B = 257
+RABIN_M = 2147483647  # 2^31-1: acc*257+c stays < 2^40, no overflow
+RABIN_K = 16  # rolling window chars
+
+
+def char_codes(norm: Column) -> Column:
+    """Per-character codepoints of (ASCII) normalized text."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
+        lambda i: F.ascii(norm.substr(i, F.lit(1))),
+    )
+
+
+def _rabin_fold(codes: Column) -> Column:
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * RABIN_B + c) % RABIN_M,
+    )
+
+
+def rabin_hash(norm: Column) -> Column:
+    """Polynomial (Rabin-Karp) hash of the whole normalized text;
+    empty -> 0. DuckDB twin: list_reduce with the same fold (identical
+    because 0*B + c1 == c1)."""
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(
+        _rabin_fold(char_codes(norm))
+    )
+
+
+def min_rolling_hash(norm: Column, k: int = RABIN_K) -> Column:
+    """Winnowing fingerprint: min polynomial hash over all k-char
+    windows (THE rolling-hash dedup primitive); docs shorter than k
+    fall back to the full-text hash."""
+    codes = char_codes(norm)
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: _rabin_fold(F.slice(codes, i, k)),
+    )
+    return F.when(F.length(norm) >= k, F.array_min(win)).otherwise(rabin_hash(norm))

@@ -143,3 +143,32 @@ FROM pairs
 WHERE ({_r("CASE WHEN n_union > 0 THEN n_inter / n_union ELSE 0 END", 4)}) >= 0.2
 ORDER BY doc_a, doc_b
 """
+
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (  # noqa: E402
+    RABIN_B,
+    RABIN_K,
+    RABIN_M,
+)
+
+_CL = f"list_transform(generate_series(1, greatest(length(nrm), 1)), i -> ord(substr(nrm, i, 1)))"
+_FOLD = f"(a, b) -> (CAST(a AS BIGINT) * {RABIN_B} + b) % {RABIN_M}"
+_FULL = f"CASE WHEN length(nrm) = 0 THEN 0 ELSE list_reduce({_CL}, {_FOLD}) END"
+_MINW = (
+    f"CASE WHEN length(nrm) >= {RABIN_K} THEN "
+    f"list_min(list_transform(generate_series(1, length(nrm) - {RABIN_K - 1}),"
+    f" i -> list_reduce(({_CL})[i:i+{RABIN_K - 1}], {_FOLD})))"
+    f" ELSE {_FULL} END"
+)
+
+ORACLES_EXT["doc_rolling_hash"] = f"""
+WITH b AS (
+  SELECT doc_id, {_NORM} AS nrm FROM documents
+)
+SELECT doc_id,
+  CAST({_FULL} AS BIGINT) AS rabin_full,
+  CAST({_MINW} AS BIGINT) AS min_window_hash,
+  length(nrm) AS norm_len
+FROM b
+ORDER BY doc_id
+"""

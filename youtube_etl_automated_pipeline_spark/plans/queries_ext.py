@@ -157,3 +157,21 @@ QUERIES_EXT = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
+
+
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting (Rabin-Karp): full-document
+    polynomial hash + winnowing-style min hash over all 16-char
+    windows of the normalized text. One projection per doc — the
+    O(n*k) window scan is per-row CPU, embarrassingly parallel."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    norm = TS.normalized_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TS.rabin_hash(norm).alias("rabin_full"),
+        TS.min_rolling_hash(norm).alias("min_window_hash"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+QUERIES_EXT["doc_rolling_hash"] = doc_rolling_hash
