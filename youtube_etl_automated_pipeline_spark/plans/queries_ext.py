@@ -161,17 +161,12 @@ QUERIES_EXT = {
 
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprinting (Rabin-Karp): full-document
-    polynomial hash + winnowing-style min hash over all 16-char
-    windows of the normalized text. One projection per doc — the
-    O(n*k) window scan is per-row CPU, embarrassingly parallel."""
+    polynomial hash + winnowing-style min over all 16-char window
+    hashes of normalized text, via the O(n)-per-doc prefix-hash
+    mapInPandas kernel (see ext.textstats.rolling_hash_stats for why
+    the expression form loses here)."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    norm = TS.normalized_text(F.col("text"))
-    return docs.select(
-        "doc_id",
-        TS.rabin_hash(norm).alias("rabin_full"),
-        TS.min_rolling_hash(norm).alias("min_window_hash"),
-        F.length(norm).alias("norm_len"),
-    )
+    return TS.rolling_hash_stats(docs)
 
 
 QUERIES_EXT["doc_rolling_hash"] = doc_rolling_hash
