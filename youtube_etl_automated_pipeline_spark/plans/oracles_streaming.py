@@ -39,6 +39,15 @@ SELECT a.user_id, a.n_events, a.sum_value, l.event_id AS last_event_id
 FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
 ORDER BY a.user_id
 """,
+    "streaming_stream_stream_join": """
+SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+       e.user_id, e.ts AS e_ts, p.ts AS p_ts
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+ORDER BY error_id, purchase_id
+""",
     "streaming_dedup_ids": """
 SELECT DISTINCT event_id FROM events ORDER BY event_id
 """,

@@ -87,10 +87,49 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: purchases within 30
+    minutes after an error by the same user. Both sides carry
+    watermarks and the join condition bounds event time from both
+    directions, so the engine can size and expire join state — the
+    canonical funnel/attribution shape. Complete-source append output
+    equals the batch time-range join (the oracle)."""
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("error_id", "purchase_id", F.col("e_user").alias("user_id"), "e_ts", "p_ts")
+    return run_stream_to_memory(joined, "ss_join", output_mode="append").orderBy(
+        "error_id", "purchase_id"
+    )
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_stateful_user_stats": streaming_stateful_user_stats,
     "streaming_dedup_ids": streaming_dedup_ids,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
 }
