@@ -141,3 +141,33 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
 }
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: potential revenue delta from discount changes — a
+    pure scan-filter-aggregate where ALL predicates push to parquet
+    row groups (the minimal-IO classic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.03, 0.05))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        hround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+QUERIES_TPCH["q6_forecast_revenue"] = q6_forecast_revenue
+
+ORACLES_TPCH["q6_forecast_revenue"] = f"""
+SELECT {sql_hround("sum(l_extendedprice * l_discount)", 2)} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
