@@ -48,6 +48,13 @@ FROM events e JOIN events p
  AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
 ORDER BY error_id, purchase_id
 """,
+    "streaming_static_enrich": f"""
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       {sql_hround("sum(e.value)", 4)} AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY segment
+""",
     "streaming_dedup_ids": """
 SELECT DISTINCT event_id FROM events ORDER BY event_id
 """,

@@ -125,6 +125,28 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched against the
+    static customer dimension (broadcast per micro-batch — no stream
+    state needed), aggregated per market segment. The standard
+    dimension-enrichment shape for streaming facts."""
+    stream = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id", "left").select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        "value",
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        hround(F.sum("value"), 4).alias("sum_value"),
+    )
+    return run_stream_to_memory(agg, "static_enrich", output_mode="complete").orderBy(
+        "segment"
+    )
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
@@ -132,4 +154,5 @@ QUERIES_STREAMING = {
     "streaming_stateful_user_stats": streaming_stateful_user_stats,
     "streaming_dedup_ids": streaming_dedup_ids,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_static_enrich": streaming_static_enrich,
 }
