@@ -161,7 +161,6 @@ def rolling_hash_stats(docs):
     import re as _re
 
     import pandas as pd
-    from pyspark.sql import functions as _F
 
     bk = pow(RABIN_B, RABIN_K, RABIN_M)
 

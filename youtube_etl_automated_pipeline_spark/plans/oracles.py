@@ -22,7 +22,6 @@ between Spark and DuckDB — native ``round()`` differs on shortest-repr
 
 from __future__ import annotations
 
-from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
 
 ORACLES: dict[str, str] = {}
 

@@ -6,7 +6,7 @@ exact dedup is one hash shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
