@@ -11,8 +11,11 @@ from pyspark.sql import functions as F
 
 
 def test_bench_emits_driver_contract_json():
-    """bench.py must print ONE JSON line with the driver's required
-    keys; every queries() entry must appear with a float timing."""
+    """bench.py must print ONE SHORT JSON line (the driver captures
+    only the tail of stdout — BENCH_r01 recorded parsed:null when all
+    per-query timings rode the line); full per-query detail goes to
+    bench_detail.json."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -20,7 +23,7 @@ def test_bench_emits_driver_contract_json():
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo,
         env=env,
         capture_output=True,
         text=True,
@@ -28,15 +31,22 @@ def test_bench_emits_driver_contract_json():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
+    assert len(line) < 800, f"summary line too long for the driver: {len(line)}"
     d = json.loads(line)
     assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert d["value"] > 0
+    assert len(d["queries"]) <= 5  # top-5 only on the line
 
     import __spark_entry__ as em
 
-    assert set(d["queries"]) == set(em.queries())
-    assert all(isinstance(v, (int, float)) and v >= 0 for v in d["queries"].values())
+    with open(os.path.join(repo, "bench_detail.json")) as f:
+        detail = json.load(f)
+    assert set(detail["queries"]) == set(em.queries())
+    assert all(
+        isinstance(v, (int, float)) and v >= 0 for v in detail["queries"].values()
+    )
+    assert detail["value"] == d["value"]
 
 
 def test_sanitize_column_name():

@@ -21,7 +21,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "et", "un", "est"),
     "zh": ("de", "shi", "le", "zai", "you"),
 }
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Whitespace is pinned to an EXPLICIT ASCII class, never `\s`: Java
+# regex `\s` is `[ \t\n\x0B\f\r]`, RE2 (DuckDB) `\s` is `[ \t\n\f\r]`
+# (no \x0B), and Python `re` `\s` is unicode-aware — three different
+# sets. One literal class means the Spark expressions, the DuckDB
+# oracles, and the mapInPandas kernel tokenize identically on any
+# input. (Pair with space-only strip: Spark/DuckDB trim() strip only
+# ' ', so kernels use .strip(' ') — never Python's unicode .strip().)
+WS_CHARS = r" \t\n\r\f\x0b"  # escape sequences, interpreted by each regex engine
+WS_CLASS = "[" + WS_CHARS + "]"
+BPE_ISH_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CHARS}]"
 
 
 def tokens(text: Column) -> Column:
@@ -29,7 +38,7 @@ def tokens(text: Column) -> Column:
     t = F.trim(text)
     return F.when(
         t.isNull() | (t == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(t, r"\s+"))
+    ).otherwise(F.split(t, WS_CLASS + "+"))
 
 
 def token_count(text: Column) -> Column:
@@ -68,7 +77,7 @@ def predicted_lang(counts: dict[str, Column]) -> Column:
 
 
 def punct_count(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.length(F.regexp_replace(text, f"[A-Za-z0-9{WS_CHARS}]", ""))
 
 
 def md5_long(col: Column, hex_chars: int = 8) -> Column:
@@ -79,7 +88,7 @@ def md5_long(col: Column, hex_chars: int = 8) -> Column:
 
 def normalized_text(text: Column) -> Column:
     """lowercase + collapse whitespace — the exact-dedup key basis."""
-    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.lower(F.regexp_replace(F.trim(text), WS_CLASS + "+", " "))
 
 
 def content_hash(text: Column) -> Column:
@@ -168,7 +177,9 @@ def rolling_hash_stats(docs):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                t = _re.sub(r"\s+", " ", (text or "").strip()).lower()
+                # space-only strip + pinned ASCII class: bit-compatible
+                # with normalized_text() (Java) and the DuckDB oracle
+                t = _re.sub(WS_CLASS + "+", " ", (text or "").strip(" ")).lower()
                 n = len(t)
                 pre = [0]
                 for ch in t:

@@ -12,17 +12,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
+
 
 def extract_last_word(title: Column) -> Column:
     """F2: last whitespace token of the title after '|' -> ' '.
 
     Reference: dataingestion2.py:33-40 — ``title.replace('|',' ').split()``
     then last token; null/empty/whitespace-only -> ''.
+    WS_CLASS: pinned ASCII whitespace set shared with the DuckDB
+    oracle (Java `\\s` and RE2 `\\s` differ on \\x0B).
     """
     cleaned = F.trim(F.regexp_replace(title, r"\|", " "))
     return F.when(
         cleaned.isNull() | (cleaned == ""), F.lit("")
-    ).otherwise(F.element_at(F.split(cleaned, r"\s+"), -1))
+    ).otherwise(F.element_at(F.split(cleaned, WS_CLASS + "+"), -1))
 
 
 def clean_main_code(main_code: Column) -> Column:

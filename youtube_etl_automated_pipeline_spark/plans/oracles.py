@@ -22,10 +22,22 @@ between Spark and DuckDB — native ``round()`` differs on shortest-repr
 
 from __future__ import annotations
 
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS as _WS_CLASS
+from youtube_etl_automated_pipeline_spark.functions.compat import (
+    sql_hround,
+    sql_xavg,
+    sql_xsum,
+)
 
 ORACLES: dict[str, str] = {}
 
-ORACLES["flagship_enrich_dedup_agg"] = """
+# exact-unit sum twins (see compat.xsum): integer-unit accumulation,
+# CAST AS BIGINT (DuckDB sums to HUGEINT), single final division —
+# textually mirrors the Spark expression chain op for op.
+_REV_U = sql_xsum("l_extendedprice * (1 - l_discount)", 4)
+_QTY_U = sql_xsum("l_quantity", 2)
+
+ORACLES["flagship_enrich_dedup_agg"] = f"""
 WITH latest_line AS (
   SELECT * FROM (
     SELECT l.*, row_number() OVER (
@@ -38,9 +50,11 @@ SELECT
   r_name AS region_name,
   n_name AS nation_name,
   count(*) AS n_orders,
-  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
-  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-  floor((CASE WHEN sum(l_quantity) > 0 THEN sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity) ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS rev_per_qty
+  {sql_hround(_REV_U, 2)} AS revenue,
+  {_QTY_U} AS sum_qty,
+  {sql_hround(
+      f"CASE WHEN sum(CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT)) > 0"
+      f" THEN ({_REV_U}) / ({_QTY_U}) ELSE 0.0 END", 4)} AS rev_per_qty
 FROM latest_line
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -51,17 +65,17 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
-ORACLES["q1_pricing_summary"] = """
+ORACLES["q1_pricing_summary"] = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
-  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+  {sql_xsum("l_quantity", 2)} AS sum_qty,
+  {sql_xsum("l_extendedprice", 2)} AS sum_base_price,
+  {sql_hround(sql_xsum("l_extendedprice * (1 - l_discount)", 4), 2)} AS sum_disc_price,
+  {sql_hround(sql_xsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6), 2)} AS sum_charge,
+  {sql_xavg("l_quantity", 2, 4)} AS avg_qty,
+  {sql_xavg("l_extendedprice", 2, 4)} AS avg_price,
+  {sql_xavg("l_discount", 2, 4)} AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,7 +83,7 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
-ORACLES["code_derivation_chain"] = """
+ORACLES["code_derivation_chain"] = f"""
 WITH raw AS (
   SELECT
     p_partkey,
@@ -77,7 +91,8 @@ WITH raw AS (
     CASE WHEN p_name IS NULL OR trim(regexp_replace(p_name, '\\|', ' ', 'g')) = ''
          THEN ''
          ELSE list_extract(
-                string_split_regex(trim(regexp_replace(p_name, '\\|', ' ', 'g')), '\\s+'),
+                string_split_regex(trim(regexp_replace(p_name, '\\|', ' ', 'g')),
+                                   '{_WS_CLASS}+'),
                 -1)
     END AS raw_code
   FROM part
@@ -176,15 +191,15 @@ FROM (
 )
 """
 
-ORACLES["derived_metrics"] = """
+ORACLES["derived_metrics"] = f"""
 WITH per_order AS (
   SELECT
     l_orderkey,
-    sum(l_quantity) AS views,
-    sum(l_extendedprice) AS revenue,
+    {sql_xsum("l_quantity", 2)} AS views,
+    {sql_xsum("l_extendedprice", 2)} AS revenue,
     CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns,
     count(*) AS n_lines,
-    sum(l_tax) AS tax_sum
+    {sql_xsum("l_tax", 2)} AS tax_sum
   FROM lineitem
   GROUP BY l_orderkey
 )

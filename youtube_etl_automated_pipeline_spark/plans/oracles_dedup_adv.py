@@ -13,13 +13,14 @@ from youtube_etl_automated_pipeline_spark.ext.dedup import (
     SIMHASH_BANDS,
     SIMHASH_BITS,
 )
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
 from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
 from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
     HAMMING_THRESHOLD,
     JACCARD_THRESHOLD,
 )
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = f"string_split_regex(trim(text), '{WS_CLASS}+')"
 _SHINGLES = (
     f"list_transform(generate_series(1, len({_TOKS}) - 2),"
     f" i -> array_to_string(({_TOKS})[i:i+2], ' '))"
@@ -47,12 +48,15 @@ _TOK_HASHES = (
     f"ELSE list_transform(list_distinct({_TOKS}),"
     " t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) END"
 )
+# CAST AS BIGINT is mandatory: DuckDB list_sum over integers returns
+# HUGEINT (int128), which the bit-exact compare sees as a different
+# type/value domain than Spark's long sketch.
 _SKETCH = (
-    "coalesce(list_sum(list_transform("
+    "CAST(coalesce(list_sum(list_transform("
     f"generate_series(0, {SIMHASH_BITS - 1}), bb -> "
     "CASE WHEN coalesce(list_sum(list_transform(hs, h -> "
     "CASE WHEN ((h >> bb) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0 "
-    "THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END)), 0)"
+    "THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)"
 )
 
 _BAND_W = SIMHASH_BITS // SIMHASH_BANDS

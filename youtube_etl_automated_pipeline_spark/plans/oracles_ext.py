@@ -9,10 +9,15 @@ from youtube_etl_automated_pipeline_spark.ext.textstats import (
     BPE_ISH_PATTERN,
     LANG_MARKERS,
     LANG_PRIORITY,
+    WS_CHARS,
+    WS_CLASS,
 )
 
-_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+# WS_CLASS (explicit ASCII whitespace set) is shared with the Spark
+# expressions: Java `\s`, RE2 `\s`, and Python `\s` are three
+# different sets, a literal class is one.
+_NORM = f"lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))"
+_TOKS = f"string_split_regex(trim(text), '{WS_CLASS}+')"
 _CONTENT_FP = f"CAST('0x' || substr(md5({_NORM}), 1, 15) AS BIGINT)"
 
 
@@ -58,7 +63,7 @@ ORACLES_EXT["text_token_stats"] = f"""
 SELECT doc_id, n_chars,
   CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
   len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
-  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+  length(regexp_replace(text, '[A-Za-z0-9{WS_CHARS}]', '', 'g')) AS n_punct,
   length(text) AS text_len
 FROM documents
 ORDER BY doc_id
@@ -69,7 +74,7 @@ WITH base AS (
   SELECT doc_id,
     CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
     {_marker_cnt("en")} AS stop_cnt,
-    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[A-Za-z0-9{WS_CHARS}]', '', 'g')) AS punct,
     length(text) AS text_len
   FROM documents
 ),

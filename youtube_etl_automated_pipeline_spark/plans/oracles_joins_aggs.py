@@ -24,7 +24,7 @@ enriched AS (
 )
 SELECT n_name,
        count(*) AS n_customers,
-       floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS sum_acctbal
+       CAST(sum(CAST(floor((c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal
 FROM enriched
 GROUP BY n_name
 ORDER BY n_name
@@ -33,7 +33,7 @@ ORDER BY n_name
 ORACLES_JOINS_AGGS["update_merge_revenue"] = """
 WITH upd AS (
   SELECT l_orderkey AS o_orderkey,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS line_revenue,
+         floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0) * 100.0 + 0.5) / 100.0 AS line_revenue,
          count(*) AS n_lines
   FROM lineitem GROUP BY 1
 )
@@ -47,8 +47,8 @@ ORDER BY o.o_orderkey
 ORACLES_JOINS_AGGS["two_key_rollup"] = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_total,
-       floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS avg_total
+       CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_total,
+       floor((CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(o_totalprice) AS DOUBLE) / 100.0) * 10000.0 + 0.5) / 10000.0 AS avg_total
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority
@@ -69,7 +69,7 @@ SELECT
   r_name AS region_name,
   n_name AS nation_name,
   count(*) AS n_customers,
-  floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS sum_acctbal,
+  CAST(sum(CAST(floor((c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal,
   CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS grouping_level
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -87,9 +87,9 @@ SELECT
     AS price_rank,
   lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     AS prev_total,
-  floor((sum(o_totalprice) OVER (
+  CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) OVER (
      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
     AS running_total
 FROM orders
 ORDER BY o_orderkey

@@ -32,8 +32,8 @@ SELECT doc_id AS media_id, media_type,
   CAST(coalesce(list_sum(bl), 0) AS BIGINT) AS byte_sum,
   coalesce(list_min(bl), 0) AS byte_min,
   coalesce(list_max(bl), 0) AS byte_max,
-  list_transform(generate_series(0, {HIST_BINS - 1}),
-    h -> CAST(len(list_filter(bl, x -> x // {_BIN_W} = h)) AS BIGINT)) AS hist
+  array_to_string(list_transform(generate_series(0, {HIST_BINS - 1}),
+    h -> CAST(len(list_filter(bl, x -> x // {_BIN_W} = h)) AS BIGINT)), '|') AS hist
 FROM b
 ORDER BY media_id
 """
@@ -105,7 +105,9 @@ SELECT doc_id AS media_id, w AS width,
   {sql_hround(
       "CAST(list_sum(list_transform(generate_series(1, w * w),"
       " i -> ord(substr(text, i, 1)))) AS DOUBLE) / (w * w)", 6)} AS mean_pixel,
-  [{_quad(0, 0)}, {_quad(0, 1)}, {_quad(1, 0)}, {_quad(1, 1)}] AS thumb
+  array_to_string(list_transform(
+    [{_quad(0, 0)}, {_quad(0, 1)}, {_quad(1, 0)}, {_quad(1, 1)}],
+    q -> CAST(round(q * 1e6) AS BIGINT)), '|') AS thumb
 FROM f
 ORDER BY media_id
 """

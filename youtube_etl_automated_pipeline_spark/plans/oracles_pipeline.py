@@ -6,6 +6,7 @@ generated from the same Python lists so the two sides cannot drift.
 
 from __future__ import annotations
 
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS as _WS
 from youtube_etl_automated_pipeline_spark.plans.queries_pipeline import (
     CPM_ROWS,
     RESOURCE_ROWS,
@@ -93,7 +94,7 @@ with_channel AS (
   FROM videos v LEFT JOIN channels c USING (channel_id)),
 raw_codes AS (
   SELECT *, list_extract(
-      string_split_regex(trim(regexp_replace(title, '\\|', ' ', 'g')), '\\s+'), -1)
+      string_split_regex(trim(regexp_replace(title, '\\|', ' ', 'g')), '{_WS}+'), -1)
     AS raw_code
   FROM with_channel),
 codes AS (
@@ -125,13 +126,13 @@ analytics AS (
          WHEN l_orderkey % 3 = 1 THEN 'SHORTS' ELSE 'LIVE' END AS content_type,
     CASE WHEN l_orderkey % 17 = 0 THEN 0
          ELSE CAST(floor(sum(l_quantity)) AS BIGINT) END AS views,
-    sum(l_extendedprice) / 100.0 AS minutes_watched,
+    (CAST(sum(CAST(floor((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) / 100.0 AS minutes_watched,
     (l_orderkey * 37) % 7200 AS avg_view_duration,
     count(*) AS comments,
     CAST(floor(sum(l_quantity)) AS BIGINT) % 100 AS likes,
     count(*) % 7 AS shares,
-    {_r("sum(l_extendedprice * l_discount) / 10.0", 4)} AS estimated_revenue,
-    {_r("avg(l_tax) * 100.0", 6)} AS cpm,
+    {_r("(CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0) / 10.0", 4)} AS estimated_revenue,
+    {_r("(CAST(sum(CAST(floor((l_tax) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(l_tax) AS DOUBLE) / 100.0 * 100.0)", 6)} AS cpm,
     CASE WHEN l_orderkey % 19 = 0 THEN NULL ELSE count(*) END AS subscribers_gained,
     count(*) % 5 AS subscribers_lost
   FROM lineitem WHERE l_orderkey % 5 <> 1

@@ -8,13 +8,11 @@ uses ``>= INTERVAL`` to match exactly.
 
 from __future__ import annotations
 
-from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
-
 _TUMBLING = f"""
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       {sql_hround("sum(value)", 4)} AS sum_value
+       CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -27,12 +25,13 @@ ORACLES_STREAMING: dict[str, str] = {
 WITH last AS (
   SELECT user_id, event_id,
          row_number() OVER (
-           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           PARTITION BY user_id
+           ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
   FROM events
 ),
 agg AS (
   SELECT user_id, count(*) AS n_events,
-         {sql_hround("sum(value)", 4)} AS sum_value
+         CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
   FROM events GROUP BY user_id
 )
 SELECT a.user_id, a.n_events, a.sum_value, l.event_id AS last_event_id
@@ -51,7 +50,7 @@ ORDER BY error_id, purchase_id
     "streaming_static_enrich": f"""
 SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
        count(*) AS n_events,
-       {sql_hround("sum(e.value)", 4)} AS sum_value
+       CAST(sum(CAST(floor((e.value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1 ORDER BY segment
 """,
@@ -78,7 +77,7 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_last,
        count(*) AS n_events,
-       {sql_hround("sum(value)", 4)} AS sum_value
+       CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start

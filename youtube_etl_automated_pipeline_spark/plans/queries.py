@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.functions.compat import (
+    hround,
+    units,
+    xavg,
+    xsum,
+)
 from youtube_etl_automated_pipeline_spark.functions import dates as D
 from youtube_etl_automated_pipeline_spark.functions import metrics as M
 from youtube_etl_automated_pipeline_spark.functions import text as X
@@ -65,16 +70,22 @@ def flagship_enrich_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
     )
 
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    qty = F.sum("l_quantity")
+    # Exact fixed-point accumulation (compat.units): integer unit sums
+    # are order-independent, so Spark's partial-agg order and DuckDB's
+    # scan order cannot produce a sum straddling a rounding boundary.
+    # ext*(1-disc) is an exact 4-dp decimal (2dp * (1 - 2dp)).
+    rev_u = F.sum(units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+    qty_u = F.sum(units(F.col("l_quantity"), 2))
+    revenue = rev_u / 1e4
+    qty = qty_u / 1e2
     return (
         fact.groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             hround(revenue, 2).alias("revenue"),
-            hround(qty, 2).alias("sum_qty"),
+            qty.alias("sum_qty"),
             hround(
-                F.when(qty > 0, revenue / qty).otherwise(F.lit(0.0)), 4
+                F.when(qty_u > 0, revenue / qty).otherwise(F.lit(0.0)), 4
             ).alias("rev_per_qty"),
         )
         .orderBy("region_name", "nation_name")
@@ -83,28 +94,29 @@ def flagship_enrich_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2-shape grouped rollup (TPC-H Q1 pattern): hash aggregate with
-    map-side partial aggregation; filter pushed to the parquet scan."""
+    map-side partial aggregation; filter pushed to the parquet scan.
+
+    All money/qty aggregates accumulate exact integer units (xsum/
+    xavg): order-independent long sums, one final division — immune to
+    the Spark-vs-DuckDB summation-order rounding-boundary drift.
+    charge units are 1e-6 (2+2+2 dp product): per-group long capacity
+    ~8e7 rows at worst-case row value, ample for the gate SFs; at
+    warehouse scale you'd sum DECIMAL(38,6) instead.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            hround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            hround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            hround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            hround(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            hround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            hround(F.avg("l_discount"), 4).alias("avg_disc"),
+            xsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            xsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            hround(xsum(disc_price, 4), 2).alias("sum_disc_price"),
+            hround(xsum(charge, 6), 2).alias("sum_charge"),
+            xavg(F.col("l_quantity"), 2, 4).alias("avg_qty"),
+            xavg(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
+            xavg(F.col("l_discount"), 2, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -218,13 +230,15 @@ def derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup: engagement%/CPV/RPM-shaped guarded divisions, net value,
     minutes->hours. Aggregate once, derive in a projection."""
     li = load_table(spark, sf_dir, "lineitem")
+    # xsum: the downstream guarded ratios divide these sums, so the
+    # dividends must be bit-identical cross-engine (exact unit sums).
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum("l_quantity").alias("views"),
-        F.sum("l_extendedprice").alias("revenue"),
+        xsum(F.col("l_quantity"), 2).alias("views"),
+        xsum(F.col("l_extendedprice"), 2).alias("revenue"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returns"),
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum("l_tax").alias("tax_sum"),
-        F.sum("l_discount").alias("disc_sum"),
+        xsum(F.col("l_tax"), 2).alias("tax_sum"),
+        xsum(F.col("l_discount"), 2).alias("disc_sum"),
     )
     return per_order.select(
         "l_orderkey",

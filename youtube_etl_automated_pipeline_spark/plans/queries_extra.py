@@ -67,7 +67,14 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-derived metric rollup per event type (parse + aggregate in
-    one pass, partial aggregation map-side)."""
+    one pass, partial aggregation map-side).
+
+    Cross-engine exactness: avg_k is derived from the exact integer
+    accumulators (sum_k / count of non-null k) with ONE double
+    division — both engines divide the same two integers, so the
+    result is bit-identical; a raw avg() over doubles is
+    summation-order-sensitive and can cross a rounding boundary.
+    """
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json("props", "k int")["k"]
     return (
@@ -76,7 +83,9 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("k").alias("sum_k"),
-            hround(F.avg("k"), 4).alias("avg_k"),
+            hround(
+                F.sum("k").cast("double") / F.count("k").cast("double"), 4
+            ).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -85,12 +94,16 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array result: per-user sorted distinct event types +
     per-type daily first/last seen. collect_set -> array_sort keeps
-    the array deterministic (never rely on collection order)."""
+    the array deterministic (never rely on collection order); the
+    sorted array is serialized to a '|'-joined string at the gate
+    boundary (the harness canonicalizer needs hashable scalars)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
@@ -111,7 +124,7 @@ _JSON_K = "CAST(json_extract(props, '$.k') AS INT)"
 ORACLES_EXTRA = {
     "user_event_summary": """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
        count(*) AS n_events,
        min(ts) AS first_seen,
        max(ts) AS last_seen
@@ -141,10 +154,14 @@ SELECT event_id, event_type, {_JSON_K} AS prop_k, {_JSON_K} % 10 AS k_bucket
 FROM events
 ORDER BY event_id
 """,
+    # CAST(sum AS BIGINT): DuckDB integer sum returns HUGEINT; avg_k
+    # re-derived from the exact integer accumulators (see query doc).
     "events_json_agg": f"""
 SELECT event_type, count(*) AS n_events,
-       sum({_JSON_K}) AS sum_k,
-       {sql_hround(f"avg({_JSON_K})", 4)} AS avg_k
+       CAST(sum({_JSON_K}) AS BIGINT) AS sum_k,
+       {sql_hround(
+           f"CAST(sum({_JSON_K}) AS DOUBLE) / CAST(count({_JSON_K}) AS DOUBLE)", 4
+       )} AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -165,8 +182,6 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizable batch. Output stays per-user; the oracle (a FULL OUTER
     JOIN of two rollups) proves semantics are unchanged.
     """
-    import math
-
     import pandas as pd
 
     N_BUCKETS = 32
@@ -180,17 +195,29 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
-        ea = ev_pdf.groupby("user_id")["value"].agg(["size", "sum"])
-        oa = ord_pdf.groupby("user_id")["o_totalprice"].agg(["size", "sum"])
-        m = ea.join(oa, how="outer", lsuffix="_e", rsuffix="_o").fillna(0.0)
-        r4 = lambda x: math.floor(float(x) * 1e4 + 0.5) / 1e4
+        import numpy as np
+        # exact integer cents (compat.units contract): pandas float
+        # sums would accumulate in a different order than the DuckDB
+        # oracle and can straddle a rounding boundary
+        ev_pdf = ev_pdf.assign(
+            _cents=np.floor(ev_pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5)
+            .astype("int64")
+        )
+        ord_pdf = ord_pdf.assign(
+            _cents=np.floor(
+                ord_pdf["o_totalprice"].to_numpy(dtype="float64") * 100.0 + 0.5
+            ).astype("int64")
+        )
+        ea = ev_pdf.groupby("user_id")["_cents"].agg(["size", "sum"])
+        oa = ord_pdf.groupby("user_id")["_cents"].agg(["size", "sum"])
+        m = ea.join(oa, how="outer", lsuffix="_e", rsuffix="_o").fillna(0)
         return pd.DataFrame(
             {
                 "user_id": m.index.astype("int64"),
                 "n_events": m["size_e"].astype("int64"),
-                "sum_value": [r4(x) for x in m["sum_e"]],
+                "sum_value": [int(x) / 100.0 for x in m["sum_e"]],
                 "n_orders": m["size_o"].astype("int64"),
-                "sum_spend": [r4(x) for x in m["sum_o"]],
+                "sum_spend": [int(x) / 100.0 for x in m["sum_o"]],
             }
         )
 
@@ -208,15 +235,17 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_EXTRA["cogroup_user_activity"] = cogroup_user_activity
 
-ORACLES_EXTRA["cogroup_user_activity"] = f"""
+ORACLES_EXTRA["cogroup_user_activity"] = """
 WITH e AS (
   SELECT user_id, count(*) AS n_events,
-         {sql_hround("sum(value)", 4)} AS sum_value
+         CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
   FROM events GROUP BY user_id
 ),
 o AS (
   SELECT o_custkey AS user_id, count(*) AS n_orders,
-         {sql_hround("sum(o_totalprice)", 4)} AS sum_spend
+         CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT coalesce(e.user_id, o.user_id) AS user_id,
@@ -248,9 +277,11 @@ QUERIES_EXTRA["doc_token_positions"] = doc_token_positions
 
 # DuckDB: index the token list with a lateral generate_series
 # (1-based -> subtract 1 to match 0-based posexplode)
-ORACLES_EXTRA["doc_token_positions"] = """
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS  # noqa: E402
+
+ORACLES_EXTRA["doc_token_positions"] = f"""
 WITH b AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text), '{WS_CLASS}+') AS toks
   FROM documents
   WHERE doc_id < 50 AND text IS NOT NULL AND trim(text) <> ''
 )

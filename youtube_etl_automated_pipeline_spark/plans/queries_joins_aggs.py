@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.functions.compat import (
+    hround,
+    units,
+    xavg,
+    xsum,
+)
 from youtube_etl_automated_pipeline_spark.operators.joins import (
     broadcast_enrich,
     dim_last_wins,
@@ -51,7 +56,7 @@ def broadcast_enrich_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            hround(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            xsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
         )
         .orderBy("n_name")
     )
@@ -66,7 +71,7 @@ def update_merge_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     upd = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        hround(xsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2).alias(
             "line_revenue"
         ),
         F.count(F.lit(1)).alias("n_lines"),
@@ -88,8 +93,8 @@ def two_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            hround(F.sum("o_totalprice"), 2).alias("sum_total"),
-            hround(F.avg("o_totalprice"), 4).alias("avg_total"),
+            xsum(F.col("o_totalprice"), 2).alias("sum_total"),
+            xavg(F.col("o_totalprice"), 2, 4).alias("avg_total"),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
@@ -129,7 +134,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("region_name", "nation_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            hround(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            xsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
             (F.grouping("region_name") * 2 + F.grouping("nation_name")).alias("grouping_level"),
         )
         .orderBy(
@@ -154,11 +159,14 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.rank().over(by_price).alias("price_rank"),
         F.lag("o_totalprice", 1).over(by_date).alias("prev_total"),
-        hround(
-            F.sum("o_totalprice").over(
+        # exact-unit window sum: DuckDB computes windowed float sums
+        # with segment trees (different association order than Spark's
+        # running accumulator) — integer cents are order-free.
+        (
+            F.sum(units(F.col("o_totalprice"), 2)).over(
                 by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
+            )
+            / 1e2
         ).alias("running_total"),
     )
 

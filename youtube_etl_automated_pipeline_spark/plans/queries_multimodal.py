@@ -1,10 +1,20 @@
 """Multimodal-column queries: binary payload census, audio waveform
 stats, video frame sampling, image decode+thumbnail — all through
-Arrow-batched mapInPandas kernels (ext.multimodal)."""
+Arrow-batched mapInPandas kernels (ext.multimodal).
+
+Gate-output contract: the correctness harness canonicalizes result
+rows with hashable scalars, so array-valued library outputs (byte
+histogram, thumbnail) are serialized to deterministic '|'-joined
+strings HERE, at the gate boundary — the library functions keep their
+natural array types. Doubles are serialized as exact integer
+micro-units (round(x*1e6)) so no float-to-string formatting can
+diverge between engines.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext.multimodal import (
     audio_waveform_stats,
@@ -22,7 +32,9 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return byte_stats(_media(spark, sf_dir))
+    return byte_stats(_media(spark, sf_dir)).withColumn(
+        "hist", F.concat_ws("|", F.col("hist").cast("array<string>"))
+    )
 
 
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +46,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_image_features(_media(spark, sf_dir), decoder=fake_gray_decoder)
+    # thumb: array<double> of 6-dp block means -> '|'-joined integer
+    # micro-pixels. round(x*1e6) recovers the exact integer the kernel
+    # rounded to (x is the nearest double to k/1e6, so x*1e6 is within
+    # an ulp of k), identically in Spark and DuckDB.
+    return decode_image_features(
+        _media(spark, sf_dir), decoder=fake_gray_decoder
+    ).withColumn(
+        "thumb",
+        F.concat_ws(
+            "|",
+            F.transform(
+                "thumb", lambda x: F.round(x * F.lit(1e6)).cast("bigint").cast("string")
+            ),
+        ),
+    )
 
 
 QUERIES_MULTIMODAL = {

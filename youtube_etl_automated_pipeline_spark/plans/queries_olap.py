@@ -8,7 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround, sql_hround
+from youtube_etl_automated_pipeline_spark.functions.compat import (
+    hround,
+    sql_hround,
+    sql_xavg,
+    sql_xsum,
+    units,
+    xavg,
+    xsum,
+)
 from youtube_etl_automated_pipeline_spark.sources import load_table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -53,8 +61,8 @@ def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     wide = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n_events"),
-        hround(F.sum("value"), 4).alias("sum_value"),
-        hround(F.avg("value"), 4).alias("avg_value"),
+        xsum(F.col("value"), 2).alias("sum_value"),
+        xavg(F.col("value"), 2, 4).alias("avg_value"),
     )
     return wide.unpivot(
         "event_type",
@@ -141,8 +149,8 @@ FROM events GROUP BY user_id ORDER BY user_id
 WITH wide AS (
   SELECT event_type,
     CAST(count(*) AS DOUBLE) AS n_events,
-    {sql_hround("sum(value)", 4)} AS sum_value,
-    {sql_hround("avg(value)", 4)} AS avg_value
+    {sql_xsum("value", 2)} AS sum_value,
+    {sql_xavg("value", 2, 4)} AS avg_value
   FROM events GROUP BY event_type
 )
 SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
@@ -244,10 +252,13 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # exact integer cents through BOTH aggregation levels: the daily
+    # rollup and the rolling window sum stay in longs (order-free),
+    # one division at the output projection.
     daily = orders.groupBy(
         "o_orderpriority", F.to_date("o_orderdate").alias("day")
     ).agg(
-        hround(F.sum("o_totalprice"), 2).alias("day_revenue"),
+        F.sum(units(F.col("o_totalprice"), 2)).alias("day_cents"),
         F.count(F.lit(1)).alias("day_orders"),
     )
     w = (
@@ -258,28 +269,30 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "o_orderpriority",
         "day",
-        "day_revenue",
-        hround(F.sum("day_revenue").over(w), 2).alias("rev_7d"),
+        (F.col("day_cents") / 1e2).alias("day_revenue"),
+        (F.sum("day_cents").over(w) / 1e2).alias("rev_7d"),
         F.sum("day_orders").over(w).alias("orders_7d"),
     ).orderBy("o_orderpriority", "day")
 
 
 QUERIES_OLAP["rolling_7day_revenue"] = rolling_7day_revenue
 
-ORACLES_OLAP["rolling_7day_revenue"] = f"""
+ORACLES_OLAP["rolling_7day_revenue"] = """
 WITH daily AS (
   SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
-         {sql_hround("sum(o_totalprice)", 2)} AS day_revenue,
+         CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents,
          count(*) AS day_orders
   FROM orders GROUP BY 1, 2
 )
-SELECT o_orderpriority, day, day_revenue,
-  {sql_hround('''sum(day_revenue) OVER (
+SELECT o_orderpriority, day, day_cents / 100.0 AS day_revenue,
+  CAST(sum(day_cents) OVER (
      PARTITION BY o_orderpriority ORDER BY day
-     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)''', 2)} AS rev_7d,
-  sum(day_orders) OVER (
+     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+    AS rev_7d,
+  CAST(sum(day_orders) OVER (
      PARTITION BY o_orderpriority ORDER BY day
-     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS orders_7d
+     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_7d
 FROM daily
 ORDER BY o_orderpriority, day
 """
@@ -297,13 +310,11 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.count_if(high).alias("n_high_value"),
-            hround(F.sum(F.when(high, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+            xsum(F.when(high, F.col("o_totalprice")).otherwise(0.0), 2).alias(
                 "high_value_total"
             ),
             F.count_if(high & open_).alias("n_high_open"),
-            hround(
-                F.avg(F.when(open_, F.col("o_totalprice"))), 4
-            ).alias("avg_open_price"),
+            xavg(F.when(open_, F.col("o_totalprice")), 2, 4).alias("avg_open_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -341,10 +352,10 @@ ORACLES_OLAP["conditional_aggregates"] = f"""
 SELECT o_orderpriority,
   count(*) AS n_orders,
   count(*) FILTER (o_totalprice > 200000) AS n_high_value,
-  {sql_hround("coalesce(sum(o_totalprice) FILTER (o_totalprice > 200000), 0)", 2)}
+  {sql_xsum("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END", 2)}
     AS high_value_total,
   count(*) FILTER (o_totalprice > 200000 AND o_orderstatus = 'O') AS n_high_open,
-  {sql_hround("avg(o_totalprice) FILTER (o_orderstatus = 'O')", 4)}
+  {sql_xavg("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2, 4)}
     AS avg_open_price
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.functions.compat import hround, units, xsum
 from youtube_etl_automated_pipeline_spark.pipeline import build_wide_fact
 from youtube_etl_automated_pipeline_spark.sources import load_table
 
@@ -110,11 +110,19 @@ def _analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_orderkey").agg(
         F.floor(F.sum("l_quantity")).alias("_qty"),
         F.count(F.lit(1)).alias("_n"),
-        (F.sum("l_extendedprice") / 100.0).alias("minutes_watched"),
-        hround(F.sum(F.col("l_extendedprice") * F.col("l_discount")) / 10.0, 4).alias(
+        # exact unit sums (compat.xsum): these feed downstream ratio
+        # derivations, so cross-engine bit-identity matters here most
+        (xsum(F.col("l_extendedprice"), 2) / 100.0).alias("minutes_watched"),
+        hround(xsum(F.col("l_extendedprice") * F.col("l_discount"), 4) / 10.0, 4).alias(
             "estimated_revenue"
         ),
-        hround(F.avg("l_tax") * 100.0, 6).alias("cpm"),
+        hround(
+            F.sum(units(F.col("l_tax"), 2)).cast("double")
+            / F.count(F.col("l_tax")).cast("double")
+            / 1e2
+            * 100.0,
+            6,
+        ).alias("cpm"),
     )
     return agg.select(
         F.col("l_orderkey").cast("string").alias("video_id"),

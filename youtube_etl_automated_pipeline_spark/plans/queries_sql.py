@@ -10,11 +10,17 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.sources import load_table, register_views
 
+# sum_price accumulates EXACT integer cents (o_totalprice is 2-dp, so
+# round(x*100) is its exact cent value) and divides once at the end:
+# integer sums are order-independent, so Spark and DuckDB agree
+# bit-for-bit where a raw sum(double) can straddle a rounding boundary.
+# The outer CAST AS BIGINT collapses DuckDB's HUGEINT sum to Spark's long.
 GROUPING_SETS_SQL = """
 SELECT n.n_name AS nation_name,
        o.o_orderpriority AS priority,
        count(*) AS n_orders,
-       floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+       CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         / CAST(100.0 AS DOUBLE) AS sum_price,
        CAST(grouping(n.n_name) AS INT) AS g_nation,
        CAST(grouping(o.o_orderpriority) AS INT) AS g_priority
 FROM orders o

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.functions.compat import units
 from youtube_etl_automated_pipeline_spark.operators.dedup import keep_first
 from youtube_etl_automated_pipeline_spark.sources import load_table
 from youtube_etl_automated_pipeline_spark.streaming.incremental import (
@@ -65,7 +65,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return final.select(
         "user_id",
         "n_events",
-        hround(F.col("sum_value"), 4).alias("sum_value"),
+        F.col("sum_value").alias("sum_value"),
         "last_event_id",
     ).orderBy("user_id")
 
@@ -140,7 +140,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = enriched.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        hround(F.sum("value"), 4).alias("sum_value"),
+        (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
     )
     return run_stream_to_memory(agg, "static_enrich", output_mode="complete").orderBy(
         "segment"

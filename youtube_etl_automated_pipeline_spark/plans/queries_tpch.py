@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround, sql_hround
+from youtube_etl_automated_pipeline_spark.functions.compat import (
+    hround,
+    sql_hround,
+    sql_xsum,
+    xsum,
+)
 from youtube_etl_automated_pipeline_spark.sources import load_table
 
 def _revenue():
@@ -39,7 +44,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(hround(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(hround(xsum(_revenue(), 4), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -66,7 +71,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.col("n_name").alias("nation_name"))
-        .agg(hround(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(hround(xsum(_revenue(), 4), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "nation_name")
     )
 
@@ -85,7 +90,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
-        .agg(hround(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(hround(xsum(_revenue(), 4), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -97,7 +102,7 @@ QUERIES_TPCH = {
     "q10_returned_items": q10_returned_items,
 }
 
-_REV_SQL = "sum(l_extendedprice * (1 - l_discount))"
+_REV_SQL = sql_xsum("l_extendedprice * (1 - l_discount)", 4)
 
 ORACLES_TPCH = {
     "q3_shipping_priority": f"""
@@ -154,7 +159,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount").between(0.03, 0.05))
         & (F.col("l_quantity") < 24)
     ).agg(
-        hround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        hround(xsum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_lines"),
@@ -164,7 +169,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_TPCH["q6_forecast_revenue"] = q6_forecast_revenue
 
 ORACLES_TPCH["q6_forecast_revenue"] = f"""
-SELECT {sql_hround("sum(l_extendedprice * l_discount)", 2)} AS revenue,
+SELECT {sql_hround(sql_xsum("l_extendedprice * l_discount", 4), 2)} AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'

@@ -31,7 +31,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.functions.compat import units
 from youtube_etl_automated_pipeline_spark.operators.dedup import keep_last
 
 # events.parquet stores TIMESTAMP(NANOS); with the session's
@@ -79,7 +79,10 @@ def tumbling_window_agg(
         events.groupBy(F.window("ts", duration).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            hround(F.sum("value"), 4).alias("sum_value"),
+            # exact cents across micro-batch accumulation: streaming
+            # state merges partial sums in arrival order — long units
+            # are order-free, one division at output
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -106,7 +109,7 @@ def session_window_agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_last"),
-            hround(F.sum("value"), 4).alias("sum_value"),
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
         )
         .select("user_id", "session_start", "session_last", "n_events", "sum_value")
     )

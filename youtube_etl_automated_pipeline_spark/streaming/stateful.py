@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -25,22 +26,26 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, sum_value double, last_event_id bigint"
 )
-STATE_SCHEMA = "n bigint, sum_v double, last_ts bigint, last_eid bigint"
+STATE_SCHEMA = "n bigint, sum_cents bigint, last_ts bigint, last_eid bigint"
 
 
 def _user_stats(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (n, sum_v, last_ts, last_eid) = (
-        state.get if state.exists else (0, 0.0, -1, -1)
+    # value sum held as EXACT integer cents (floor(v*100+0.5), the
+    # compat.units contract): cross-batch accumulation order cannot
+    # drift vs the DuckDB oracle's integer sum; one division on emit.
+    (n, sum_cents, last_ts, last_eid) = (
+        state.get if state.exists else (0, 0, -1, -1)
     )
     for pdf in pdfs:
         n += len(pdf)
-        sum_v += float(pdf["value"].sum())
+        v = pdf["value"].to_numpy(dtype="float64")
+        sum_cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
         best = max(zip(pdf["us"], pdf["event_id"]))
         if best > (last_ts, last_eid):
             last_ts, last_eid = int(best[0]), int(best[1])
-    state.update((n, sum_v, last_ts, last_eid))
+    state.update((n, sum_cents, last_ts, last_eid))
     yield pd.DataFrame(
-        [(key[0], n, sum_v, last_eid)],
+        [(key[0], n, sum_cents / 100.0, last_eid)],
         columns=["user_id", "n_events", "sum_value", "last_event_id"],
     )
 
