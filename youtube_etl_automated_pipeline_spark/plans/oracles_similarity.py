@@ -120,6 +120,65 @@ WHERE cos_sim >= 0.3
 ORDER BY vec_a, vec_b
 """
 
+def _lsh_oracle(dim: int = 64) -> str:
+    """Twin of queries_similarity.dedup_embedding_lsh: same planted
+    dups (pure function of vec_id, i), same md5-derived hyperplane
+    literals, same left-to-right dot/norm arithmetic — so bands,
+    candidates and verified pairs agree bit-for-bit."""
+    from youtube_etl_automated_pipeline_spark.ext.embed_lsh import sql_band_keys
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        DUP_EVERY,
+        DUP_OFFSET,
+        LSH_THRESH,
+    )
+
+    k0, k1 = sql_band_keys("v", dim)
+    return f"""
+WITH base AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dups AS (
+  SELECT vec_id + {DUP_OFFSET} AS emb_id,
+         list_transform(generate_series(1, {dim}),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * (1.0 + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 0.01)) AS v
+  FROM embeddings WHERE vec_id % {DUP_EVERY} = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+sig AS (
+  SELECT emb_id, 0 AS band, {k0} AS key FROM corpus
+  UNION ALL
+  SELECT emb_id, 1 AS band, {k1} AS key FROM corpus
+),
+cand AS (
+  SELECT DISTINCT a.emb_id AS vec_a, b.emb_id AS vec_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.key = b.key AND a.emb_id < b.emb_id
+),
+un AS (
+  SELECT emb_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM corpus
+)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT c.vec_a, c.vec_b,
+    floor((CASE WHEN a.n > 0 AND b.n > 0 THEN
+      list_sum(list_transform(generate_series(1, {dim}),
+        i -> (a.v[i] / a.n) * (b.v[i] / b.n)))
+      ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+  FROM cand c
+  JOIN un a ON c.vec_a = a.emb_id
+  JOIN un b ON c.vec_b = b.emb_id
+)
+WHERE cos_sim >= {LSH_THRESH}
+ORDER BY vec_a, vec_b
+"""
+
+
+ORACLES_SIMILARITY["dedup_embedding_lsh"] = _lsh_oracle()
+
 _NORM_D = (
     "sqrt(list_sum(list_transform(generate_series(1, len(embedding)),"
     " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext.similarity import (
+    as_double,
     cosine,
     cosine_unit,
     embedding_dim,
@@ -135,6 +136,74 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= 0.3)
 
 
+DUP_EVERY = 20
+DUP_OFFSET = 1_000_000
+LSH_THRESH = 0.99
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH — the
+    GLOBAL scale path (no label/all-pairs blocking anywhere).
+
+    The synthetic corpus has no natural near-dups (max pairwise cos
+    ≈ 0.55), so the query deterministically plants one perturbed copy
+    of every DUP_EVERY-th vector (±3% per-element scale, a pure
+    function of vec_id and element index that the oracle reproduces
+    bit-for-bit) — giving a ground truth the recall test in
+    tests/test_similarity_scale.py checks against.
+
+    Plan shape: signature pass is map-only (an Arrow-batched
+    mapInPandas kernel — 32 hyperplane dots as one batch×dim numpy
+    sweep, left-to-right over dim so signs match the oracle's
+    list_sum fold bit-for-bit); candidates come from an equi-join on
+    (band, key); exact cosine runs on candidates only. Candidate
+    pairs ≈ true dups + ~B·n²/2^R_BITS random collisions ≪ n²/2 —
+    the same banding cut `dedup_minhash_lsh` makes for text.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.embed_lsh import signatures
+
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    dim = embedding_dim(emb)
+    base = emb.select(
+        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
+    )
+    pert = F.array(
+        *[
+            F.element_at("embedding", i).cast("double")
+            * (
+                F.lit(1.0)
+                + ((F.col("vec_id") + F.lit(i)) % 7 - 3).cast("double") * F.lit(0.01)
+            )
+            for i in range(1, dim + 1)
+        ]
+    )
+    dups = emb.filter(F.col("vec_id") % DUP_EVERY == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("emb_id"), pert.alias("v")
+    )
+    corpus = base.unionByName(dups)
+    sig = signatures(corpus, dim)
+    a = sig.select(F.col("emb_id").alias("vec_a"), "band", "key")
+    b = sig.select(F.col("emb_id").alias("vec_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ua = corpus.select(F.col("emb_id").alias("vec_a"), unit(F.col("v")).alias("u_a"))
+    ub = corpus.select(F.col("emb_id").alias("vec_b"), unit(F.col("v")).alias("u_b"))
+    return (
+        cand.join(ua, "vec_a")
+        .join(ub, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_unit(F.col("u_a"), F.col("u_b"), dim).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= LSH_THRESH)
+    )
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas over the embeddings table: per-label
     norm statistics (the Pandas-UDF grouped-map surface)."""
@@ -146,5 +215,6 @@ QUERIES_SIMILARITY = {
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_label_stats": embedding_label_stats,
 }
