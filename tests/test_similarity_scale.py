@@ -65,6 +65,48 @@ def test_lsh_candidates_far_below_all_pairs(spark):
     assert cand >= 1
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """The trained IVF index must actually find neighbors: recall@5
+    against the exact brute-force top-5 over the SAME corpus
+    (vec_id >= IVF_QUERY_HI). With k=8 trained centroids and
+    nprobe=2, each query scans ~2/8 of the corpus; deterministic
+    given fixed data + seed, so the bound is tight, not flaky."""
+    from youtube_etl_automated_pipeline_spark.ext.similarity import (
+        cosine_unit,
+        topk_by_query,
+        unit,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        IVF_QUERY_HI,
+        IVF_QUERY_LO,
+        similarity_ivf_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = embedding_dim(emb)
+    q = emb.filter(
+        (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
+    ).select(F.col("vec_id").alias("query_id"), unit(F.col("embedding")).alias("q_u"))
+    c = emb.filter(F.col("vec_id") >= IVF_QUERY_HI).select(
+        F.col("vec_id").alias("neighbor_id"), unit(F.col("embedding")).alias("c_u")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_by_query(scored, "query_id", "cos_sim", "neighbor_id", 5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_lsh_recall_on_planted_dups(spark):
     """Every planted pair (orig, orig+OFFSET) has cos ≈ 0.9998; with
     R=16, B=2 the per-pair recall bound is ~98% — assert ≥ 90% found,

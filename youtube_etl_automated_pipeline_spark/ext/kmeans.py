@@ -1,0 +1,199 @@
+"""Distributed Lloyd k-means over embedding columns — the real
+training step behind the IVF index (replaces the round-1 stand-in
+"centroids = first 8 vectors").
+
+Execution model (the MLlib shape): each iteration is ONE map pass —
+an Arrow-batched mapInPandas kernel assigns every vector to its
+nearest centroid and emits per-batch partial centroid sums — followed
+by a tiny (k·dim)-row groupBy and a driver collect of the new
+centroids, which ship back into the next iteration's kernel closure.
+Nothing row-wise ever reaches the driver; at 100 TB each iteration is
+a full scan + a k·dim·n_partitions shuffle (kilobytes).
+
+Cross-engine determinism (the DuckDB oracle unrolls the same
+iterations as CTEs):
+
+- distances accumulate LEFT-TO-RIGHT over the dim axis —
+  ``acc = acc + (v_i - c_i)²`` one vectorized step per element
+  index — the same IEEE op-sequence as the oracle's
+  ``list_sum(list_transform(...))`` fold, so with bit-identical
+  inputs the argmin (ties → lowest centroid_id, numpy stable
+  argsort) picks the same centroid in both engines;
+- centroid means use exact integer micro-units: members' elements →
+  ``floor(x·1e6 + 0.5)`` int64, summed exactly (order-free), ONE
+  float division chain ``su / cnt / 1e6`` — so the next iteration's
+  centroids are bit-identical too, and divergence cannot compound;
+- empty clusters keep their previous centroid in both engines.
+
+Reference parity: no counterpart — the reference (pandas + Sheets)
+has no vector indexing; this is the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT_SCALE = 1_000_000.0
+
+
+def _dist2_matrix(mat, cents):
+    """n×k squared-L2 distances, accumulated left-to-right over dim
+    so each (row, centroid) entry is the exact scalar fold
+    acc = acc + (v_i - c_i)² — DuckDB's list_sum order."""
+    import numpy as np
+
+    n = mat.shape[0]
+    acc = np.zeros((n, cents.shape[0]), dtype=np.float64)
+    for i in range(mat.shape[1]):
+        d = mat[:, i : i + 1] - cents[:, i]
+        acc = acc + d * d
+    return acc
+
+
+def _partial_sums(corpus: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
+    """One Lloyd half-step: assign each vector to its nearest centroid
+    and emit per-batch partial (cid, pos, su, cnt) in exact integer
+    micro-units."""
+    import numpy as np
+    import pandas as pd
+
+    cent_mat = np.array(cents, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            units = np.floor(mat * UNIT_SCALE + 0.5).astype(np.int64)
+            nearest = np.argmin(_dist2_matrix(mat, cent_mat), axis=1)
+            out_cid, out_pos, out_su, out_cnt = [], [], [], []
+            for cid in np.unique(nearest):
+                mask = nearest == cid
+                su = units[mask].sum(axis=0)  # int64, exact, order-free
+                out_cid.extend([int(cid)] * dim)
+                out_pos.extend(range(dim))
+                out_su.extend(int(x) for x in su)
+                out_cnt.extend([int(mask.sum())] * dim)
+            yield pd.DataFrame(
+                {"cid": out_cid, "pos": out_pos, "su": out_su, "cnt": out_cnt}
+            )
+
+    return corpus.select("v").mapInPandas(
+        kernel, "cid int, pos int, su long, cnt long"
+    )
+
+
+def train_kmeans(
+    corpus: DataFrame, dim: int, k: int = 8, iters: int = 3
+) -> list[list[float]]:
+    """Lloyd iterations over (emb_id, v: array<double>). Init = the k
+    lowest-emb_id vectors (deterministic seed). Returns k×dim python
+    floats — tiny, destined for the next kernel's closure."""
+    init = (
+        corpus.orderBy("emb_id").limit(k).select("v").collect()
+    )
+    cents = [list(r.v) for r in init]
+    for _ in range(iters):
+        rows = (
+            _partial_sums(corpus, cents, dim)
+            .groupBy("cid", "pos")
+            .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty cluster → keep previous
+        acc: dict[int, list] = {}
+        for r in rows:
+            acc.setdefault(r.cid, [[0, 0]] * dim)
+            acc[r.cid] = acc[r.cid][:]
+            acc[r.cid][r.pos] = [r.su, r.cnt]
+        for cid, elems in acc.items():
+            nxt[cid] = [
+                (float(su) / float(cnt)) / UNIT_SCALE for su, cnt in elems
+            ]
+        cents = nxt
+    return cents
+
+
+def assign_nearest(
+    df: DataFrame, id_col: str, cents: list[list[float]], nprobe: int = 1
+) -> DataFrame:
+    """(id_col, v) → (id_col, cluster_id, probe): the nprobe nearest
+    centroids per vector (probe 0 = nearest; ties → lowest cid via
+    numpy stable argsort). Map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cent_mat = np.array(cents, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            order = np.argsort(
+                _dist2_matrix(mat, cent_mat), axis=1, kind="stable"
+            )[:, :nprobe]
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                    "cluster_id": order.reshape(-1).astype(np.int32),
+                    "probe": np.tile(np.arange(nprobe, dtype=np.int32), n),
+                }
+            )
+
+    return df.select(id_col, "v").mapInPandas(
+        kernel, f"{id_col} long, cluster_id int, probe int"
+    )
+
+
+# --- DuckDB oracle twins ---
+
+
+def sql_dist2(vec_expr: str, cent_expr: str, dim: int) -> str:
+    """Same left-to-right fold as _dist2_matrix."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> ({vec_expr}[i] - {cent_expr}[i]) * ({vec_expr}[i] - {cent_expr}[i])))"
+    )
+
+
+def sql_kmeans_ctes(dim: int, k: int = 8, iters: int = 3) -> str:
+    """CTE chain reproducing train_kmeans bit-for-bit on a `corpus`
+    CTE of (emb_id, v: list<double>). Terminal CTE: cent{iters} =
+    (cid, cvec)."""
+    parts = [
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY emb_id) - 1 AS INTEGER) AS cid, v AS cvec
+  FROM (SELECT emb_id, v FROM corpus ORDER BY emb_id LIMIT {k})
+)"""
+    ]
+    for t in range(iters):
+        parts.append(f"""assign{t} AS (
+  SELECT emb_id, v, cid FROM (
+    SELECT e.emb_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN cent{t} c
+  ) WHERE _rn = 1
+)""")
+        parts.append(f"""sums{t} AS (
+  SELECT cid, i AS pos,
+         CAST(sum(CAST(floor(v[i] * {UNIT_SCALE!r} + 0.5) AS BIGINT)) AS BIGINT) AS su,
+         count(*) AS cnt
+  FROM assign{t}, generate_series(1, {dim}) AS g(i)
+  GROUP BY cid, i
+)""")
+        parts.append(f"""cent{t + 1} AS (
+  SELECT p.cid,
+         coalesce(n.cvec, p.cvec) AS cvec
+  FROM cent{t} p LEFT JOIN (
+    SELECT cid, list(CAST(su AS DOUBLE) / CAST(cnt AS DOUBLE) / {UNIT_SCALE!r}
+                     ORDER BY pos) AS cvec
+    FROM sums{t} GROUP BY cid
+  ) n USING (cid)
+)""")
+    return ",\n".join(parts)

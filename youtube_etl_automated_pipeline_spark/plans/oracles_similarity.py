@@ -15,25 +15,11 @@ from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
 )
 
 
-def _dot(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, len({a})),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
-
-
 def _norm(a: str) -> str:
     return (
         f"sqrt(list_sum(list_transform(generate_series(1, len({a})),"
         f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
     )
-
-
-def _cos(a: str, b: str, dp: int = 6) -> str:
-    p = float(10**dp)
-    denom = f"({_norm(a)} * {_norm(b)})"
-    raw = f"CASE WHEN {denom} > 0 THEN {_dot(a, b)} / {denom} ELSE 0 END"
-    return f"floor(({raw}) * {p!r} + 0.5) / {p!r}"
 
 
 def _cos_unit(a: str, b: str, dp: int = 6) -> str:
@@ -73,33 +59,65 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 ORDER BY query_id, rank
 """
 
-ORACLES_SIMILARITY["similarity_ivf_topk"] = f"""
-WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS cent_emb FROM embeddings
-  WHERE vec_id < {N_CENTROIDS}
+def _ivf_oracle(dim: int = 64) -> str:
+    """Twin of the k-means-trained IVF query: unrolls the same Lloyd
+    iterations as CTEs (ext/kmeans.sql_kmeans_ctes — same left-to-
+    right distance folds, same exact-integer centroid means), then
+    nprobe=2 query probing and nearest-bucket corpus assignment."""
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_dist2,
+        sql_kmeans_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        KMEANS_ITERS,
+        NPROBE,
+    )
+
+    final = f"cent{KMEANS_ITERS}"
+    du = (
+        "list_sum(list_transform(generate_series(1, %d),"
+        " i -> (a.v[i] / a.n) * (b.v[i] / b.n)))" % dim
+    )
+    cos_unit = (
+        f"floor((CASE WHEN a.n > 0 AND b.n > 0 THEN {du} ELSE 0 END)"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
 ),
-q_assign AS (
-  SELECT query_id, q_emb, centroid_id AS cluster_id FROM (
-    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cos("e.embedding", "c.cent_emb")} DESC, c.centroid_id ASC) AS _rn
-    FROM embeddings e CROSS JOIN cent c
-    WHERE e.vec_id >= {IVF_QUERY_LO} AND e.vec_id < {IVF_QUERY_HI}
-  ) WHERE _rn = 1
+{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS)},
+q_probes AS (
+  SELECT emb_id AS query_id, cid AS cluster_id FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN {final} c
+    WHERE e.emb_id >= {IVF_QUERY_LO} AND e.emb_id < {IVF_QUERY_HI}
+  ) WHERE _rn <= {NPROBE}
 ),
 c_assign AS (
-  SELECT neighbor_id, c_emb, centroid_id AS cluster_id FROM (
-    SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb, c.centroid_id,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cos("e.embedding", "c.cent_emb")} DESC, c.centroid_id ASC) AS _rn
-    FROM embeddings e CROSS JOIN cent c
-    WHERE e.vec_id >= {IVF_QUERY_HI}
+  SELECT emb_id AS neighbor_id, cid AS cluster_id FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN {final} c
+    WHERE e.emb_id >= {IVF_QUERY_HI}
   ) WHERE _rn = 1
 ),
+un AS (
+  SELECT emb_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM corpus
+),
 cand AS (
-  SELECT q.query_id, c.cluster_id, c.neighbor_id,
-         {_cos_unit("q.q_emb", "c.c_emb")} AS cos_sim
-  FROM c_assign c JOIN q_assign q USING (cluster_id)
+  SELECT q.query_id, c.cluster_id, c.neighbor_id, {cos_unit} AS cos_sim
+  FROM c_assign c
+  JOIN q_probes q USING (cluster_id)
+  JOIN un a ON a.emb_id = q.query_id
+  JOIN un b ON b.emb_id = c.neighbor_id
 )
 SELECT query_id, cluster_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (
@@ -108,6 +126,9 @@ SELECT query_id, cluster_id, neighbor_id, cos_sim, rank FROM (
 ) WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+ORACLES_SIMILARITY["similarity_ivf_topk"] = _ivf_oracle()
 
 ORACLES_SIMILARITY["dedup_embedding_cosine"] = f"""
 SELECT label, vec_a, vec_b, cos_sim FROM (

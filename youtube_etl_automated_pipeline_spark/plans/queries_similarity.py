@@ -10,18 +10,18 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext.similarity import (
     as_double,
-    cosine,
     cosine_unit,
     embedding_dim,
     label_norm_stats,
     topk_by_query,
     unit,
 )
-from youtube_etl_automated_pipeline_spark.operators.dedup import keep_first
 from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
 
 N_QUERIES = 5
 N_CENTROIDS = 8
+KMEANS_ITERS = 3
+NPROBE = 2
 IVF_QUERY_LO, IVF_QUERY_HI = 8, 13
 
 
@@ -56,55 +56,53 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: vectors are assigned to their nearest of 8
-    'trained' centroids (here: the first 8 vectors — a stand-in for a
-    k-means fit); each query searches only its own bucket.
+    """IVF ANN with a REAL trained index: k-means centroids from 3
+    distributed Lloyd iterations (ext/kmeans.py), corpus bucketed to
+    its nearest centroid, each query probing its NPROBE=2 nearest
+    buckets — the classic recall-vs-candidates trade, measured by
+    tests/test_similarity_scale.py against the brute-force yardstick.
 
-    Scale shape: assignment is a broadcast map-side pass (centroids
-    tiny), bucketing turns the N x M search into N x M/k with an
-    equi-join on cluster_id that Spark shuffles on — the classic IVF
-    trade of recall for a k-fold candidate cut. nprobe>1 = union more
-    clusters per query.
+    Scale shape: training is iters× (map pass + k·dim-row shuffle +
+    kilobyte driver collect) — the MLlib treeAggregate shape;
+    assignment is map-only (centroids live in the kernel closure);
+    the candidate join shuffles on cluster_id only. At 100 TB the
+    corpus is scanned iters+1 times and nothing quadratic exists.
     """
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        assign_nearest,
+        train_kmeans,
+    )
+
     emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
-    )
-
-    def assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            id_col,
-            emb_col,
-            "centroid_id",
-            cosine(F.col(emb_col), F.col("cent_emb")).alias("_cos"),
-        )
-        best = keep_first(
-            scored, [id_col], [F.col("_cos").desc(), F.col("centroid_id").asc()]
-        )
-        return best.select(id_col, emb_col, F.col("centroid_id").alias("cluster_id"))
-
-    queries = assign(
-        emb.filter(
-            (F.col("vec_id") >= IVF_QUERY_LO) & (F.col("vec_id") < IVF_QUERY_HI)
-        ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")),
-        "query_id",
-        "q_emb",
-    )
-    corpus = assign(
-        emb.filter(F.col("vec_id") >= IVF_QUERY_HI).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-        ),
-        "neighbor_id",
-        "c_emb",
-    )
     dim = embedding_dim(emb)
-    queries = queries.select("query_id", "cluster_id", unit(F.col("q_emb")).alias("q_u"))
-    corpus = corpus.select("neighbor_id", "cluster_id", unit(F.col("c_emb")).alias("c_u"))
-    candidates = corpus.join(F.broadcast(queries), "cluster_id").select(
-        "query_id",
-        "neighbor_id",
-        "cluster_id",
-        cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
+    all_d = emb.select(
+        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
+    )
+    cents = train_kmeans(all_d, dim, k=N_CENTROIDS, iters=KMEANS_ITERS)
+
+    q = all_d.filter(
+        (F.col("emb_id") >= IVF_QUERY_LO) & (F.col("emb_id") < IVF_QUERY_HI)
+    )
+    c = all_d.filter(F.col("emb_id") >= IVF_QUERY_HI)
+    q_probes = (
+        assign_nearest(q, "emb_id", cents, nprobe=NPROBE)
+        .select(F.col("emb_id").alias("query_id"), "cluster_id")
+    )
+    c_assign = assign_nearest(c, "emb_id", cents, nprobe=1).select(
+        F.col("emb_id").alias("neighbor_id"), "cluster_id"
+    )
+    qu = q.select(F.col("emb_id").alias("query_id"), unit(F.col("v")).alias("q_u"))
+    cu = c.select(F.col("emb_id").alias("neighbor_id"), unit(F.col("v")).alias("c_u"))
+    candidates = (
+        c_assign.join(F.broadcast(q_probes), "cluster_id")
+        .join(F.broadcast(qu), "query_id")
+        .join(cu, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cluster_id",
+            cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
+        )
     )
     return (
         topk_by_query(candidates, "query_id", "cos_sim", "neighbor_id", 5)
