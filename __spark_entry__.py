@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import QUERIES_SQL
     from youtube_etl_automated_pipeline_spark.plans.queries_extra import QUERIES_EXTRA
     from youtube_etl_automated_pipeline_spark.plans.queries_olap import QUERIES_OLAP
+    from youtube_etl_automated_pipeline_spark.plans.queries_sources import (
+        QUERIES_SOURCES,
+    )
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import QUERIES_TPCH
 
     return {
@@ -62,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_SQL,
         **QUERIES_EXTRA,
         **QUERIES_OLAP,
+        **QUERIES_SOURCES,
         **QUERIES_TPCH,
     }
 
@@ -91,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_sql import ORACLES_SQL
     from youtube_etl_automated_pipeline_spark.plans.queries_extra import ORACLES_EXTRA
     from youtube_etl_automated_pipeline_spark.plans.queries_olap import ORACLES_OLAP
+    from youtube_etl_automated_pipeline_spark.plans.queries_sources import (
+        ORACLES_SOURCES,
+    )
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import ORACLES_TPCH
 
     return {
@@ -105,5 +112,6 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_SQL,
         **ORACLES_EXTRA,
         **ORACLES_OLAP,
+        **ORACLES_SOURCES,
         **ORACLES_TPCH,
     }

@@ -34,3 +34,50 @@ def test_json_dim_last_wins_and_nulls(spark, tmp_path):
     assert out["AB"]["Show_Name"] == "Second"  # later row overwrote
     assert out["AB"]["Broadcaster"] == "Z"
     assert out["CD"]["Show_Name"] is None  # present-but-null preserved
+
+
+def test_jsonl_malformed_rows_land_permissive_nulls(spark, tmp_path):
+    """Schema'd JSONL scan: bad lines become null rows (the
+    reference's null-on-parse-failure posture), never a job failure."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_sources import (
+        DOCUMENTS_SCHEMA,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "s", "n_chars": 7}\n'
+    )
+    rows = read_jsonl(spark, str(p), DOCUMENTS_SCHEMA).collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r.doc_id is not None]
+    assert {r.doc_id for r in good} == {1, 2}
+
+
+def test_orc_filter_pushdown(spark, tmp_path):
+    """ORC scans must keep the same pushdown properties as parquet."""
+    from youtube_etl_automated_pipeline_spark.sources import read_orc
+
+    out = str(tmp_path / "t.orc")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.orc(out)
+    df = read_orc(spark, out).filter(F.col("id") > 50).select("v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,50)]" in plan
+    assert df.count() == 49
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema-on-read evolution: files written before a column existed
+    read back as nulls under mergeSchema — the additive-evolution
+    contract a long-lived 100 TB table needs."""
+    base = str(tmp_path / "evo")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(base + "/d=1")
+    spark.range(5).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b"
+    ).write.parquet(base + "/d=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base + "/d=1", base + "/d=2")
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.filter(F.col("b").isNull()).count() == 5
+    assert df.filter(F.col("b").isNotNull()).count() == 5

@@ -88,6 +88,49 @@ def widen_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Line-delimited JSON scan with a REQUIRED explicit schema.
+
+    Schema-on-read is mandatory for JSONL at scale: without it Spark
+    runs a full inference pass (a second read of 100 TB) and infers
+    lossy types (ints → bigint-or-double by sample). With a schema the
+    scan is single-pass, column-pruned, and malformed rows land in
+    PERMISSIVE nulls instead of failing the job (the reference's
+    null-on-parse-failure semantics, SURVEY 1.1).
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as
+    parquet (Catalyst emits PushedFilters for ORC too)."""
+    ensure_session_confs(spark)
+    return spark.read.orc(path)
+
+
+def materialize_format(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str
+) -> str:
+    """Re-materialize a testdata parquet table as ``fmt`` (jsonl/orc)
+    under /tmp, once per (sf, table, format) — the fixture step for
+    format-breadth gate queries. Content is byte-derived from the
+    parquet source, so a query over the round-tripped copy must equal
+    the same query over the original (which is exactly what the
+    DuckDB oracle checks)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/spark_graft_formats", sf_tag, f"{name}.{fmt}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, name)
+        writer = df.write.mode("overwrite")
+        if fmt == "jsonl":
+            writer.json(out)
+        elif fmt == "orc":
+            writer.orc(out)
+        else:
+            raise ValueError(f"unknown format {fmt!r}")
+    return out
+
+
 def load_json_dim(spark: SparkSession, path: str) -> DataFrame:
     """S5: small JSON array -> DataFrame destined for broadcast.
 
