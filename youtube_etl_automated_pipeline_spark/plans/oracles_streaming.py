@@ -57,6 +57,38 @@ GROUP BY 1 ORDER BY segment
     "streaming_dedup_ids": """
 SELECT DISTINCT event_id FROM events ORDER BY event_id
 """,
+    # Twin of streaming_merge_cdc: same pure-function CDC derivation
+    # from o_orderkey, global keep-last-by-seq, tombstones dropped at
+    # read time. Batch splitting is irrelevant by construction (the
+    # merge is associative), so one global window reproduces the
+    # 3-micro-batch streaming result exactly.
+    "streaming_merge_cdc": """
+WITH cents AS (
+  SELECT o_orderkey AS k, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+  FROM orders
+),
+all_ops AS (
+  SELECT k AS key, pc AS price_cents, 'S' AS op, CAST(0 AS BIGINT) AS seq FROM cents
+  UNION ALL
+  SELECT k, pc + 100, 'U', CAST(k * 2 + 1 AS BIGINT) FROM cents WHERE k % 7 IN (1, 2)
+  UNION ALL
+  SELECT k, NULL, 'D', CAST(k * 2 + 1 AS BIGINT) FROM cents WHERE k % 7 = 0
+  UNION ALL
+  SELECT k + 100000000, pc, 'I', CAST(k * 2 + 2 AS BIGINT) FROM cents WHERE k % 11 = 0
+  UNION ALL
+  SELECT k, pc + 200, 'U', CAST(k * 2 + 3 AS BIGINT) FROM cents WHERE k % 14 = 1
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM all_ops
+  ) WHERE rn = 1
+)
+SELECT key, CAST(price_cents AS DOUBLE) / 100 AS price,
+       op AS last_op, seq AS last_seq
+FROM last WHERE op <> 'D'
+ORDER BY key
+""",
     "events_session_window": f"""
 WITH flagged AS (
   SELECT user_id, ts, value,

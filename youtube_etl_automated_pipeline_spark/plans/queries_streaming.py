@@ -147,6 +147,102 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_ops(orders: DataFrame) -> DataFrame:
+    """Deterministic CDC op set derived from orders (a pure function
+    of o_orderkey, so the DuckDB oracle re-derives it exactly):
+    updates for keys %7∈{1,2}, deletes for %7=0, inserts of new keys
+    (+1e8) for %11=0, and a SECOND higher-seq update for %14=1 —
+    exercising last-wins across ops on one key. ``seq`` is globally
+    unique per key; ``batch`` splits ops across micro-batches so
+    same-key ops cross batch boundaries."""
+    k = F.col("o_orderkey")
+    cents = units(F.col("o_totalprice"), 2)
+    u1 = orders.filter((k % 7).isin(1, 2)).select(
+        k.alias("key"),
+        (cents + 100).alias("price_cents"),
+        F.lit("U").alias("op"),
+        (k * 2 + 1).alias("seq"),
+        (k % 3).cast("int").alias("batch"),
+    )
+    d = orders.filter(k % 7 == 0).select(
+        k.alias("key"),
+        F.lit(None).cast("long").alias("price_cents"),
+        F.lit("D").alias("op"),
+        (k * 2 + 1).alias("seq"),
+        (k % 3).cast("int").alias("batch"),
+    )
+    i = orders.filter(k % 11 == 0).select(
+        (k + 100_000_000).alias("key"),
+        cents.alias("price_cents"),
+        F.lit("I").alias("op"),
+        (k * 2 + 2).alias("seq"),
+        ((k + 1) % 3).cast("int").alias("batch"),
+    )
+    u2 = orders.filter(k % 14 == 1).select(
+        k.alias("key"),
+        (cents + 200).alias("price_cents"),
+        F.lit("U").alias("op"),
+        (k * 2 + 3).alias("seq"),
+        ((k + 2) % 3).cast("int").alias("batch"),
+    )
+    return u1.unionByName(d).unionByName(i).unionByName(u2)
+
+
+def streaming_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE (update+insert+delete) applied by a REAL multi-
+    batch stream: 3 CDC files → maxFilesPerTrigger=1 → 3 foreachBatch
+    MERGE steps against a parquet state table seeded with the orders
+    snapshot (streaming/merge.py: keep-last-by-seq, tombstones
+    retained so the result is batch-split-independent and retries are
+    no-ops). Gate output = live rows of the final state."""
+    import os
+    import shutil
+    import time
+
+    from youtube_etl_automated_pipeline_spark.streaming.merge import (
+        live_rows,
+        read_state,
+        run_cdc_merge_stream,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base_dir = os.path.join("/tmp/spark_graft_cdc", sf_tag)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    src = os.path.join(base_dir, "src")
+    state = os.path.join(base_dir, "state")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(src)
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        units(F.col("o_totalprice"), 2).alias("price_cents"),
+        F.lit("S").alias("op"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    base.write.mode("overwrite").parquet(state)
+
+    ops = _cdc_ops(orders)
+    t0 = time.time() - 300
+    for b in range(3):
+        stage = os.path.join(base_dir, f"stage{b}")
+        ops.filter(F.col("batch") == b).drop("batch").coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + 10 * b, t0 + 10 * b))  # deterministic arrival order
+
+    run_cdc_merge_stream(spark, src, state, ckpt)
+    final = live_rows(read_state(spark, state))
+    return final.select(
+        "key",
+        (F.col("price_cents").cast("double") / 100).alias("price"),
+        F.col("op").alias("last_op"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
@@ -155,4 +251,5 @@ QUERIES_STREAMING = {
     "streaming_dedup_ids": streaming_dedup_ids,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_static_enrich": streaming_static_enrich,
+    "streaming_merge_cdc": streaming_merge_cdc,
 }
