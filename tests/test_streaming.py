@@ -230,3 +230,36 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     assert out.get(10) == 3
     # hour-13 never finalized (watermark stops at 13:00) -> absent
     assert 13 not in out
+
+
+def test_streaming_windowed_distinct_error_envelope(spark):
+    """The streaming HLL per-window distinct must land within the
+    configured rsd envelope of the exact batch counts (5% at
+    rsd=0.02 is a generous deterministic bound for these
+    cardinalities)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        streaming_windowed_distinct_users,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    approx = {
+        (r.window_start, r.event_type): r.approx_users
+        for r in streaming_windowed_distinct_users(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r.window_start, r.event_type): r.exact_users
+        for r in (
+            load_table(spark, SF_SMOKE, "events")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "exact_users",
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])

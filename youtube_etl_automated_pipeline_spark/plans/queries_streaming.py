@@ -147,6 +147,28 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour per event_type on a STREAM via
+    HyperLogLog++ (approx_count_distinct): exact streaming distinct
+    would need unbounded per-window user sets in state, while HLL
+    partials merge associatively across micro-batches in O(sketch)
+    state — the only shape that survives 100 TB of events. Engine-
+    specific sketch → rows-only gate (same posture as
+    approx_distinct_customers); tests/test_streaming.py asserts the
+    error envelope vs the exact batch counts."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "4 days")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "approx_users"
+        )
+    )
+    return run_stream_to_memory(
+        agg, "windowed_distinct", output_mode="complete"
+    ).orderBy("window_start", "event_type")
+
+
 def _cdc_ops(orders: DataFrame) -> DataFrame:
     """Deterministic CDC op set derived from orders (a pure function
     of o_orderkey, so the DuckDB oracle re-derives it exactly):
@@ -252,4 +274,5 @@ QUERIES_STREAMING = {
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_merge_cdc": streaming_merge_cdc,
+    "streaming_windowed_distinct_users": streaming_windowed_distinct_users,
 }
