@@ -91,7 +91,14 @@ def train_kmeans(
 ) -> list[list[float]]:
     """Lloyd iterations over (emb_id, v: array<double>). Init = the k
     lowest-emb_id vectors (deterministic seed). Returns k×dim python
-    floats — tiny, destined for the next kernel's closure."""
+    floats — tiny, destined for the next kernel's closure.
+
+    The caller passes the TRAINING set — at scale a deterministic
+    hash/modulo sample of the corpus (the faiss posture: a few hundred
+    vectors per centroid suffice), so training cost is decoupled from
+    corpus size. Persisted across iterations: Lloyd re-reads it
+    ``iters`` times and nothing upstream should be re-scanned."""
+    corpus = corpus.persist()
     init = (
         corpus.orderBy("emb_id").limit(k).select("v").collect()
     )
@@ -114,6 +121,7 @@ def train_kmeans(
                 (float(su) / float(cnt)) / UNIT_SCALE for su, cnt in elems
             ]
         cents = nxt
+    corpus.unpersist()
     return cents
 
 
@@ -161,14 +169,17 @@ def sql_dist2(vec_expr: str, cent_expr: str, dim: int) -> str:
     )
 
 
-def sql_kmeans_ctes(dim: int, k: int = 8, iters: int = 3) -> str:
-    """CTE chain reproducing train_kmeans bit-for-bit on a `corpus`
-    CTE of (emb_id, v: list<double>). Terminal CTE: cent{iters} =
-    (cid, cvec)."""
+def sql_kmeans_ctes(
+    dim: int, k: int = 8, iters: int = 3, train_src: str = "corpus"
+) -> str:
+    """CTE chain reproducing train_kmeans bit-for-bit on a
+    ``train_src`` CTE of (emb_id, v: list<double>) — the same
+    training subset the Spark side passes in. Terminal CTE:
+    cent{iters} = (cid, cvec)."""
     parts = [
         f"""cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY emb_id) - 1 AS INTEGER) AS cid, v AS cvec
-  FROM (SELECT emb_id, v FROM corpus ORDER BY emb_id LIMIT {k})
+  FROM (SELECT emb_id, v FROM {train_src} ORDER BY emb_id LIMIT {k})
 )"""
     ]
     for t in range(iters):
@@ -177,7 +188,7 @@ def sql_kmeans_ctes(dim: int, k: int = 8, iters: int = 3) -> str:
     SELECT e.emb_id, e.v, c.cid,
            row_number() OVER (PARTITION BY e.emb_id
              ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
-    FROM corpus e CROSS JOIN cent{t} c
+    FROM {train_src} e CROSS JOIN cent{t} c
   ) WHERE _rn = 1
 )""")
         parts.append(f"""sums{t} AS (

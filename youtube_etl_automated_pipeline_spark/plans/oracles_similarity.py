@@ -71,6 +71,7 @@ def _ivf_oracle(dim: int = 64) -> str:
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         KMEANS_ITERS,
         NPROBE,
+        TRAIN_MOD,
     )
 
     final = f"cent{KMEANS_ITERS}"
@@ -88,7 +89,10 @@ WITH corpus AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS)},
+train AS (
+  SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0
+),
+{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS, train_src="train")},
 q_probes AS (
   SELECT emb_id AS query_id, cid AS cluster_id FROM (
     SELECT e.emb_id, c.cid,

@@ -22,6 +22,7 @@ N_QUERIES = 5
 N_CENTROIDS = 8
 KMEANS_ITERS = 3
 NPROBE = 2
+TRAIN_MOD = 2  # k-means trains on the deterministic 1-in-2 modulo sample
 IVF_QUERY_LO, IVF_QUERY_HI = 8, 13
 
 
@@ -78,7 +79,15 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_d = emb.select(
         F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
     )
-    cents = train_kmeans(all_d, dim, k=N_CENTROIDS, iters=KMEANS_ITERS)
+    # train on a deterministic modulo sample (the faiss posture: a few
+    # hundred vectors per centroid suffice) — training cost decoupled
+    # from corpus size, and the oracle re-derives the same subset
+    cents = train_kmeans(
+        all_d.filter(F.col("emb_id") % TRAIN_MOD == 0),
+        dim,
+        k=N_CENTROIDS,
+        iters=KMEANS_ITERS,
+    )
 
     q = all_d.filter(
         (F.col("emb_id") >= IVF_QUERY_LO) & (F.col("emb_id") < IVF_QUERY_HI)
@@ -112,9 +121,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the natural
-    cluster key; at scale the block key would be an IVF/LSH bucket so
-    the pairwise pass stays per-block quadratic, never global)."""
+    """Embedding-cosine near-dup pairs, blocked by label — the EXACT
+    within-block baseline. The scale path (global, no blocking key
+    needed, candidates ≪ n²) is ``dedup_embedding_lsh`` below; this
+    form remains for corpora where an exact per-block sweep over a
+    small natural cluster key is acceptable."""
     emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     dim = embedding_dim(emb)
     normed = emb.select("vec_id", unit(F.col("embedding")).alias("u"), "label")
