@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         QUERIES_SOURCES,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import QUERIES_TPCH
+    from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
+        QUERIES_ANALYTICS,
+    )
 
     return {
         **QUERIES,
@@ -67,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_OLAP,
         **QUERIES_SOURCES,
         **QUERIES_TPCH,
+        **QUERIES_ANALYTICS,
     }
 
 
@@ -99,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
         ORACLES_SOURCES,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import ORACLES_TPCH
+    from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
+        ORACLES_ANALYTICS,
+    )
 
     return {
         **ORACLES,
@@ -114,4 +121,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_OLAP,
         **ORACLES_SOURCES,
         **ORACLES_TPCH,
+        **ORACLES_ANALYTICS,
     }

@@ -1,0 +1,352 @@
+"""Product-analytics + warehouse-pattern operators: funnel analysis,
+cohort retention, exact-cents histograms, SCD2 interval builds,
+one-pass data profiling, blocked edit-distance near-dup, and a
+deterministic vocabulary top-k. Oracles inline.
+
+Reference provenance: the reference pipeline's analytics sheet fetch
+(Python-pipeline/Youtube_Videos_Data.py) stops at grouped rollups;
+this module is the engine-surface extension a real analytics user
+reaches for next. Every query keeps aggregates integer-exact or
+string-typed so the cross-engine hash is deterministic (see
+functions/compat.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.functions.compat import (
+    sql_xsum,
+    xsum,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel view -> click -> purchase.
+
+    Single groupBy pass: per user, the FIRST timestamp of each stage
+    (min of a conditional), a stage counted as converted only when its
+    first touch is at-or-after the previous stage's first touch. One
+    shuffle on user_id with full map-side partial aggregation — the
+    only shape that holds at 100 TB of events (no self-joins, no
+    per-stage rescans).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    purchased = clicked & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(viewed).alias("n_viewed"),
+        F.count_if(clicked).alias("n_clicked"),
+        F.count_if(purchased).alias("n_purchased"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users grouped by first-activity date,
+    counted per whole-week offset of later activity.
+
+    Week offsets are pure integer day arithmetic ((day - cohort_day)
+    DIV 7) — no engine-specific week truncation semantics. The
+    first-touch rollup and the re-join both shuffle on user_id, so the
+    join is co-partitioned (one exchange is reused); the final agg
+    shuffles on the (cohort_day, week) pair whose cardinality is
+    days x weeks — tiny at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.expr("(unix_date(day) - unix_date(cohort_day)) DIV 7").alias("week"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week")
+    )
+
+
+def revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value in exact integer cents:
+    bucket = cents DIV 2_500_000 ($25k buckets). Integer floor-div on
+    longs is bit-identical across engines — no float boundary to
+    straddle. One groupBy on a low-cardinality derived key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DIV 2500000"
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            xsum(F.col("o_totalprice"), 2).alias("bucket_revenue"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000).alias("bucket_lo_dollars"),
+            "n_orders",
+            "bucket_revenue",
+        )
+        .orderBy("bucket")
+    )
+
+
+def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval build: collapse
+    each customer's order-priority history into [valid_from, valid_to]
+    runs. The classic gaps-and-islands shape — lag to flag changes,
+    running sum of flags as the island id, one group per island.
+
+    Scale: both windows and the final agg share the o_custkey
+    partitioning (one shuffle, two local sorts); no joins at all.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderkey",
+        F.when(
+            F.lag("o_orderpriority").over(wo).isNull()
+            | (F.lag("o_orderpriority").over(wo) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    seg = flagged.withColumn(
+        "segment",
+        F.sum("chg").over(
+            Window.partitionBy("o_custkey")
+            .orderBy("day", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        seg.groupBy("o_custkey", "segment", "o_orderpriority")
+        .agg(
+            F.min("day").alias("valid_from"),
+            F.max("day").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey", "segment")
+    )
+
+
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the DESCRIBE/summary surface):
+    per-column row count, null count, distinct count, min/max as
+    strings. A single wide aggregate scan — the multi-count_distinct
+    Expand is the textbook tradeoff (rows x profiled-columns) and is
+    still one job; at 100 TB you swap count_distinct for
+    approx_count_distinct, same plan shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(c).alias(f"{c}_nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}_min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}_max"),
+        ]
+    wide = orders.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}_nn")).alias("n_null"),
+            F.col(f"{c}_nd").alias("n_distinct"),
+            F.col(f"{c}_min").alias("min_value"),
+            F.col(f"{c}_max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over documents, made scalable by
+    blocking: candidates must share (lang, n_chars DIV 32) — an
+    equi-join key — and only candidates pay the O(len^2) Levenshtein
+    kernel, on a fixed 64-char prefix so per-pair cost is bounded.
+    Standard blocking recall tradeoff (pairs straddling a length
+    boundary are missed) — the same posture as dedup_minhash_lsh's
+    banding. Never all-pairs: cost is sum over blocks of |block|^2
+    with |block| capped by the key's selectivity, not n^2.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars DIV 32").alias("len_bucket"),
+        F.substring(F.lower(F.col("text")), 1, 64).alias("prefix"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: explode ASCII word tokens, count, rank,
+    keep the top 100 by (count desc, token asc) — the deterministic
+    tie-break makes the result hashable cross-engine. Token regex is
+    pinned to [a-z]+ after lower() so Java and C regex/Unicode
+    semantics cannot diverge. Shuffle on token with map-side partial
+    counts; the final top-k is TakeOrderedAndProject, not a sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token")
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(100)
+
+
+QUERIES_ANALYTICS = {
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+    "revenue_histogram": revenue_histogram,
+    "scd2_priority_intervals": scd2_priority_intervals,
+    "data_profile_orders": data_profile_orders,
+    "dedup_levenshtein": dedup_levenshtein,
+    "vocabulary_topk": vocabulary_topk,
+}
+
+ORACLES_ANALYTICS = {
+    "funnel_conversion": """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+  count(*) FILTER (t_view IS NOT NULL) AS n_viewed,
+  count(*) FILTER (t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click >= t_view) AS n_clicked,
+  count(*) FILTER (t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click >= t_view AND t_purchase IS NOT NULL
+                   AND t_purchase >= t_click) AS n_purchased
+FROM per_user
+""",
+    "cohort_retention": """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, day) // 7 AS BIGINT) AS week,
+       count(DISTINCT d.user_id) AS n_users
+FROM days d JOIN first f ON d.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "revenue_histogram": f"""
+SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) // 2500000 AS bucket,
+       (CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) // 2500000) * 25000
+         AS bucket_lo_dollars,
+       count(*) AS n_orders,
+       {sql_xsum("o_totalprice", 2)} AS bucket_revenue
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "scd2_priority_intervals": """
+WITH flagged AS (
+  SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         o_orderkey,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+seg AS (
+  SELECT *, CAST(sum(chg) OVER (
+    PARTITION BY o_custkey ORDER BY day, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment
+  FROM flagged
+)
+SELECT o_custkey, segment, o_orderpriority,
+       min(day) AS valid_from, max(day) AS valid_to,
+       count(*) AS n_orders
+FROM seg GROUP BY 1, 2, 3 ORDER BY o_custkey, segment
+""",
+    "data_profile_orders": """
+WITH wide AS (
+  SELECT count(*) AS n_rows,
+    count(o_custkey) AS c1_nn, count(DISTINCT o_custkey) AS c1_nd,
+    min(CAST(o_custkey AS VARCHAR)) AS c1_min, max(CAST(o_custkey AS VARCHAR)) AS c1_max,
+    count(o_orderstatus) AS c2_nn, count(DISTINCT o_orderstatus) AS c2_nd,
+    min(o_orderstatus) AS c2_min, max(o_orderstatus) AS c2_max,
+    count(o_orderpriority) AS c3_nn, count(DISTINCT o_orderpriority) AS c3_nd,
+    min(o_orderpriority) AS c3_min, max(o_orderpriority) AS c3_max
+  FROM orders
+)
+SELECT 'o_custkey' AS "column", n_rows, n_rows - c1_nn AS n_null,
+       c1_nd AS n_distinct, c1_min AS min_value, c1_max AS max_value FROM wide
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - c2_nn, c2_nd, c2_min, c2_max FROM wide
+UNION ALL
+SELECT 'o_orderpriority', n_rows, n_rows - c3_nn, c3_nd, c3_min, c3_max FROM wide
+ORDER BY "column"
+""",
+    "dedup_levenshtein": """
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 32 AS len_bucket,
+         substr(lower(text), 1, 64) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+ORDER BY doc_a, doc_b
+""",
+    "vocabulary_topk": """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+""",
+}
