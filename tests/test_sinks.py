@@ -93,3 +93,70 @@ def test_full_dag_pipeline_to_warehouse(spark, tmp_path):
     wh2 = spark.read.parquet(warehouse)
     assert wh2.count() == n
     assert wh2.filter(F.col("title") == "RESTATED").count() == 10
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Versioned snapshot writes: atomic pointer swap, as-of reads,
+    vacuum retains the current version."""
+    table = str(tmp_path / "versioned")
+    cust = load_table(spark, SF_SMOKE, "customer").limit(50)
+
+    v1 = sinks.write_snapshot(cust, table)
+    v2 = sinks.write_snapshot(cust.withColumn("c_name", F.lit("V2")), table)
+    v3 = sinks.write_snapshot(cust.limit(10), table)
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert sinks.current_snapshot_version(table) == 3
+    assert sinks.read_snapshot(spark, table).count() == 10
+    # time travel
+    assert sinks.read_snapshot(spark, table, version=1).count() == 50
+    v2_df = sinks.read_snapshot(spark, table, version=2)
+    assert v2_df.filter(F.col("c_name") == "V2").count() == 50
+
+    removed = sinks.vacuum_snapshots(table, keep=2)
+    assert removed == [1]
+    assert sinks.snapshot_versions(table) == [2, 3]
+    assert sinks.read_snapshot(spark, table).count() == 10
+
+
+def test_aggstate_partials_idempotent_and_compact(spark, tmp_path):
+    """Log-structured incremental aggregates: a re-applied batch (the
+    foreachBatch retry case) cannot double-count; compaction preserves
+    the view."""
+    from pyspark.sql import functions as SF
+
+    from youtube_etl_automated_pipeline_spark.streaming import aggstate
+
+    state = str(tmp_path / "aggstate")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    measures = {"n_events": SF.count(SF.lit(1)), "sum_ids": SF.sum("event_id")}
+
+    b0 = ev.filter(SF.col("event_id") % 2 == 0)
+    b1 = ev.filter(SF.col("event_id") % 2 == 1)
+    aggstate.write_batch_partials(b0, state, 0, ["event_type"], measures)
+    aggstate.write_batch_partials(b1, state, 1, ["event_type"], measures)
+    # retry of batch 1: same directory overwritten, no double count
+    aggstate.write_batch_partials(b1, state, 1, ["event_type"], measures)
+
+    expected = {
+        (r["event_type"], r["n_events"], r["sum_ids"])
+        for r in ev.groupBy("event_type")
+        .agg(measures["n_events"].alias("n_events"), measures["sum_ids"].alias("sum_ids"))
+        .collect()
+    }
+    view = {
+        (r["event_type"], r["n_events"], r["sum_ids"])
+        for r in aggstate.read_view(spark, state, ["event_type"]).collect()
+    }
+    assert view == expected
+
+    aggstate.compact(spark, state, ["event_type"])
+    import os
+
+    assert os.path.isdir(os.path.join(state, "base"))
+    assert not any(d.startswith("batch=") for d in os.listdir(state))
+    after = {
+        (r["event_type"], r["n_events"], r["sum_ids"])
+        for r in aggstate.read_view(spark, state, ["event_type"]).collect()
+    }
+    assert after == expected

@@ -89,6 +89,14 @@ SELECT key, CAST(price_cents AS DOUBLE) / 100 AS price,
 FROM last WHERE op <> 'D'
 ORDER BY key
 """,
+    # Twin of streaming_incremental_agg: additive partials over any
+    # batch split sum to the plain batch aggregate.
+    "streaming_incremental_agg": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     "events_session_window": f"""
 WITH flagged AS (
   SELECT user_id, ts, value,

@@ -265,6 +265,62 @@ def streaming_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance run by a REAL multi-batch
+    stream: events split into 3 files → maxFilesPerTrigger=1 → each
+    micro-batch writes idempotent per-batch PARTIAL aggregates
+    (streaming/aggstate.py, log-structured so a batch retry cannot
+    double-count) → compaction folds the log → the view equals the
+    full batch aggregate (the oracle). The complement of
+    streaming_merge_cdc: additive state, not keyed latest-state."""
+    import os
+    import shutil
+
+    from youtube_etl_automated_pipeline_spark.streaming.aggstate import (
+        compact,
+        read_view,
+        run_partials_stream,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base_dir = os.path.join("/tmp/spark_graft_aggstate", sf_tag)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    src = os.path.join(base_dir, "src")
+    state = os.path.join(base_dir, "state")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for b in range(3):
+        stage = os.path.join(base_dir, f"stage{b}")
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_000_000 + 10 * b, 1_000_000 + 10 * b))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    measures = {
+        "n_events": F.count(F.lit(1)),
+        "sum_cents": F.sum(units(F.col("value"), 2)),
+    }
+    run_partials_stream(stream, state, ckpt, ["event_type"], measures)
+    compact(spark, state, ["event_type"])
+    view = read_view(spark, state, ["event_type"])
+    return view.select(
+        "event_type",
+        "n_events",
+        (F.col("sum_cents") / 1e2).alias("sum_value"),
+    ).orderBy("event_type")
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
@@ -275,4 +331,5 @@ QUERIES_STREAMING = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_merge_cdc": streaming_merge_cdc,
     "streaming_windowed_distinct_users": streaming_windowed_distinct_users,
+    "streaming_incremental_agg": streaming_incremental_agg,
 }

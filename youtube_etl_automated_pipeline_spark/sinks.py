@@ -95,6 +95,60 @@ def flush(
     truncate_staging(spark, staging_path)
 
 
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Versioned snapshot write (time travel): every write lands in a
+    fresh ``v<N>`` directory and a ``_CURRENT`` pointer file is swapped
+    atomically (write-temp + os.replace) — readers never see a partial
+    table, historical versions stay readable until vacuumed, and a
+    crashed write leaves at most an orphaned version dir, never a
+    corrupt pointer. The poor-man's Delta/Iceberg commit protocol; on
+    a real cluster the pointer swap becomes the table format's
+    metadata commit, semantics identical. Returns the new version."""
+    os.makedirs(table_dir, exist_ok=True)
+    version = max(snapshot_versions(table_dir), default=0) + 1
+    vdir = os.path.join(table_dir, f"v{version}")
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+    return version
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def current_snapshot_version(table_dir: str) -> int:
+    with open(os.path.join(table_dir, "_CURRENT")) as f:
+        return int(f.read().strip())
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    v = current_snapshot_version(table_dir) if version is None else version
+    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+
+
+def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` versions (the current version
+    is always retained). Returns the versions removed."""
+    current = current_snapshot_version(table_dir)
+    versions = snapshot_versions(table_dir)
+    doomed = [v for v in versions[:-keep] if v != current] if keep > 0 else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+    return doomed
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 8
 ) -> None:
