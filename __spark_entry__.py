@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
         QUERIES_ANALYTICS,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_llmdata import (
+        QUERIES_LLMDATA,
+    )
 
     return {
         **QUERIES,
@@ -71,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_SOURCES,
         **QUERIES_TPCH,
         **QUERIES_ANALYTICS,
+        **QUERIES_LLMDATA,
     }
 
 
@@ -106,6 +110,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
         ORACLES_ANALYTICS,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_llmdata import (
+        ORACLES_LLMDATA,
+    )
 
     return {
         **ORACLES,
@@ -122,4 +129,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_SOURCES,
         **ORACLES_TPCH,
         **ORACLES_ANALYTICS,
+        **ORACLES_LLMDATA,
     }
