@@ -34,11 +34,26 @@ from pyspark.sql import functions as F
 from youtube_etl_automated_pipeline_spark.functions.compat import units
 from youtube_etl_automated_pipeline_spark.operators.dedup import keep_last
 
-# events.parquet stores TIMESTAMP(NANOS); with the session's
-# nanosAsLong conf the parquet column arrives as long (see
-# sources.readers.load_table, which this schema must mirror).
+# Schema for event files whose ts column is PHYSICALLY int64 nanos
+# (files written by our own sinks/tests as bigint). The batch path
+# converts with `timestamp_micros(ts div 1000)`.
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+# Schema for the testdata events.parquet, whose ts is logical
+# TIMESTAMP(NANOS). The file-stream source coerces the parquet value
+# to the DECLARED type: asking for timestamp yields the
+# nanos-truncated-to-micros instant directly (same micros as the
+# batch path's `timestamp_micros(ts div 1000)`), whereas asking for
+# bigint yields MICROsecond longs — not nanos — so a `div 1000`
+# there silently compresses the timeline 1000x (1970 dates, bogus
+# window/join results). Declared-type coercion, not a manual cast,
+# is the only conversion that is stable across the batch/stream
+# reader split.
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint,"
     " event_type string, value double, props string"
 )
 
@@ -54,12 +69,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_session_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_window_agg(
