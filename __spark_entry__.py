@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         QUERIES_SOURCES,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import QUERIES_TPCH
+    from youtube_etl_automated_pipeline_spark.plans.queries_tpch2 import QUERIES_TPCH2
     from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
         QUERIES_ANALYTICS,
     )
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_OLAP,
         **QUERIES_SOURCES,
         **QUERIES_TPCH,
+        **QUERIES_TPCH2,
         **QUERIES_ANALYTICS,
         **QUERIES_LLMDATA,
     }
@@ -107,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         ORACLES_SOURCES,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import ORACLES_TPCH
+    from youtube_etl_automated_pipeline_spark.plans.queries_tpch2 import ORACLES_TPCH2
     from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
         ORACLES_ANALYTICS,
     )
@@ -128,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_OLAP,
         **ORACLES_SOURCES,
         **ORACLES_TPCH,
+        **ORACLES_TPCH2,
         **ORACLES_ANALYTICS,
         **ORACLES_LLMDATA,
     }
