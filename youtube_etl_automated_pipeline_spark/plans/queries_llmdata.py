@@ -389,3 +389,131 @@ FROM ranked
 WHERE sample_rank <= {QUOTA_PER_LANG}
 ORDER BY lang, sample_rank
 """
+
+
+# ------------------------------------------------- split & packing
+
+SPLIT_TRAIN_PCT = 80  # hash-bucket boundaries: [0,80) train,
+SPLIT_VAL_PCT = 90  # [80,90) val, [90,100) test
+SEQ_LEN = 512  # context window (tokens) for sequence packing
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash — the reproducible-split primitive every training corpus
+    needs. Hash buckets (md5 of doc_id, portable across engines) mean
+    a doc's split NEVER changes as the corpus grows — unlike
+    randomSplit, whose assignment depends on partitioning — and new
+    docs distribute 80/10/10 automatically. Pure map + one tiny agg:
+    scan-speed at 100 TB, no shuffle before the 3-group rollup."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        md5_long,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.col("n_chars"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            "doc_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed SEQ_LEN-token context windows by
+    contiguous greedy assignment: within each lang, docs in doc_id
+    order are laid end-to-end and a doc belongs to the bin where its
+    first token lands (bin = floor(start_offset / SEQ_LEN)). This is
+    the streaming-friendly packing used for LLM pretraining shards —
+    deterministic, order-stable, and one window + one agg in Spark
+    (prefix sum per lang partition; at 100 TB shard the partition key
+    to (lang, doc_id range) to bound each prefix chain).
+    Output: per (lang, bin) doc count, token sum, and doc-id range."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "lang", "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer `div`, not float `/`: offsets in a 100 TB corpus exceed
+    # 2^53 tokens, where double division would mis-bin
+    packed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("bin_id", F.expr(f"start_offset div {SEQ_LEN}")).drop("start_offset")
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+QUERIES_LLMDATA["train_val_test_split"] = train_val_test_split
+QUERIES_LLMDATA["sequence_packing"] = sequence_packing
+
+# CASE-guarded token count: Spark's tokens('') is [], DuckDB's
+# string_split_regex('') is [''] — the guard pins both to 0.
+_NTOKS = (
+    "CASE WHEN trim(text) = '' THEN 0"
+    f" ELSE len({_TOKS}) END"
+)
+
+ORACLES_LLMDATA["train_val_test_split"] = f"""
+WITH b AS (
+  SELECT doc_id, n_chars, {_NTOKS} AS n_tokens,
+    CASE WHEN {_h("CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+         WHEN {_h("CAST(doc_id AS VARCHAR)")} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT split, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM b GROUP BY split ORDER BY split
+"""
+
+ORACLES_LLMDATA["sequence_packing"] = f"""
+WITH toks AS (
+  SELECT lang, doc_id, CAST({_NTOKS} AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST((sum(n_tokens) OVER (
+       PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       - n_tokens) // {SEQ_LEN} AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, bin_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY lang, bin_id ORDER BY lang, bin_id
+"""

@@ -34,8 +34,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     so queries behave identically on a CALLER-provided session (the
     driver builds its own) as on session.get_spark():
 
-    - nanosAsLong: events.parquet is TIMESTAMP(NANOS) — unreadable
-      without it (PARQUET_TYPE_ILLEGAL);
+    - nanosAsLong: events.parquet has been generated as
+      TIMESTAMP(NANOS) in some testdata builds — unreadable without
+      the conf (PARQUET_TYPE_ILLEGAL); harmless when the build uses
+      timestamp[us];
     - ANSI off: the reference's null-on-failure parse semantics
       (SURVEY 1.1), and Spark 4 defaults ANSI on;
     - UTC session timezone: timestamp collect/format parity with the
@@ -55,10 +57,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (S2/S3 analog).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as a
-    long (nanosAsLong conf in session.get_spark) and we convert to a
-    microsecond timestamp here with integer ``div`` (a double division
-    would lose precision above 2^53 ns). Note: filters on the
+    ``events.ts`` arrives as TIMESTAMP directly when the testdata
+    build stores timestamp[us]; when a build stores TIMESTAMP(NANOS),
+    Spark reads it as a long (nanosAsLong conf in session.get_spark)
+    and the dtype-guarded branch below converts to a microsecond
+    timestamp with integer ``div`` (a double division would lose
+    precision above 2^53 ns). Note: filters on the
     converted ``ts`` don't reach parquet row-group stats — push
     predicates on the raw long column when scanning huge event data.
     """

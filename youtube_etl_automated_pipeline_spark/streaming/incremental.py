@@ -42,16 +42,16 @@ EVENTS_RAW_SCHEMA = (
     " event_type string, value double, props string"
 )
 
-# Schema for the testdata events.parquet, whose ts is logical
-# TIMESTAMP(NANOS). The file-stream source coerces the parquet value
-# to the DECLARED type: asking for timestamp yields the
-# nanos-truncated-to-micros instant directly (same micros as the
-# batch path's `timestamp_micros(ts div 1000)`), whereas asking for
-# bigint yields MICROsecond longs — not nanos — so a `div 1000`
-# there silently compresses the timeline 1000x (1970 dates, bogus
-# window/join results). Declared-type coercion, not a manual cast,
-# is the only conversion that is stable across the batch/stream
-# reader split.
+# Schema for the testdata events.parquet (timestamp[us] in current
+# builds, TIMESTAMP(NANOS) in older ones). The file-stream source
+# coerces the parquet value to the DECLARED type: asking for
+# timestamp yields the micros instant directly for BOTH physical
+# types (nanos are truncated), whereas asking for bigint yields
+# MICROsecond longs — not nanos — so a `div 1000` there silently
+# compresses the timeline 1000x (1970 dates, bogus window/join
+# results). Declared-type coercion, not a manual cast, is the only
+# conversion that is stable across physical types and across the
+# batch/stream reader split.
 EVENTS_STREAM_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint,"
     " event_type string, value double, props string"
