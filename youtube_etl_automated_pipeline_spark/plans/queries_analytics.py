@@ -20,7 +20,7 @@ from youtube_etl_automated_pipeline_spark.functions.compat import (
     sql_xsum,
     xsum,
 )
-from youtube_etl_automated_pipeline_spark.sources import load_table
+from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,13 +196,19 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding. Never all-pairs: cost is sum over blocks of |block|^2
     with |block| capped by the key's selectivity, not n^2.
     """
+    # widen_scan: the probe side must have >= cores partitions or the
+    # whole O(|block|^2) Levenshtein pass lands in ONE task (the
+    # single-file local scan otherwise serialized this query, 27s ->
+    # ~1s at sf0.1). No trailing orderBy: range-partition sampling
+    # would re-execute the join, and the gate compare is
+    # order-insensitive.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.expr("n_chars DIV 32").alias("len_bucket"),
         F.substring(F.lower(F.col("text")), 1, 64).alias("prefix"),
     )
-    a = docs.alias("a")
+    a = widen_scan(docs).alias("a")
     b = docs.alias("b")
     return (
         a.join(
@@ -219,7 +225,6 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 20)
-        .orderBy("doc_a", "doc_b")
     )
 
 
