@@ -190,6 +190,14 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned once and shuffles only the matched rows into the final
     per-doc count. At 100 TB this is the standard decontamination
     sweep: broadcast the benchmark shingle set, map-side semi-join.
+
+    The exploded projection carries ONLY (doc_id, sh): any sibling
+    column derived from the shingle array (e.g. size(hashes)) gets
+    re-inlined by CollapseProject and re-evaluated alongside the
+    generator — measured 9.6s vs 2s at sf0.1. Per-doc totals come
+    from a count over the exploded rows instead (map-side-combinable,
+    5k-row result joined broadcast). Explode of an empty array emits
+    nothing, so short docs drop without a filter.
     """
     docs = widen_scan(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
@@ -197,19 +205,22 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TS.tokens(F.col("text"))
     grams = TS.shingles(toks, CONTAM_N)
     hashes = F.array_distinct(F.transform(grams, lambda s: TS.md5_long(s)))
-    base = docs.select(
-        "doc_id", F.size(hashes).cast("long").alias("n_shingles"),
-        F.explode(hashes).alias("sh"),
-    ).filter(F.size(toks) >= CONTAM_N)
+    exploded = docs.select("doc_id", F.explode(hashes).alias("sh"))
 
     eval_set = (
-        base.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("sh").distinct()
+        exploded.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("sh").distinct()
     )
-    train = base.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    return (
+    train = exploded.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    matched = (
         train.join(F.broadcast(eval_set), "sh")
-        .groupBy("doc_id", "n_shingles")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        matched.join(F.broadcast(totals), "doc_id")
         .select(
             "doc_id",
             "n_shingles",
@@ -218,7 +229,6 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contamination"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
