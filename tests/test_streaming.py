@@ -28,7 +28,7 @@ def test_foreach_batch_upsert_keep_last(spark, tmp_path):
     # duplicated keys in one source: keep-last by ts must pick `later`
     base.unionByName(later).select(
         "event_id",
-        F.unix_micros("ts").alias("us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         "user_id",
         "event_type",
         "value",
@@ -77,7 +77,7 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     ev = load_table(spark, SF_SMOKE, "events").select(
         "event_id",
-        (F.unix_micros("ts") * 1000).alias("ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -18,9 +18,29 @@ GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
 
+# Hopping 1h/30m windows: every event belongs to exactly two windows,
+# starting at its 30-minute bucket and at that bucket minus 30min —
+# the unnest reproduces Spark's map-side window fan-out.
+_HOPPING = """
+WITH fanout AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+                ]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM fanout
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
 ORACLES_STREAMING: dict[str, str] = {
     "events_tumbling_window": _TUMBLING,
     "streaming_tumbling_window": _TUMBLING,
+    "events_hopping_window": _HOPPING,
     "streaming_stateful_user_stats": f"""
 WITH last AS (
   SELECT user_id, event_id,
@@ -123,3 +143,10 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """,
 }
+
+# The streaming session-window gate shares the batch oracle: a fully
+# consumed availableNow source in complete mode produces the final
+# session set, identical to the batch aggregation.
+ORACLES_STREAMING["streaming_session_window"] = ORACLES_STREAMING[
+    "events_session_window"
+]

@@ -38,7 +38,7 @@ QUOTA_PER_LANG = 40
 
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size character chunking with overlap (the LLM context-
-    window prep step):每 doc explodes into ceil(len/stride) chunks of
+    window prep step):each doc explodes into ceil(len/stride) chunks of
     CHUNK_CHARS chars starting every CHUNK_STRIDE.
 
     Scale shape: sequence+posexplode is a map-side generator — no

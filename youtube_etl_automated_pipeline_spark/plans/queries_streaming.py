@@ -321,9 +321,50 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization run by the STREAMING engine:
+    ``session_window`` merges adjacent-in-time state per key and the
+    watermark bounds how long an open session can wait for late
+    events. Complete-mode output over a fully-consumed availableNow
+    source equals the batch plan (same builder), so the batch
+    session-window oracle applies verbatim."""
+    stream = read_events_stream(spark, sf_dir)
+    result = session_window_agg(stream)
+    return run_stream_to_memory(result, "session_windows").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window rollup: 1-hour windows advancing every
+    30 minutes, so each event lands in exactly 2 overlapping windows.
+    Spark expands the window set map-side (a 2x row fan-out before the
+    partial agg) — state per window stays bounded, the canonical
+    smoothing shape for rate dashboards."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
+    "streaming_session_window": streaming_session_window,
+    "events_hopping_window": events_hopping_window,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_stateful_user_stats": streaming_stateful_user_stats,
     "streaming_dedup_ids": streaming_dedup_ids,
