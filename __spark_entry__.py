@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import QUERIES_TPCH
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch2 import QUERIES_TPCH2
     from youtube_etl_automated_pipeline_spark.plans.queries_graph import QUERIES_GRAPH
+    from youtube_etl_automated_pipeline_spark.plans.queries_tpch3 import QUERIES_TPCH3
     from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
         QUERIES_ANALYTICS,
     )
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_SOURCES,
         **QUERIES_TPCH,
         **QUERIES_TPCH2,
+        **QUERIES_TPCH3,
         **QUERIES_GRAPH,
         **QUERIES_ANALYTICS,
         **QUERIES_LLMDATA,
@@ -113,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch import ORACLES_TPCH
     from youtube_etl_automated_pipeline_spark.plans.queries_tpch2 import ORACLES_TPCH2
     from youtube_etl_automated_pipeline_spark.plans.queries_graph import ORACLES_GRAPH
+    from youtube_etl_automated_pipeline_spark.plans.queries_tpch3 import ORACLES_TPCH3
     from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
         ORACLES_ANALYTICS,
     )
@@ -135,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_SOURCES,
         **ORACLES_TPCH,
         **ORACLES_TPCH2,
+        **ORACLES_TPCH3,
         **ORACLES_GRAPH,
         **ORACLES_ANALYTICS,
         **ORACLES_LLMDATA,
