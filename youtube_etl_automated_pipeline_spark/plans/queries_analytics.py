@@ -355,3 +355,78 @@ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
 GROUP BY token ORDER BY n DESC, token LIMIT 100
 """,
 }
+
+
+EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_cents bigint, ewma double"
+
+
+def _ewma_kernel(pdf):
+    """Integer-exact EWMA with alpha=1/4: e_0 = v_0;
+    e_i = (3*e_{i-1} + v_i) // 4 on cents. Floor division on a
+    positive domain == truncation, so DuckDB's `//` agrees exactly.
+    A per-row Python loop is fine HERE: the recursion is inherently
+    sequential per key, the loop runs inside an Arrow-batched grouped
+    kernel (thousands of keys in parallel across cores), and each
+    key's history is bounded."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    e = int(cents[0])
+    for v in cents[1:]:
+        e = (3 * e + int(v)) // 4
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(cents)],
+            "ewma_cents": [e],
+            "ewma": [e / 100.0],
+        }
+    )
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value —
+    the sequential-recursion shape no window function expresses
+    (each state depends on the previous state, not a frame aggregate).
+
+    Scale shape: grouped-map applyInPandas shuffles once on user_id
+    and runs the O(history) recursion per key; state per task is one
+    integer. The integer formulation (cents, rational alpha 3/4+1/4,
+    floor div) makes the result bit-identical to the DuckDB
+    recursive-CTE oracle — a float EWMA would drift across engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_ewma_kernel, EWMA_SCHEMA)
+        .orderBy("user_id")
+    )
+
+
+QUERIES_ANALYTICS["ewma_user_value"] = ewma_user_value
+
+ORACLES_ANALYTICS["ewma_user_value"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, c AS e FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, (3 * r.e + ev.c) // 4
+  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(max(rn) AS BIGINT) AS n_events,
+       arg_max(e, rn) AS ewma_cents,
+       CAST(arg_max(e, rn) AS DOUBLE) / 100.0 AS ewma
+FROM r
+GROUP BY user_id
+ORDER BY user_id
+"""
