@@ -65,3 +65,29 @@ ORACLES_SQL = {
     # names); only the grouping() cast spelling is shared already.
     "sql_grouping_sets": GROUPING_SETS_SQL,
 }
+
+
+# Top-N-per-group through a correlated LATERAL derived table — ANSI
+# text both engines run verbatim. Catalyst decorrelates the
+# LATERAL ORDER BY/LIMIT into a ranked window join (no per-row
+# re-scan of customer); the (acctbal, custkey) tie-break makes the
+# result a total order, hash-stable cross-engine.
+LATERAL_TOPN_SQL = """
+SELECT n_name AS nation_name, t.c_custkey, t.c_name, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+ORDER BY nation_name, c_acctbal DESC, c_custkey
+"""
+
+
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation via a LATERAL correlated
+    subquery (the SQL-standard top-N-per-group idiom)."""
+    register_views(spark, sf_dir, tables=("nation", "customer"))
+    return spark.sql(LATERAL_TOPN_SQL)
+
+
+QUERIES_SQL["sql_lateral_topn"] = sql_lateral_topn
+ORACLES_SQL["sql_lateral_topn"] = LATERAL_TOPN_SQL
