@@ -64,3 +64,72 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Second-generation arbitrary state: transformWithStateInPandas
+# (Spark 4). Unlike applyInPandasWithState's single opaque tuple, the
+# processor owns NAMED state variables with schemas (ValueState /
+# ListState / MapState), gets lifecycle hooks (init/close), timers,
+# and TTL — the API Spark positions as the successor. Requires the
+# RocksDB state store provider AND a working `google.protobuf`
+# (the state-server protocol is protobuf-based); this container has
+# no protobuf, so the operator is exercised by a pytest that SKIPS
+# when the import is unavailable (tests/test_streaming.py) instead of
+# a driver gate query that could never run here.
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, peak_cents bigint"
+
+
+class UserPeakProcessor:
+    """Running per-user event count + peak value (exact integer
+    cents). Deterministic regardless of batch split: count is
+    additive, max is associative."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "peak", "n bigint, peak_cents bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, peak = (0, -1)
+        if self._state.exists():
+            n, peak = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents = np.floor(v * 100.0 + 0.5).astype("int64")
+            if len(cents):
+                peak = max(peak, int(cents.max()))
+        self._state.update((n, peak))
+        yield pd.DataFrame(
+            [(key[0], n, peak)],
+            columns=["user_id", "n_events", "peak_cents"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_processor():
+    """Build the StatefulProcessor subclass lazily: the base class
+    import must not break environments without the Spark 4 API."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # mixin first: the concrete methods must precede the ABC in the
+    # MRO or they do not override its abstract stubs
+    return type(
+        "UserPeakStatefulProcessor", (UserPeakProcessor, StatefulProcessor), {}
+    )()
+
+
+def tws_user_peaks(events: DataFrame) -> DataFrame:
+    """Apply the transformWithStateInPandas peak tracker to a
+    STREAMING events DataFrame (update mode, no event-time timers)."""
+    keyed = events.select("user_id", "value")
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
