@@ -360,28 +360,51 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_cents bigint, ewma double"
 
 
-def _ewma_kernel(pdf):
+def _ewma_partition_kernel(batches):
     """Integer-exact EWMA with alpha=1/4: e_0 = v_0;
     e_i = (3*e_{i-1} + v_i) // 4 on cents. Floor division on a
     positive domain == truncation, so DuckDB's `//` agrees exactly.
-    A per-row Python loop is fine HERE: the recursion is inherently
-    sequential per key, the loop runs inside an Arrow-batched grouped
-    kernel (thousands of keys in parallel across cores), and each
-    key's history is bounded."""
+
+    Partition-level kernel over (user_id, ts, event_id)-sorted rows:
+    ONE Python loop per partition with a reset at user boundaries,
+    carrying state across Arrow batch edges — ~32 kernel invocations
+    instead of one per key (per-group applyInPandas paid ~2ms of
+    pandas overhead x 1500 keys = 3.3s of the 5.4s total at sf0.1;
+    this form runs in ~2s). Same trick as the bucketed cogroup
+    kernel."""
     import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
-    e = int(cents[0])
-    for v in cents[1:]:
-        e = (3 * e + int(v)) // 4
-    return pd.DataFrame(
+    out_u: list[int] = []
+    out_n: list[int] = []
+    out_e: list[int] = []
+    cur = None
+    n = 0
+    e = 0
+    for pdf in batches:
+        users = pdf["user_id"].to_numpy()
+        cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        for i in range(len(users)):
+            u = int(users[i])
+            if u != cur:
+                if cur is not None:
+                    out_u.append(cur)
+                    out_n.append(n)
+                    out_e.append(e)
+                cur, n, e = u, 1, int(cents[i])
+            else:
+                n += 1
+                e = (3 * e + int(cents[i])) // 4
+    if cur is not None:
+        out_u.append(cur)
+        out_n.append(n)
+        out_e.append(e)
+    yield pd.DataFrame(
         {
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [len(cents)],
-            "ewma_cents": [e],
-            "ewma": [e / 100.0],
+            "user_id": out_u,
+            "n_events": out_n,
+            "ewma_cents": out_e,
+            "ewma": [c / 100.0 for c in out_e],
         }
     )
 
@@ -391,19 +414,21 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential-recursion shape no window function expresses
     (each state depends on the previous state, not a frame aggregate).
 
-    Scale shape: grouped-map applyInPandas shuffles once on user_id
-    and runs the O(history) recursion per key; state per task is one
-    integer. The integer formulation (cents, rational alpha 3/4+1/4,
-    floor div) makes the result bit-identical to the DuckDB
-    recursive-CTE oracle — a float EWMA would drift across engines.
+    Scale shape: one hash repartition on user_id co-locates each
+    key's history, sortWithinPartitions gives the recursion its
+    order, and a mapInPandas kernel sweeps each partition once. The
+    integer formulation (cents, rational alpha 3/4+1/4, floor div)
+    makes the result bit-identical to the DuckDB recursive-CTE
+    oracle — a float EWMA would drift across engines.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(_ewma_kernel, EWMA_SCHEMA)
-        .orderBy("user_id")
+    parted = ev.repartition(
+        ev.sparkSession.sparkContext.defaultParallelism, "user_id"
+    ).sortWithinPartitions("user_id", "ts", "event_id")
+    return parted.mapInPandas(_ewma_partition_kernel, EWMA_SCHEMA).orderBy(
+        "user_id"
     )
 
 
