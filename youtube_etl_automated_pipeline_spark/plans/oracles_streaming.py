@@ -150,3 +150,17 @@ ORDER BY user_id, session_start
 ORACLES_STREAMING["streaming_session_window"] = ORACLES_STREAMING[
     "events_session_window"
 ]
+
+# Left side bounded 3 days before the data's end -> every outer
+# window is closed by the final watermark, so the batch left join is
+# exact.
+ORACLES_STREAMING["streaming_outer_join_unmatched"] = """
+SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+       e.user_id, e.ts AS e_ts, p.ts AS p_ts
+FROM events e LEFT JOIN events p
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+WHERE e.event_type = 'error' AND e.ts < TIMESTAMP '2024-01-28 00:00:00'
+ORDER BY error_id, purchase_id
+"""

@@ -125,6 +125,63 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_outer_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every error keeps
+    its row even when no purchase follows within 30 minutes — the
+    null side is emitted only once the watermark PROVES no match can
+    still arrive (the semantics that separate a streaming outer join
+    from a batch one). The left side stops 3 days before the data's
+    end (a literal the testdata always satisfies: events span one
+    month), and the session uses multipleWatermarkPolicy=max for the
+    run (restored after): under the default min policy the FILTERED
+    left side stalls the global watermark ~1h before its own cutoff
+    and withholds the last few unmatched rows, while the unfiltered
+    right side's watermark closes every left window with a 2-day
+    margin. With all windows provably closed at the end of the
+    availableNow run (the no-data final batch flushes evicted state),
+    the batch left join is an exact oracle."""
+    wm_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    wm_prev = spark.conf.get(wm_key, None)
+    spark.conf.set(wm_key, "max")
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "error") & (F.col("ts") < "2024-01-28")
+        )
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("error_id", "purchase_id", F.col("e_user").alias("user_id"), "e_ts", "p_ts")
+    try:
+        out = run_stream_to_memory(joined, "ss_outer_join", output_mode="append")
+    finally:
+        if wm_prev is None:
+            spark.conf.unset(wm_key)
+        else:
+            spark.conf.set(wm_key, wm_prev)
+    return out.orderBy("error_id", "purchase_id")
+
+
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join: the event stream enriched against the
     static customer dimension (broadcast per micro-batch — no stream
@@ -369,6 +426,7 @@ QUERIES_STREAMING = {
     "streaming_stateful_user_stats": streaming_stateful_user_stats,
     "streaming_dedup_ids": streaming_dedup_ids,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_outer_join_unmatched": streaming_outer_join_unmatched,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_merge_cdc": streaming_merge_cdc,
     "streaming_windowed_distinct_users": streaming_windowed_distinct_users,
