@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.operators.dedup import dedup_audit
 from youtube_etl_automated_pipeline_spark.operators.joins import dim_last_wins
+from tests.conftest import SF_SMOKE
 from youtube_etl_automated_pipeline_spark.sources import load_json_dim
 
 
@@ -81,3 +82,22 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "a", "b"}
     assert df.filter(F.col("b").isNull()).count() == 5
     assert df.filter(F.col("b").isNotNull()).count() == 5
+
+
+def test_partitioned_events_partition_pruning(spark):
+    """The date-range filter must become directory-level partition
+    pruning: the scan's PartitionFilters carry the between bounds and
+    the partition count read equals the 3 selected days."""
+    from youtube_etl_automated_pipeline_spark.sources import (
+        materialize_partitioned_events,
+    )
+
+    path = materialize_partitioned_events(spark, SF_SMOKE)
+    df = spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:300]
+    days = df.select("event_date").distinct().count()
+    assert days == 3

@@ -85,3 +85,43 @@ ORACLES_SOURCES = {
     "jsonl_documents_rollup": _ROLLUP_SQL,
     "orc_documents_rollup": _ROLLUP_SQL,
 }
+
+
+def partitioned_events_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range rollup over the DATE-PARTITIONED events layout: the
+    filter on the partition column becomes directory pruning (the scan
+    reads 3 of ~30 day-partitions; `PartitionFilters` in the plan,
+    asserted by tests/test_sources.py). The oracle computes the same
+    rollup from the raw table, so the partitioned write + pruned read
+    round-trip must be lossless."""
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from youtube_etl_automated_pipeline_spark.sources import (
+        materialize_partitioned_events,
+    )
+
+    path = materialize_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(
+        F.col("event_date").between("2024-01-10", "2024-01-12")
+    )
+    return (
+        ev.groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+QUERIES_SOURCES["partitioned_events_pruned_rollup"] = partitioned_events_pruned_rollup
+
+ORACLES_SOURCES["partitioned_events_pruned_rollup"] = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY 1, 2
+ORDER BY event_date, event_type
+"""

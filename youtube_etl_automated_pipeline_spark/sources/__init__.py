@@ -3,6 +3,7 @@ from youtube_etl_automated_pipeline_spark.sources.readers import (
     load_json_dim,
     load_table,
     materialize_format,
+    materialize_partitioned_events,
     read_jsonl,
     read_orc,
     widen_scan,
@@ -14,6 +15,7 @@ __all__ = [
     "load_json_dim",
     "load_table",
     "materialize_format",
+    "materialize_partitioned_events",
     "read_jsonl",
     "read_orc",
     "register_views",

@@ -144,3 +144,19 @@ def load_json_dim(spark: SparkSession, path: str) -> DataFrame:
     to reproduce dict-comprehension overwrite semantics.
     """
     return spark.read.option("multiLine", "true").json(path)
+
+
+def materialize_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Re-materialize events as a DATE-PARTITIONED parquet layout
+    (``event_date=YYYY-MM-DD/`` directories), once per sf — the
+    fixture for the partition-pruning gate. At 100 TB this layout is
+    what turns a date-range query from a full scan into reading a few
+    directories; locally it is ~30 small partitions."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/spark_graft_formats", sf_tag, "events_by_day.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        df.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    return out
