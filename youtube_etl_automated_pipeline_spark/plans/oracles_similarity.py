@@ -214,6 +214,32 @@ def _r6(expr: str) -> str:
     return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
 
+ORACLES_SIMILARITY["embedding_quantize_int8"] = """
+WITH base AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(generate_series(1, len(embedding)),
+      i -> abs(CAST(embedding[i] AS DOUBLE)))) AS amax
+  FROM embeddings
+), q AS (
+  SELECT vec_id, len(embedding) AS n_dims,
+    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+    CASE WHEN amax > 0 THEN
+      list_transform(generate_series(1, len(embedding)), i ->
+        CAST(greatest(-127, least(127,
+          floor(CAST(embedding[i] AS DOUBLE) / (amax / 127.0) + 0.5))) AS BIGINT))
+    ELSE list_transform(generate_series(1, len(embedding)), i -> CAST(0 AS BIGINT))
+    END AS qv
+  FROM base
+)
+SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale,
+  array_to_string(qv, ',') AS q_str,
+  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q
+FROM q
+ORDER BY vec_id
+"""
+
+
 ORACLES_SIMILARITY["embedding_label_stats"] = f"""
 WITH n AS (
   SELECT label, {_NORM_D} AS nrm FROM embeddings

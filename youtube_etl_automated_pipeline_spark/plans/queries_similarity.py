@@ -213,6 +213,47 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/serving compression step of an LLM retrieval pipeline
+    (4x smaller vectors, SIMD-friendly integer dot products
+    downstream).
+
+    Per vector: scale = max(|x|)/127, q_i = clamp(round(x_i/scale)).
+    Everything is a column expression (codegen, no UDF); the per-row
+    work is O(dim) with no shuffle at all — at 100 TB this is a pure
+    map stage that parallelizes perfectly and can be fused with the
+    writing scan.
+
+    Cross-engine exactness: max/abs/divide are order-independent IEEE
+    double ops; rounding is the explicit floor(x+0.5) (identical in
+    DuckDB, unlike round()'s engine-specific tie mode); the quantized
+    codes and their checksums are integers. The quantized vector is
+    emitted as a CSV string (gate-boundary array serialization).
+    """
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    vd = as_double(F.col("embedding"))
+    amax = F.array_max(F.transform(vd, F.abs))
+    scale = amax / F.lit(127.0)
+    clamp = lambda c: F.greatest(F.lit(-127).cast("bigint"), F.least(F.lit(127).cast("bigint"), c))  # noqa: E731
+    qv = F.when(
+        amax > 0,
+        F.transform(vd, lambda x: clamp(F.floor(x / scale + F.lit(0.5)))),
+    ).otherwise(F.transform(vd, lambda x: F.lit(0).cast("bigint")))
+    zero = F.lit(0).cast("bigint")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.when(amax > 0, scale).otherwise(F.lit(0.0)).alias("scale"),
+            F.concat_ws(",", F.transform(qv, lambda q: q.cast("string"))).alias("q_str"),
+            F.aggregate(qv, zero, lambda acc, q: acc + q).alias("sum_q"),
+            F.aggregate(qv, zero, lambda acc, q: acc + F.abs(q)).alias("sum_abs_q"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas over the embeddings table: per-label
     norm statistics (the Pandas-UDF grouped-map surface)."""
@@ -226,4 +267,5 @@ QUERIES_SIMILARITY = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "embedding_label_stats": embedding_label_stats,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
