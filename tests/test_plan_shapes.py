@@ -67,3 +67,37 @@ def test_lsh_band_joins_are_equi_joins(spark):
         plan = plan_of(q(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_runtime_bloom_filter_prunes_large_join(spark):
+    """100 TB shape: when a selective dim-side filter feeds a shuffle
+    join, Spark's runtime bloom filter should be injected on the fact
+    side so most fact rows die at the scan instead of crossing the
+    shuffle. Thresholds are lowered because the smoke tables are tiny;
+    on a real cluster the 10MB/10GB defaults gate the same rewrite."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:4000]
+        assert "bloom_filter_agg" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
