@@ -101,3 +101,25 @@ def test_partitioned_events_partition_pruning(spark):
     assert "event_date" in plan.split("PartitionFilters", 1)[1][:300]
     days = df.select("event_date").distinct().count()
     assert days == 3
+
+
+def test_paged_api_source_partitions_and_determinism(spark):
+    """The custom Python Data Source plans one input partition per
+    page (parallel 'requests', no driver cursor loop) and produces
+    deterministic rows with the declared schema."""
+    from youtube_etl_automated_pipeline_spark.sources.paged_api import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_api_sim")
+        .option("pages", 4)
+        .option("page_size", 10)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert [f.name for f in df.schema.fields] == ["page", "item_id", "video_code", "score"]
+    rows = df.orderBy("item_id").collect()
+    assert len(rows) == 40
+    assert rows[0].item_id == 0 and rows[-1].item_id == 39
+    assert rows[1].video_code == "VID%09d" % (2654435761 % 100_000_007)
+    assert rows[7].score == ((7 * 7919) % 1000) / 10.0

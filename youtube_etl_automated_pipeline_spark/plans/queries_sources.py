@@ -125,3 +125,63 @@ WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
 GROUP BY 1, 2
 ORDER BY event_date, event_type
 """
+
+
+def api_source_page_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the custom paginated-API connector (Python Data Source
+    API, `sources/paged_api.py`): 20 pages x 500 items — the
+    reference's ids-per-request batch size
+    (Python-pipeline/dataprocessing.py:77) — fetched as one Spark
+    partition per page, then rolled up per page.
+
+    Exactness: the double `score` is decoded back to its integer
+    tenths with `units()` before summing, so the per-page checksum is
+    integer arithmetic in both engines (no float-sum order exposure).
+    The oracle reproduces the connector's response arithmetic with
+    generate_series — equality proves the whole connector path
+    (partition planning, Arrow batch decode, schema mapping) is
+    lossless.
+    """
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from youtube_etl_automated_pipeline_spark.sources.paged_api import register
+
+    register(spark)
+    src = (
+        spark.read.format("paged_api_sim")
+        .option("pages", 20)
+        .option("page_size", 500)
+        .load()
+    )
+    return (
+        src.groupBy("page")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("item_id").alias("sum_id"),
+            F.min("video_code").alias("min_code"),
+            F.max("video_code").alias("max_code"),
+            (F.sum(units(F.col("score"), 1)) / 1e1).alias("sum_score"),
+        )
+        .orderBy("page")
+    )
+
+
+QUERIES_SOURCES["api_source_page_rollup"] = api_source_page_rollup
+
+ORACLES_SOURCES["api_source_page_rollup"] = """
+WITH items AS (
+  SELECT CAST(floor(i / 500) AS INT) AS page,
+         i AS item_id,
+         printf('VID%09d', (i * 2654435761) % 100000007) AS video_code,
+         ((i * 7919) % 1000) / 10.0 AS score
+  FROM generate_series(0, 9999) t(i)
+)
+SELECT page,
+       count(*) AS n_items,
+       CAST(sum(item_id) AS BIGINT) AS sum_id,
+       min(video_code) AS min_code,
+       max(video_code) AS max_code,
+       CAST(sum(CAST(floor(score * 10.0 + 0.5) AS BIGINT)) AS BIGINT) / 10.0 AS sum_score
+FROM items
+GROUP BY page
+ORDER BY page
+"""
