@@ -123,13 +123,18 @@ def run_partials_stream(
     measures: dict[str, Column],
 ) -> None:
     """Drive a stream through the partial-aggregate sink to completion."""
-    query = (
-        stream.writeStream.foreachBatch(
-            foreach_batch_partials(state_dir, keys, measures)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        stream_state_partitions,
     )
-    query.awaitTermination()
+
+    with stream_state_partitions(stream.sparkSession):
+        query = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_partials(state_dir, keys, measures)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()

@@ -27,6 +27,7 @@ import itertools
 import os
 import shutil
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +130,28 @@ def session_window_agg(
     )
 
 
+@contextmanager
+def stream_state_partitions(spark):
+    """Pin the STREAMING state partition count for the duration of a
+    query start: stateful operators fix their partition count at the
+    first checkpoint, and inheriting the batch shuffle width means one
+    state-store instance committing per partition per micro-batch —
+    pure overhead whenever state is small relative to the width.
+
+    Size it to expected STATE volume, not scan width: the default 8
+    suits the gate/bench datasets; a real deployment sets
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` to hundreds before the
+    FIRST run of a checkpoint (changing it later requires a state
+    rebuild — that is Spark's contract, not ours)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_stream_to_memory(
     result: DataFrame,
     name: str = "stream_result",
@@ -139,14 +162,15 @@ def run_stream_to_memory(
     everything currently in the source then stops — the deterministic
     'catch-up run' mode matching the reference's cron semantics."""
     qname = f"{name}_{next(_memsink_seq)}"
-    query = (
-        result.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_state_partitions(result.sparkSession):
+        query = (
+            result.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return result.sparkSession.table(qname)
 
 
@@ -194,14 +218,17 @@ def run_upsert_stream(
     order_by: Sequence[str] = ("ts",),
 ) -> None:
     """Drive a stream through the foreachBatch upsert to completion."""
-    query = (
-        events.writeStream.foreachBatch(foreach_batch_upsert(state_dir, keys, order_by))
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_state_partitions(events.sparkSession):
+        query = (
+            events.writeStream.foreachBatch(
+                foreach_batch_upsert(state_dir, keys, order_by)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
 
 def incremental_pipeline(
@@ -234,15 +261,16 @@ def incremental_pipeline(
             batch, channels, resource_names, shownames, cpm_categories, analytics
         )
 
-    query = (
-        video_stream.writeStream.foreachBatch(
-            foreach_batch_upsert(
-                fact_dir, ["video_id"], ["ingest_seq"], transform=enrich
+    with stream_state_partitions(video_stream.sparkSession):
+        query = (
+            video_stream.writeStream.foreachBatch(
+                foreach_batch_upsert(
+                    fact_dir, ["video_id"], ["ingest_seq"], transform=enrich
+                )
             )
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()

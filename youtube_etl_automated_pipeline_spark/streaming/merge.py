@@ -82,11 +82,16 @@ def run_cdc_merge_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    query = (
-        stream.writeStream.foreachBatch(foreach_batch_merge(state_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        stream_state_partitions,
     )
-    query.awaitTermination()
+
+    with stream_state_partitions(stream.sparkSession):
+        query = (
+            stream.writeStream.foreachBatch(foreach_batch_merge(state_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
