@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_llmdata import (
         QUERIES_LLMDATA,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
+        QUERIES_SKETCH,
+    )
 
     return {
         **QUERIES,
@@ -81,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_GRAPH,
         **QUERIES_ANALYTICS,
         **QUERIES_LLMDATA,
+        **QUERIES_SKETCH,
     }
 
 
@@ -122,6 +126,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_llmdata import (
         ORACLES_LLMDATA,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
+        ORACLES_SKETCH,
+    )
 
     return {
         **ORACLES,
@@ -142,4 +149,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_GRAPH,
         **ORACLES_ANALYTICS,
         **ORACLES_LLMDATA,
+        **ORACLES_SKETCH,
     }

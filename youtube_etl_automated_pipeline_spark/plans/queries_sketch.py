@@ -1,0 +1,174 @@
+"""Sketch + term-weighting queries: Count-Min-Sketch heavy hitters
+and TF-IDF-style top terms, both as pure DataFrame compositions with
+bit-exact DuckDB oracles.
+
+CMS shows the "novel sketch as DataFrame ops" pattern: because a CMS
+cell is just the sum of counts of the keys hashing into it, the
+sketch is two grouped aggregations — no UDF, no driver state, and
+the portable md5 hash family (ext.textstats.md5_long) lets the
+oracle rebuild the identical sketch. TF-IDF ranking uses tf/df
+(monotone in the usual tf*idf for a fixed corpus size) so scores
+stay integer-exact across engines — no transcendental log whose
+last-ulp differs between libm implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (
+    WS_CLASS,
+    md5_long,
+    normalized_text,
+    tokens,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+HH_TOPK = 20
+TOP_TERMS = 3
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch top-k heavy hitters over the event stream's
+    user ids: build a depth-4 x width-256 sketch, estimate each key as
+    the min over its 4 cells, report the top-20 keys by ESTIMATE
+    (ties broken by key — the classic CMS + heavy-hitter combination).
+
+    Scale shape: the raw stream is reduced per-key FIRST (map-side
+    combinable groupBy — the only pass over the 100 TB table), the
+    sketch is built from the per-key counts (4 rows per DISTINCT key,
+    not per event), and the final top-k is TakeOrderedAndProject over
+    the small estimate table. The true count rides along so the gate
+    also verifies the CMS guarantee est >= true (`overcount` is never
+    negative); at sf0.1 (1500 keys in 256 cells) the overcounts are
+    real, which is the point — width controls the error bound.
+    """
+    ev = widen_scan(load_table(spark, sf_dir, "events"))
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    cells = per_key.select(
+        "user_id", "cnt", F.explode(rows).alias("r")
+    ).withColumn(
+        "cell",
+        md5_long(
+            F.concat_ws(":", F.col("r").cast("string"), F.col("user_id").cast("string"))
+        )
+        % CMS_WIDTH,
+    )
+    sketch = cells.groupBy("r", "cell").agg(F.sum("cnt").alias("cell_cnt"))
+    est = (
+        cells.join(sketch, ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("true_cnt"), F.min("cell_cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), F.asc("user_id"))
+        .limit(HH_TOPK)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms, ranked by tf/df.
+
+    For a fixed corpus, tf * idf(df) is monotone decreasing in df for
+    any standard idf, so ranking by tf/df produces the same order as
+    tf*idf while staying exactly computable: score_micro =
+    floor(1e6*tf/df) is integer arithmetic both engines agree on
+    (quotients differ from integers by >= 1/df >> one double ulp).
+
+    Scale shape: explode -> two grouped counts (tf, then df over the
+    already-aggregated tf table — never a distinct over raw tokens)
+    -> broadcast-sized df join -> per-doc top-k window. The generator
+    projection carries only (doc_id, token array) so the array
+    expression is computed once (CollapseProject would otherwise
+    re-inline it per downstream column).
+    """
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
+    )
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_micro",
+        F.floor(F.lit(1_000_000) * F.col("tf") / F.col("df")).cast("bigint"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+QUERIES_SKETCH = {
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+_NORM = f"lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))"
+
+ORACLES_SKETCH = {
+    "cms_heavy_hitters": f"""
+WITH per_key AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), cells AS (
+  SELECT user_id, cnt, r,
+    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % {CMS_WIDTH} AS cell
+  FROM per_key, (SELECT unnest([{",".join(str(r) for r in range(CMS_DEPTH))}]) AS r) rs
+), sketch AS (
+  SELECT r, cell, CAST(sum(cnt) AS BIGINT) AS cell_cnt
+  FROM cells GROUP BY r, cell
+), est AS (
+  SELECT user_id,
+         CAST(max(cnt) AS BIGINT) AS true_cnt,
+         CAST(min(cell_cnt) AS BIGINT) AS cms_est
+  FROM cells JOIN sketch USING (r, cell)
+  GROUP BY user_id
+)
+SELECT user_id, true_cnt, cms_est,
+       CAST(cms_est - true_cnt AS BIGINT) AS overcount
+FROM est
+ORDER BY cms_est DESC, user_id ASC
+LIMIT {HH_TOPK}
+""",
+    "tfidf_top_terms": f"""
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex({_NORM}, '{WS_CLASS}+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id, tf.term, tf, df,
+         CAST(floor(1000000 * tf / df) AS BIGINT) AS score_micro
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_micro, rank
+FROM ranked WHERE rank <= {TOP_TERMS}
+ORDER BY doc_id, rank
+""",
+}
