@@ -57,6 +57,43 @@ def test_foreach_batch_upsert_keep_last(spark, tmp_path):
     assert spark.read.parquet(state).count() == 200
     assert not os.path.exists(state + ".inprogress")
 
+    # restart with NEW data: the checkpoint remembers processed files,
+    # so the resumed query ingests only the unseen batch — 100 new
+    # keys append, 100 re-ingested keys overwrite keep-last (the
+    # reference's cron catch-up cycle surviving a process restart).
+    newer = (
+        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        .withColumn("value", F.col("value") * 10)
+        .filter(F.col("event_id") % 2 == 0)
+    )
+    # guaranteed-new keys: shift ids far past any real event_id
+    fresh = base.limit(100).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    second = newer.unionByName(fresh)
+    n_overwrites = newer.count()
+    n_new = fresh.count()
+    second.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).withColumn("ts", F.expr("us * 1000")).drop("us").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    run_upsert_stream(stream, state, ckpt)
+    out2 = spark.read.parquet(state)
+    assert out2.count() == 200 + n_new
+    assert out2.select("event_id").distinct().count() == 200 + n_new
+    # overwritten keys carry the newest value (x10), untouched keys keep x2
+    got = {r["event_id"]: r["value"] for r in out2.collect()}
+    for r in newer.collect():
+        assert abs(got[r["event_id"]] - r["value"]) < 1e-9
+    assert n_overwrites > 0 and n_new > 0
+
 
 def test_session_window_invariants(spark):
     sessions = session_window_agg(load_table(spark, SF_SMOKE, "events"), gap="30 minutes")
