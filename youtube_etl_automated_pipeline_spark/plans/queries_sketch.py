@@ -172,3 +172,88 @@ FROM ranked WHERE rank <= {TOP_TERMS}
 ORDER BY doc_id, rank
 """,
 }
+
+
+VOCAB_MIN_COUNT = 5
+
+
+def quality_corpus_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality filter: score each document by how
+    "familiar" its tokens are under the corpus's own unigram counts —
+    the cheap statistical stand-in for LM-perplexity filtering in a
+    pretraining pipeline (gibberish and boilerplate-mangled docs score
+    low; OOV-heavy docs are flagged by the oov count).
+
+    vocab = terms seen >= 5 times corpus-wide (min-count pruning);
+    per doc: oov = tokens outside the vocab, score_ppm =
+    floor(1e6 * sum(vocab counts of tokens) / (n_tokens * T)) with T
+    the corpus token total — all-integer arithmetic end to end.
+
+    Scale shape: one token explode feeds both the vocab build (grouped
+    count) and the per-doc join; the vocab joins on term (equi-join,
+    broadcastable while the pruned vocab fits — min-count keeps it
+    zipf-truncated); per-doc reduce is map-side combinable. T is a
+    1-row broadcast.
+    """
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
+    )
+    terms = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    vocab = counts.filter(F.col("c_t") >= VOCAB_MIN_COUNT)
+    total = counts.agg(F.sum("c_t").alias("t_total"))
+    per_doc = (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("c_t").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("sum_c"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.floor(
+                F.lit(1_000_000) * F.col("sum_c") / (F.col("n_tokens") * F.col("t_total"))
+            )
+            .cast("bigint")
+            .alias("score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES_SKETCH["quality_corpus_familiarity"] = quality_corpus_familiarity
+
+ORACLES_SKETCH["quality_corpus_familiarity"] = f"""
+WITH terms AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex({_NORM}, '{WS_CLASS}+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c_t FROM terms GROUP BY term
+), vocab AS (
+  SELECT * FROM counts WHERE c_t >= {VOCAB_MIN_COUNT}
+), tot AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM counts
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.c_t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(sum(coalesce(v.c_t, 0)) AS BIGINT) AS sum_c
+  FROM terms LEFT JOIN vocab v USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(floor(1000000 * sum_c / (n_tokens * t_total)) AS BIGINT) AS score_ppm
+FROM per_doc, tot
+ORDER BY doc_id
+"""
