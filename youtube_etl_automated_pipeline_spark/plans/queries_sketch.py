@@ -257,3 +257,45 @@ SELECT doc_id, n_tokens, n_oov,
 FROM per_doc, tot
 ORDER BY doc_id
 """
+
+
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation aggregation (operators/skew.py) as an
+    oracle-visible gate: events rolled up by the LOW-CARDINALITY
+    event_type key via salt -> partial agg -> final agg, so no single
+    reducer ever owns a whole hot key's rows.
+
+    Exactness under re-association: the double `value` is converted to
+    integer cents BEFORE the two-stage sum (integer addition is
+    associative; a salted double sum would expose IEEE ordering), and
+    divided back once at the end — the oracle's single-stage sum is
+    bit-identical.
+    """
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from youtube_etl_automated_pipeline_spark.operators.skew import salted_count_sum
+
+    ev = widen_scan(load_table(spark, sf_dir, "events"))
+    cents = ev.select(
+        "event_type", "event_id", units(F.col("value"), 2).alias("value_cents")
+    )
+    out = salted_count_sum(
+        cents, ["event_type"], "value_cents", F.col("event_id")
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        (F.col("sum_value") / 1e2).alias("sum_value"),
+    ).orderBy("event_type")
+
+
+QUERIES_SKETCH["skew_salted_rollup"] = skew_salted_rollup
+
+ORACLES_SKETCH["skew_salted_rollup"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
