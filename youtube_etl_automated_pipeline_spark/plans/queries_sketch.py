@@ -299,3 +299,105 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the ETL diff
+    operator (what changed between yesterday's and today's load?).
+
+    The "new" snapshot is derived deterministically from orders:
+    every 7th key dropped (deletes), every 5th key's total bumped 10%
+    (updates), the rest unchanged. A full outer join on the key then
+    classifies each row added / removed / changed / unchanged, and
+    the gate reports per-class counts + integer checksums.
+
+    Scale shape: both snapshots shuffle once on the join key (AQE can
+    convert to skew-safe splits); classification is a codegen'd CASE
+    over the join's null pattern — at 100 TB this is the canonical
+    one-shuffle table diff, no driver involvement.
+    """
+    orders = widen_scan(load_table(spark, sf_dir, "orders"))
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+
+    old = orders.select(
+        "o_orderkey", units(F.col("o_totalprice"), 2).alias("cents")
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                (F.col("cents") * 110) / F.lit(100),
+            )
+            .otherwise(F.col("cents"))
+            .cast("bigint"),
+        )
+        # inserts: every 11th key cloned past the key range
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "cents",
+            )
+        )
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("old_cents")
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("new_cents")
+    )
+    diff = o.join(n, "k", "full_outer").select(
+        "k",
+        F.when(F.col("old_cents").isNull(), F.lit("added"))
+        .when(F.col("new_cents").isNull(), F.lit("removed"))
+        .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce(F.col("new_cents"), F.lit(0)).alias("new_cents"),
+        F.coalesce(F.col("old_cents"), F.lit(0)).alias("old_cents"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.sum(F.col("new_cents") - F.col("old_cents")).alias("delta_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+QUERIES_SKETCH["snapshot_diff_reconcile"] = snapshot_diff_reconcile
+
+ORACLES_SKETCH["snapshot_diff_reconcile"] = """
+WITH old AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS old_cents
+  FROM orders
+), new AS (
+  SELECT k,
+         CAST(CASE WHEN k % 5 = 0 THEN floor(old_cents * 110 / 100.0)
+              ELSE old_cents END AS BIGINT) AS new_cents
+  FROM old WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k + 10000000 AS k, old_cents AS new_cents
+  FROM old WHERE k % 11 = 0
+), diff AS (
+  SELECT coalesce(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.old_cents <> n.new_cents THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(n.new_cents, 0) AS new_cents,
+         coalesce(o.old_cents, 0) AS old_cents
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT status,
+       count(*) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       CAST(sum(new_cents - old_cents) AS BIGINT) AS delta_cents
+FROM diff
+GROUP BY status
+ORDER BY status
+"""
