@@ -185,3 +185,47 @@ FROM items
 GROUP BY page
 ORDER BY page
 """
+
+
+def zordered_orders_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional predicate over the Z-ORDERED orders layout
+    (operators/layout.py): a custkey range AND a date range — the
+    query shape clustering exists for. Row-group min/max skipping is
+    proven by tests/test_layout.py; this gate proves the re-layout is
+    content-lossless (oracle computes the same rollup from the raw
+    table)."""
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from youtube_etl_automated_pipeline_spark.sources import (
+        materialize_zordered_orders,
+    )
+
+    path = materialize_zordered_orders(spark, sf_dir)
+    od = spark.read.parquet(path).filter(
+        (F.col("o_custkey").between(100, 400))
+        & (F.col("o_orderdate").between("1993-01-01", "1994-12-31"))
+    )
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").alias("custkey_sum"),
+            (F.sum(units(F.col("o_totalprice"), 2)) / 1e2).alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES_SOURCES["zordered_orders_pruned_rollup"] = zordered_orders_pruned_rollup
+
+ORACLES_SOURCES["zordered_orders_pruned_rollup"] = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_total
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+  AND o_orderdate BETWEEN DATE '1993-01-01' AND DATE '1994-12-31'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

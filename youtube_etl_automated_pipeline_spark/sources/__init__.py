@@ -4,6 +4,7 @@ from youtube_etl_automated_pipeline_spark.sources.readers import (
     load_table,
     materialize_format,
     materialize_partitioned_events,
+    materialize_zordered_orders,
     read_jsonl,
     read_orc,
     widen_scan,
@@ -16,6 +17,7 @@ __all__ = [
     "load_table",
     "materialize_format",
     "materialize_partitioned_events",
+    "materialize_zordered_orders",
     "read_jsonl",
     "read_orc",
     "register_views",

@@ -160,3 +160,23 @@ def materialize_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         )
         df.write.mode("overwrite").partitionBy("event_date").parquet(out)
     return out
+
+
+def materialize_zordered_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Re-materialize orders in z-order over (o_custkey, o_orderdate),
+    once per sf — the fixture for the clustering/scan-skipping gate.
+    At 100 TB this layout makes two-dimensional point/range predicates
+    touch a handful of row groups (see operators/layout.py)."""
+    from youtube_etl_automated_pipeline_spark.operators.layout import zorder_by
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/spark_graft_formats", sf_tag, "orders_zorder.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, "orders")
+        zorder_by(
+            df,
+            F.col("o_custkey"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")),
+            n_files=16,
+        ).write.mode("overwrite").parquet(out)
+    return out
