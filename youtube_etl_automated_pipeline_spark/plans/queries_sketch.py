@@ -91,6 +91,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection carries only (doc_id, token array) so the array
     expression is computed once (CollapseProject would otherwise
     re-inline it per downstream column).
+
+    Deliberately NOT df-via-window: `count() over (partition by
+    term)` would co-locate every occurrence of each zipf-hot token
+    ("the" ~ 7% of a corpus) on one reducer. The groupBy(doc, term)
+    composite key partial-aggregates map-side and caps any term's
+    post-shuffle rows at n_docs, at the price of scanning documents
+    once per branch — the right trade at 100 TB.
     """
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
