@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
         QUERIES_SKETCH,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
+        QUERIES_ENGINE4,
+    )
 
     return {
         **QUERIES,
@@ -85,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ANALYTICS,
         **QUERIES_LLMDATA,
         **QUERIES_SKETCH,
+        **QUERIES_ENGINE4,
     }
 
 
@@ -129,6 +133,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
         ORACLES_SKETCH,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
+        ORACLES_ENGINE4,
+    )
 
     return {
         **ORACLES,
@@ -150,4 +157,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ANALYTICS,
         **ORACLES_LLMDATA,
         **ORACLES_SKETCH,
+        **ORACLES_ENGINE4,
     }

@@ -1,0 +1,206 @@
+"""Spark-4-native engine surfaces: VARIANT semi-structured type, SQL
+pipe syntax, Python UDTFs (lateral table functions), and mapInArrow
+kernels — the fourth-generation API breadth a user migrating from the
+reference's pandas scripts (reference: Python-pipeline/*.py row loops)
+gets for free on this engine.
+
+Each query has a DuckDB oracle in plain ANSI SQL: the *surface* is
+Spark-4-specific but the semantics are engine-neutral, which is
+exactly what makes them gateable.
+
+Scale notes per operator are in the docstrings; the common theme is
+that all four stay embarrassingly parallel (scan-shaped or
+partition-local), so they hold at 100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CHARS, WS_CLASS
+from youtube_etl_automated_pipeline_spark.sources import load_table, register_views
+
+
+def events_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through the VARIANT type (Spark 4):
+    parse_json once into a binary variant, typed variant_get
+    extraction, then aggregate. At scale VARIANT beats re-parsing JSON
+    strings per predicate — the parse cost is paid once per row and
+    the binary encoding is columnar-shreddable; extraction stays a
+    scan-shaped projection (no shuffle before the final rollup).
+
+    Cross-engine exactness: counts and an integer sum only (CAST AS
+    BIGINT collapses DuckDB's HUGEINT).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("user_id", "event_type", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# Pipe-syntax text (Spark 4 SQL). The oracle below is the same query
+# in classic ANSI form — DuckDB has no pipe operators, which is the
+# point: the surface is Spark's, the semantics are portable.
+PIPE_SYNTAX_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'O'
+|> AGGREGATE count(*) AS n_orders,
+     CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority AS priority, n_orders,
+     CAST(cents AS DOUBLE) / 100.0 AS sum_price
+|> ORDER BY priority
+"""
+
+PIPE_SYNTAX_ORACLE = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       CAST(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100.0 AS sum_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order revenue by priority through Spark 4's SQL pipe
+    syntax (linear dataflow text -> identical Catalyst plan as the
+    ANSI form: same scan, same partial agg, same exchange). Exact
+    integer-cents accumulation keeps the hash bit-stable cross-engine.
+    """
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(PIPE_SYNTAX_SQL)
+
+
+def udtf_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token bigrams via a Python UDTF joined LATERAL-ly — the
+    row-to-many-rows generator surface (Spark 4 arrow-optimized UDTF;
+    the applyInPandas/mapInPandas flavors live elsewhere, this is the
+    table-function flavor).
+
+    The UDTF runs once per input row with Arrow transport and no
+    shuffle: at 100 TB it is a scan-shaped flat map whose output
+    fan-out (n_tokens - 1 per doc) is bounded by document length.
+    Tokenization is pinned to the repo-wide explicit ASCII whitespace
+    class and space-only strip (ext/textstats.py WS_CLASS contract) so
+    the DuckDB oracle reproduces rows bit-for-bit.
+
+    Bounded to doc_id < 30 to keep gate output stable across scale
+    factors (same bound rationale as doc_token_positions).
+    """
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+
+    ws_re = re.compile(WS_CLASS + "+")
+
+    @udtf(returnType="pos int, bigram string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            t = (text or "").strip(" ")
+            if not t:
+                return
+            toks = ws_re.split(t)
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("doc_bigrams", Bigrams)
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM documents d, LATERAL doc_bigrams(d.text) b
+        WHERE d.doc_id < 30
+        ORDER BY d.doc_id, b.pos
+        """
+    )
+
+
+def arrow_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts as a mapInArrow kernel: zero
+    pandas materialization, pure pyarrow.compute on RecordBatches —
+    the lowest-overhead Python surface Spark has. Semantics are pinned
+    to ext.textstats.tokens() (space-only trim, explicit ASCII
+    whitespace class, NULL/empty -> 0) so the plain-SQL oracle and the
+    expression twin (text_token_stats) agree bit-for-bit.
+
+    Scale: partition-local, streaming batches; Python cost is one
+    vectorized RE2 pass per batch. The expression form is still the
+    default at 100 TB (JVM codegen, no IPC); this query gates the
+    Arrow surface itself.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    split_re = WS_CLASS + "+"
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column("text")
+            trimmed = pc.utf8_trim(text, characters=" ")
+            toks = pc.split_pattern_regex(trimmed, split_re)
+            empty = pc.or_kleene(pc.is_null(text), pc.equal(trimmed, ""))
+            n = pc.if_else(
+                pc.fill_null(empty, True),
+                pa.scalar(0, pa.int32()),
+                pc.cast(pc.list_value_length(toks), pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays([b.column("doc_id"), n], ["doc_id", "n_tokens"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(kernel, "doc_id bigint, n_tokens int").orderBy("doc_id")
+
+
+QUERIES_ENGINE4 = {
+    "events_variant_rollup": events_variant_rollup,
+    "sql_pipe_syntax": sql_pipe_syntax,
+    "udtf_doc_bigrams": udtf_doc_bigrams,
+    "arrow_doc_token_count": arrow_doc_token_count,
+}
+
+_JSON_K = "CAST(json_extract(props, '$.k') AS INT)"
+
+ORACLES_ENGINE4 = {
+    "events_variant_rollup": f"""
+SELECT {_JSON_K} % 10 AS k_bucket,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum({_JSON_K}) AS BIGINT) AS sum_k
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+""",
+    "sql_pipe_syntax": PIPE_SYNTAX_ORACLE,
+    "udtf_doc_bigrams": f"""
+WITH b AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_CLASS}+') AS toks
+  FROM documents
+  WHERE doc_id < 30 AND text IS NOT NULL AND trim(text) <> ''
+)
+SELECT doc_id, CAST(g.i - 1 AS INT) AS pos,
+       toks[g.i] || ' ' || toks[g.i + 1] AS bigram
+FROM b, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+ORDER BY doc_id, pos
+""",
+    "arrow_doc_token_count": f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE CAST(len(string_split_regex(trim(text), '{WS_CLASS}+')) AS INT)
+       END AS n_tokens
+FROM documents
+ORDER BY doc_id
+""",
+}
+
+# WS_CHARS is re-exported for kernels that need the raw class body
+__all__ = ["QUERIES_ENGINE4", "ORACLES_ENGINE4", "WS_CHARS"]
