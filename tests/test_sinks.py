@@ -160,3 +160,58 @@ def test_aggstate_partials_idempotent_and_compact(spark, tmp_path):
         for r in aggstate.read_view(spark, state, ["event_type"]).collect()
     }
     assert after == expected
+
+
+def test_compact_table_reduces_files_preserves_content(spark, tmp_path):
+    """Compaction glues small files into target-sized ones without
+    changing a single row (content checked via an order-insensitive
+    aggregate fingerprint)."""
+    import os
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(64).write.parquet(path)
+    n_small = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_small >= 32
+
+    def fingerprint(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("event_id", "user_id", "event_type")).alias("h"),
+        ).first()
+
+    before = fingerprint(spark.read.parquet(path))
+    n_before, n_after = sinks.compact_table(spark, path, target_file_bytes=1 << 30)
+    assert n_before == n_small
+    assert n_after == 1
+    after = fingerprint(spark.read.parquet(path))
+    assert (before.n, before.h) == (after.n, after.h)
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """Re-writing one event_type partition leaves the others intact;
+    static overwrite would have truncated them."""
+    path = str(tmp_path / "parts")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.partitionBy("event_type").parquet(path)
+    total = spark.read.parquet(path).count()
+    n_click = spark.read.parquet(path).filter(F.col("event_type") == "click").count()
+    assert 0 < n_click < total
+
+    patched = (
+        ev.filter(F.col("event_type") == "click")
+        .limit(10)
+        .withColumn("value", F.lit(-1.0))
+    )
+    sinks.overwrite_partitions(patched, path, "event_type")
+
+    out = spark.read.parquet(path)
+    assert out.filter(F.col("event_type") == "click").count() == 10
+    assert out.filter(F.col("event_type") != "click").count() == total - n_click
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )

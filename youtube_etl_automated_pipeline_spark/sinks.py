@@ -149,6 +149,60 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[int]:
     return doomed
 
 
+def compact_table(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite the table into files sized near
+    ``target_file_bytes``, atomically swapped in.
+
+    The 100 TB operational story: streaming/incremental appends leave
+    thousands of KB-scale files per partition; every later scan pays
+    per-file open/footer costs and the driver pays listing. Periodic
+    compaction restores scan efficiency. The rewrite uses coalesce()
+    (narrow, no shuffle — it only glues existing partitions), so the
+    cost is one read+write pass of the data. On a cluster with a
+    clustered table, swap coalesce for repartitionByRange(sort_key) to
+    restore clustering at the same time (one shuffle, still one pass).
+
+    Returns (files_before, files_after).
+    """
+    files_before = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files_before)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+    tmp = path + ".compacting"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return len(files_before), len(files_after)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving all other partitions of the table untouched —
+    the idempotent-backfill primitive (re-running a day's job rewrites
+    that day, never truncating the table, unlike static overwrite
+    which would drop every other partition).
+
+    Scale note: each task writes only its partition's files; the
+    commit replaces matching partition dirs. Combined with partition
+    pruning on reads this is the standard date-partitioned-fact
+    maintenance loop.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 8
 ) -> None:
