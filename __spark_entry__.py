@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
         QUERIES_ENGINE4,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_mining import (
+        QUERIES_MINING,
+    )
 
     return {
         **QUERIES,
@@ -89,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_LLMDATA,
         **QUERIES_SKETCH,
         **QUERIES_ENGINE4,
+        **QUERIES_MINING,
     }
 
 
@@ -136,6 +140,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
         ORACLES_ENGINE4,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_mining import (
+        ORACLES_MINING,
+    )
 
     return {
         **ORACLES,
@@ -158,4 +165,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_LLMDATA,
         **ORACLES_SKETCH,
         **ORACLES_ENGINE4,
+        **ORACLES_MINING,
     }

@@ -1,0 +1,169 @@
+"""Pattern-mining and trend analytics: market-basket co-occurrence,
+graph degree distributions, and per-group linear regression — the
+exploratory-analytics layer over the same star schema (reference has
+no analog; its closest shape is the grouped metric rollup,
+Python-pipeline/dataprocessing.py:85-94).
+
+Scale notes:
+- Co-occurrence pairs come from a PER-ORDER self-join: fan-out is
+  C(order_size, 2), bounded by the largest basket (TPC-H: 7 lines),
+  NOT by table size — the join stays linear in rows at 100 TB. A
+  global item-pair join would be quadratic; keying by the basket id
+  is what makes pairwise mining tractable.
+- Degree distribution is two hash aggregations (distinct pairs, then
+  histogram) — both shuffle on keys with high cardinality, no skew.
+- Regression slopes use integer-exact accumulators (epoch-day x,
+  cent y, x re-based to min-day so Sxy stays far from int64 range)
+  and ONE double division at the end: bit-identical cross-engine,
+  unlike float covariance accumulation which is order-sensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+
+def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 supplier pairs by number of orders both appear in
+    (pairwise frequent-itemset mining, basket = order). Distinct
+    (order, supplier) first so multi-line pairs count once per order;
+    s1 < s2 canonicalizes the unordered pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    basket = li.distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "s1", "s2")
+        .limit(50)
+    )
+
+
+def customer_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer->supplier trade graph: how
+    many customers trade with exactly d distinct suppliers (d capped
+    into coarse buckets so the output is stable across scale
+    factors)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    deg = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    bucket = F.least(F.col("degree") - (F.col("degree") % 10), F.lit(100))
+    return (
+        deg.groupBy(bucket.alias("degree_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("degree").alias("sum_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+def trend_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of daily revenue per order priority
+    (cents/day): aggregate to (priority, day) points, then the
+    closed-form slope from five integer sums. x is re-based to the
+    global min epoch-day (keeps n*Sxy within int64 at large SF); y is
+    exact integer cents. The only double op is the final division of
+    two bigints — identical in any IEEE-754 engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            F.datediff("o_orderdate", F.lit("1990-01-01")).alias("day"),
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.sum("cents").alias("y"))
+    )
+    min_day = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(min_day)).select(
+        "o_orderpriority", (F.col("day") - F.col("d0")).cast("long").alias("x"), "y"
+    )
+    acc = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return acc.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n").alias("n_days"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_day"),
+    ).orderBy("priority")
+
+
+QUERIES_MINING = {
+    "copurchase_supplier_pairs": copurchase_supplier_pairs,
+    "customer_degree_distribution": customer_degree_distribution,
+    "trend_daily_revenue_slope": trend_daily_revenue_slope,
+}
+
+ORACLES_MINING = {
+    "copurchase_supplier_pairs": """
+WITH basket AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS n_orders
+FROM basket a JOIN basket b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY s1, s2
+ORDER BY n_orders DESC, s1, s2
+LIMIT 50
+""",
+    "customer_degree_distribution": """
+WITH deg AS (
+  SELECT o_custkey, count(*) AS degree FROM (
+    SELECT DISTINCT o_custkey, l_suppkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  ) GROUP BY o_custkey
+)
+SELECT least(degree - (degree % 10), 100) AS degree_bucket,
+       count(*) AS n_customers,
+       CAST(sum(degree) AS BIGINT) AS sum_degree
+FROM deg
+GROUP BY degree_bucket
+ORDER BY degree_bucket
+""",
+    "trend_daily_revenue_slope": """
+WITH daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1990-01-01', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderpriority, day
+),
+pts AS (
+  SELECT o_orderpriority,
+         CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS x, y
+  FROM daily
+),
+acc AS (
+  SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY o_orderpriority
+)
+SELECT o_orderpriority AS priority, n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_day
+FROM acc
+ORDER BY priority
+""",
+}
