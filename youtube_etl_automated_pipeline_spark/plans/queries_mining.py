@@ -28,20 +28,35 @@ from youtube_etl_automated_pipeline_spark.sources import load_table
 
 def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 supplier pairs by number of orders both appear in
-    (pairwise frequent-itemset mining, basket = order). Distinct
-    (order, supplier) first so multi-line pairs count once per order;
-    s1 < s2 canonicalizes the unordered pair."""
+    (pairwise frequent-itemset mining, basket = order).
+
+    Plan: ONE shuffle builds the per-order distinct supplier set
+    (collect_set), the unordered pairs are expanded JVM-side with
+    nested array transforms (sort_array canonicalizes s1 < s2), and
+    one more shuffle counts pairs — 2 exchanges total. The self-join
+    formulation costs 3 (distinct + re-shuffle both join sides) and
+    materializes the same pairs anyway. Fan-out per order is
+    C(basket, 2), bounded by the largest basket (TPC-H: 7 lines), so
+    the expansion is linear in table size at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    basket = li.distinct()
-    a = basket.alias("a")
-    b = basket.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-    ).select(
-        F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
     )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "supps",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.s1", "p.s2")
     return (
         pairs.groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
