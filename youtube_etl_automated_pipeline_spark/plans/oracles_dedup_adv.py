@@ -147,3 +147,39 @@ SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
 FROM reach GROUP BY src
 ORDER BY doc_id
 """
+
+
+# canonical-representative selection: components (recursive CTE as
+# above) -> full corpus left-labeled -> longest-doc-wins window
+ORACLES_DEDUP_ADV["dedup_keep_canonical"] = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({_PAIRS_SQL}) p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ({_PAIRS_SQL}) p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM labeled
+)
+SELECT cluster_id, doc_id, n_chars, n_members
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""

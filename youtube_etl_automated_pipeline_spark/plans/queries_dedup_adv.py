@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext.dedup import (
@@ -170,3 +170,54 @@ QUERIES_DEDUP_ADV = {
     "dedup_simhash_sketches": dedup_simhash_sketches,
     "dedup_minhash_clusters": dedup_minhash_clusters,
 }
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision that near-dup clustering exists to serve:
+    ONE canonical representative per duplicate cluster (longest text
+    wins, doc_id ascending tiebreak), singleton docs are their own
+    cluster. Output: kept doc per cluster with member count.
+
+    Plan: LSH-verified pairs -> connected components (as
+    dedup_minhash_clusters) -> LEFT join from the full corpus (so the
+    component table — tiny, only docs appearing in some pair — never
+    forces a scan-sized shuffle; coalesce labels singletons) -> one
+    window shuffle on cluster_id picks the representative and counts
+    members. At 100 TB the component table stays broadcast-sized
+    (duplicates are a small fraction), so the only full shuffle is
+    the final window on cluster_id."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    comp = connected_components(pairs)
+    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars"
+    )
+    labeled = (
+        docs.join(F.broadcast(comp), docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = labeled.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select("cluster_id", "doc_id", "n_chars", "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES_DEDUP_ADV["dedup_keep_canonical"] = dedup_keep_canonical
