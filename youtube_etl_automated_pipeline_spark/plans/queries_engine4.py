@@ -116,12 +116,17 @@ def udtf_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("doc_bigrams", Bigrams)
     register_views(spark, sf_dir, tables=("documents",))
+    # Catalyst does NOT push predicates below a UDTF (it can't know the
+    # generator preserves doc_id), so the filter must sit in the
+    # subquery or the UDTF runs over the whole corpus and THEN filters
+    # (plan-verified: 100x more Python work). No trailing ORDER BY —
+    # the range partitioner's sampling pass would re-execute the UDTF,
+    # and the driver compare is order-insensitive.
     return spark.sql(
         """
         SELECT d.doc_id, b.pos, b.bigram
-        FROM documents d, LATERAL doc_bigrams(d.text) b
-        WHERE d.doc_id < 30
-        ORDER BY d.doc_id, b.pos
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 30) d,
+             LATERAL doc_bigrams(d.text) b
         """
     )
 
@@ -157,8 +162,10 @@ def arrow_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield pa.RecordBatch.from_arrays([b.column("doc_id"), n], ["doc_id", "n_tokens"])
 
+    # no trailing orderBy: the range partitioner's sampling pass would
+    # run the Arrow kernel twice; the driver compare is order-insensitive
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInArrow(kernel, "doc_id bigint, n_tokens int").orderBy("doc_id")
+    return docs.mapInArrow(kernel, "doc_id bigint, n_tokens int")
 
 
 QUERIES_ENGINE4 = {

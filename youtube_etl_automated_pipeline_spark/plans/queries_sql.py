@@ -91,3 +91,32 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_SQL["sql_lateral_topn"] = sql_lateral_topn
 ORACLES_SQL["sql_lateral_topn"] = LATERAL_TOPN_SQL
+
+
+# CUBE completes the multi-granularity trio (ROLLUP and GROUPING SETS
+# are gated elsewhere): all four (status, priority) granularities in
+# one Expand + single shuffle. Exact integer cents as above.
+CUBE_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def sql_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): the 2^2 granularity lattice in a
+    single pass — Catalyst expands each input row into 4 grouping-id
+    variants map-side, so the plan is one Expand + one hash aggregate
+    + one exchange, not four scans. grouping() flags disambiguate
+    subtotal NULLs from data NULLs. Same ANSI text runs on DuckDB."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(CUBE_SQL)
+
+
+QUERIES_SQL["sql_cube_status_priority"] = sql_cube_status_priority
+ORACLES_SQL["sql_cube_status_priority"] = CUBE_SQL
