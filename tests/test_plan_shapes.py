@@ -101,3 +101,46 @@ def test_runtime_bloom_filter_prunes_large_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_copurchase_two_exchanges_no_join(spark):
+    """The array-expansion formulation must keep pair mining at two
+    exchanges (basket build + pair count) with no join at all — the
+    self-join alternative costs three."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_mining import (
+        copurchase_supplier_pairs,
+    )
+
+    plan = plan_of(copurchase_supplier_pairs(spark, SF_SMOKE))
+    # final top-50 is TakeOrdered, not a global sort exchange
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_udtf_filter_below_generator(spark):
+    """The doc_id bound must reach the parquet scan: Catalyst can't
+    push predicates through a UDTF, so the query places the filter in
+    the lateral subquery. If it ever migrates above the generator the
+    Python kernel runs over the whole corpus."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
+        udtf_doc_bigrams,
+    )
+
+    plan = plan_of(udtf_doc_bigrams(spark, SF_SMOKE))
+    scan_part = plan[plan.index("Scan parquet"):]
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,30)]" in scan_part
+
+
+def test_trend_slope_single_agg_pass_per_stage(spark):
+    """Regression accumulators must partial-aggregate map-side: the
+    plan has the daily rollup exchange and the per-priority exchange,
+    plus one single-row broadcast for the min-day rebase — never a
+    sort-based fallback."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_mining import (
+        trend_daily_revenue_slope,
+    )
+
+    plan = plan_of(trend_daily_revenue_slope(spark, SF_SMOKE))
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan  # broadcast 1-row join only
