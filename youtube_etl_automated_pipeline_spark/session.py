@@ -21,6 +21,16 @@ def default_parallelism() -> int:
 
 
 def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # Python workers resolve imports from the driver's PYTHONPATH, not
+    # its sys.path: a caller running from another cwd would otherwise
+    # get ModuleNotFoundError inside every mapInPandas kernel that
+    # references this package. Pin the repo root before the JVM starts.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     cpus = default_parallelism()
     if shuffle_partitions is None:
         shuffle_partitions = cpus
