@@ -164,3 +164,12 @@ FROM events e LEFT JOIN events p
 WHERE e.event_type = 'error' AND e.ts < TIMESTAMP '2024-01-28 00:00:00'
 ORDER BY error_id, purchase_id
 """
+
+
+ORACLES_STREAMING["ivm_join_view"] = """
+SELECT c_nationkey AS nation, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY nation
+ORDER BY nation
+"""

@@ -432,3 +432,51 @@ QUERIES_STREAMING = {
     "streaming_windowed_distinct_users": streaming_windowed_distinct_users,
     "streaming_incremental_agg": streaming_incremental_agg,
 }
+
+
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral incremental JOIN-view maintenance (streaming/ivm.py):
+    orders and customer each arrive as two interleaved append-deltas
+    (B0, A0, B1, A1 — so pairs complete in every combination of
+    arrival order), each apply joins only the delta against the
+    opposite accumulator, and the log-structured view must equal the
+    one-shot join. Gate output: per-nation rollup of the final view;
+    the oracle is the plain JOIN + GROUP BY."""
+    import os
+    import shutil
+
+    from youtube_etl_automated_pipeline_spark.streaming.ivm import JoinView
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/tmp/spark_graft_ivm", sf_tag)
+    shutil.rmtree(base, ignore_errors=True)
+    view = JoinView(
+        a_dir=os.path.join(base, "orders_acc"),
+        b_dir=os.path.join(base, "cust_acc"),
+        j_dir=os.path.join(base, "join_view"),
+        a_key="o_custkey",
+        b_key="c_custkey",
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", units(F.col("o_totalprice"), 2).alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    view.apply_delta_b(cust.filter(F.col("c_custkey") % 2 == 0), "b0")
+    view.apply_delta_a(orders.filter(F.col("o_orderkey") % 2 == 0), "a0")
+    view.apply_delta_b(cust.filter(F.col("c_custkey") % 2 == 1), "b1")
+    view.apply_delta_a(orders.filter(F.col("o_orderkey") % 2 == 1), "a1")
+
+    return (
+        view.view(spark)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES_STREAMING["ivm_join_view"] = ivm_join_view
