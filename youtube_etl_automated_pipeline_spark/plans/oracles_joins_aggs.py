@@ -115,3 +115,30 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+ORACLES_JOINS_AGGS["window_distribution_ranks"] = """
+SELECT c_custkey, c_nationkey AS nation, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY nation, c_acctbal, c_custkey
+"""
+
+# JSON text built to match Spark's to_json byte-for-byte: sorted keys,
+# no whitespace, integer values
+ORACLES_JOINS_AGGS["user_event_type_map"] = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)
+           || '}' AS type_counts,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per_type
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -215,3 +215,53 @@ QUERIES_JOINS_AGGS = {
     "set_ops_except_intersect": set_ops_except_intersect,
     "distinct_count_audit": distinct_count_audit,
 }
+
+
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (the rank family window_analytics
+    leaves out): ntile quartiles, percent_rank and cume_dist of each
+    customer's balance within their nation. ntile is row-order
+    sensitive, so the ORDER BY carries a unique (acctbal, custkey)
+    tiebreak; percent_rank=(rank-1)/(n-1) and cume_dist=n_le/n are
+    single divisions of the same integers in both engines. One shuffle
+    on nation shared by all three windows."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+QUERIES_JOINS_AGGS["window_distribution_ranks"] = window_distribution_ranks
+
+
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed aggregation surface: per-user event_type -> count as
+    a map column, serialized deterministically (map built from a
+    SORTED entry array, so to_json key order is pinned; the harness
+    needs scalar columns). Two hash aggregations — (user, type) counts
+    then per-user map assembly — both partial-aggregated map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("event_type", "n")))
+                )
+            ).alias("type_counts"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES_JOINS_AGGS["user_event_type_map"] = user_event_type_map

@@ -229,3 +229,49 @@ WHERE o_custkey BETWEEN 100 AND 400
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def federated_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format federation: ONE query unions the same logical
+    table from parquet, JSONL, and ORC (each tagged with its format)
+    and aggregates across them — the lake reality where history lives
+    in one format and fresh data in another. Each leg keeps its own
+    pushdown/pruning; unionByName reconciles by column name. The
+    oracle triples the parquet original, proving all three scans are
+    byte-equivalent."""
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    pq = load_table(spark, sf_dir, "documents")
+    jl = read_jsonl(
+        spark, materialize_format(spark, sf_dir, "documents", "jsonl"), DOCUMENTS_SCHEMA
+    )
+    oc = read_orc(spark, materialize_format(spark, sf_dir, "documents", "orc"))
+    tagged = (
+        pq.withColumn("fmt", F.lit("parquet"))
+        .unionByName(jl.withColumn("fmt", F.lit("jsonl")))
+        .unionByName(oc.withColumn("fmt", F.lit("orc")))
+    )
+    return (
+        tagged.groupBy("fmt", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("fmt", "lang")
+    )
+
+
+QUERIES_SOURCES["federated_format_union"] = federated_format_union
+
+ORACLES_SOURCES["federated_format_union"] = """
+WITH tagged AS (
+  SELECT 'parquet' AS fmt, lang, n_chars FROM documents
+  UNION ALL SELECT 'jsonl' AS fmt, lang, n_chars FROM documents
+  UNION ALL SELECT 'orc' AS fmt, lang, n_chars FROM documents
+)
+SELECT fmt, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM tagged
+GROUP BY fmt, lang
+ORDER BY fmt, lang
+"""
