@@ -6,6 +6,7 @@ from youtube_etl_automated_pipeline_spark.sources.readers import (
     materialize_partitioned_events,
     materialize_zordered_orders,
     read_jsonl,
+    read_jsonl_quarantined,
     read_orc,
     widen_scan,
     register_views,
@@ -19,6 +20,7 @@ __all__ = [
     "materialize_partitioned_events",
     "materialize_zordered_orders",
     "read_jsonl",
+    "read_jsonl_quarantined",
     "read_orc",
     "register_views",
     "widen_scan",

@@ -105,6 +105,43 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan that ROUTES malformed rows instead of nulling them:
+    returns (good, quarantine). PERMISSIVE mode captures each
+    unparseable line verbatim in a corrupt-record column; the good leg
+    drops it, the quarantine leg keeps only the raw line — the
+    standard lake pattern for auditing upstream producers without
+    failing (or silently thinning) a 100 TB ingest. Both legs are
+    lazy projections of ONE scan definition; a cached read shares the
+    pass when both are consumed.
+
+    Note: Spark requires the corrupt column declared in the schema;
+    it must not collide with a data column.
+    """
+    from pyspark.sql import types as T
+
+    corrupt_col = "_corrupt_record"
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    # keep the data columns (any salvaged fields) next to the raw
+    # line: triage context, and it sidesteps SPARK-21610 (queries
+    # referencing ONLY the corrupt column are rejected outright)
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line"), *[f.name for f in schema.fields]
+    )
+    return good, quarantine
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning properties as
     parquet (Catalyst emits PushedFilters for ORC too)."""
