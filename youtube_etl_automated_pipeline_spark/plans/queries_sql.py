@@ -120,3 +120,77 @@ def sql_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_SQL["sql_cube_status_priority"] = sql_cube_status_priority
 ORACLES_SQL["sql_cube_status_priority"] = CUBE_SQL
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (parameter markers bound at execution, the
+    injection-safe templating surface): open orders above a price
+    floor rolled up per priority. The oracle inlines the same
+    literals; exact integer cents keep the hash bit-stable."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """,
+        args={"status": "F", "floor": 50000.0},
+    )
+
+
+QUERIES_SQL["sql_parameterized"] = sql_parameterized
+ORACLES_SQL["sql_parameterized"] = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END procedural blocks): a
+    DECLAREd session variable is computed FROM the data (half the max
+    order price — max is exact, *0.5 is one float op, so the threshold
+    is bit-identical cross-engine) and drives the final statement.
+    The oracle expresses the same dataflow with a scalar subquery —
+    scripting is control-flow sugar over the identical plan."""
+    register_views(spark, sf_dir, tables=("orders",))
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE threshold DOUBLE;
+              SET threshold = (SELECT max(o_totalprice) / 2 FROM orders);
+              SELECT o_orderpriority AS priority,
+                     count(*) AS n_above,
+                     CAST(min(o_orderkey) AS BIGINT) AS first_key
+              FROM orders WHERE o_totalprice > threshold
+              GROUP BY o_orderpriority
+              ORDER BY priority;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+QUERIES_SQL["sql_scripting_block"] = sql_scripting_block
+ORACLES_SQL["sql_scripting_block"] = """
+SELECT o_orderpriority AS priority, count(*) AS n_above,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
