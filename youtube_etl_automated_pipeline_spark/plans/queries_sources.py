@@ -275,3 +275,51 @@ FROM tagged
 GROUP BY fmt, lang
 ORDER BY fmt, lang
 """
+
+
+def streaming_api_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated-API connector consumed as a STREAM: the Python
+    Data Source's streamReader exposes the page cursor as the
+    checkpointable offset, one InputPartition per page inside each
+    micro-batch (restart = resume from committed page, exactly the
+    reference's persisted pageToken). availableNow drains the finite
+    simulated feed; the rollup equals the batch connector's, which
+    the arithmetic oracle reproduces."""
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from youtube_etl_automated_pipeline_spark.sources.paged_api import register
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        run_stream_to_memory,
+    )
+
+    register(spark)
+    src = (
+        spark.readStream.format("paged_api_sim")
+        .option("pages", 20)
+        .option("page_size", 500)
+        .load()
+    )
+    rollup = src.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("item_id").alias("sum_id"),
+        (F.sum(units(F.col("score"), 1)) / 1e1).alias("sum_score"),
+    )
+    return run_stream_to_memory(rollup, "api_stream_rollup").orderBy("page")
+
+
+QUERIES_SOURCES["streaming_api_source_rollup"] = streaming_api_source_rollup
+
+ORACLES_SOURCES["streaming_api_source_rollup"] = """
+WITH items AS (
+  SELECT CAST(floor(i / 500) AS INT) AS page,
+         i AS item_id,
+         ((i * 7919) % 1000) / 10.0 AS score
+  FROM generate_series(0, 9999) t(i)
+)
+SELECT page,
+       count(*) AS n_items,
+       CAST(sum(item_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(floor(score * 10.0 + 0.5) AS BIGINT)) AS BIGINT) / 10.0 AS sum_score
+FROM items
+GROUP BY page
+ORDER BY page
+"""

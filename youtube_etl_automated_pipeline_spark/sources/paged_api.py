@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 DEFAULT_PAGES = 20
 DEFAULT_PAGE_SIZE = 500  # the reference's ids-per-request batch size
@@ -40,6 +45,29 @@ class _PagePartition(InputPartition):
         self.page_size = page_size
 
 
+def _page_record_batch(page: int, page_size: int):
+    """One simulated page as an Arrow RecordBatch (the vectorized fast
+    path — no pickled row tuples); shared by the batch and streaming
+    readers so both surfaces serve bit-identical data."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = page_size
+    base = page * n
+    ids = np.arange(base, base + n, dtype=np.int64)
+    code_nums = (ids * _MIX) % _MOD
+    scores = ((ids * 7919) % 1000).astype(np.float64) / 10.0
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.full(n, page, dtype=np.int32)),
+            pa.array(ids),
+            pa.array([f"VID{c:09d}" for c in code_nums], type=pa.string()),
+            pa.array(scores),
+        ],
+        names=["page", "item_id", "video_code", "score"],
+    )
+
+
 class PagedApiReader(DataSourceReader):
     def __init__(self, options: dict):
         self.pages = int(options.get("pages", DEFAULT_PAGES))
@@ -52,25 +80,45 @@ class PagedApiReader(DataSourceReader):
         return [_PagePartition(p, self.page_size) for p in range(self.pages)]
 
     def read(self, partition: _PagePartition):
-        # Arrow fast path: one RecordBatch per page instead of pickled
-        # row tuples — the same vectorization win as a Pandas UDF.
-        import numpy as np
-        import pyarrow as pa
+        yield _page_record_batch(partition.page, partition.page_size)
 
-        n = partition.page_size
-        base = partition.page * n
-        ids = np.arange(base, base + n, dtype=np.int64)
-        code_nums = (ids * _MIX) % _MOD
-        scores = ((ids * 7919) % 1000).astype(np.float64) / 10.0
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.full(n, partition.page, dtype=np.int32)),
-                pa.array(ids),
-                pa.array([f"VID{c:09d}" for c in code_nums], type=pa.string()),
-                pa.array(scores),
-            ],
-            names=["page", "item_id", "video_code", "score"],
-        )
+
+class PagedApiStreamReader(DataSourceStreamReader):
+    """The same connector as a STREAMING source: the offset is the
+    page cursor, each micro-batch covers [start.page, end.page) with
+    one InputPartition per page (pages within a batch still fetch in
+    parallel across executors). The checkpointed offset is exactly
+    the reference's persisted ``pageToken`` cursor
+    (Python-pipeline/dataingestion1.py:94-96) — a restart resumes
+    from the committed page, never re-reads, never skips.
+
+    This simulated feed is finite (``pages``), so latestOffset caps
+    there and an availableNow run drains it; a live API deployment
+    returns the provider's current high-water mark instead and uses
+    a bounded step per batch as admission control."""
+
+    def __init__(self, options: dict):
+        self.pages = int(options.get("pages", DEFAULT_PAGES))
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        return {"page": self.pages}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(p, self.page_size)
+            for p in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition: _PagePartition):
+        yield _page_record_batch(partition.page, partition.page_size)
+
+    def commit(self, end: dict) -> None:
+        # a real connector would release provider-side cursors here
+        pass
 
 
 class PagedApiDataSource(DataSource):
@@ -83,6 +131,9 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> PagedApiReader:
         return PagedApiReader(self.options)
+
+    def streamReader(self, schema) -> PagedApiStreamReader:
+        return PagedApiStreamReader(self.options)
 
 
 def register(spark) -> None:
