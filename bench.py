@@ -41,7 +41,11 @@ def main() -> None:
     # steal (single-run timings vary up to 4x on identical code), and
     # run 1 pays one-time codegen/JIT compile for each new expression
     # shape. min-of-N reports reproducible steady-state work.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # 3 runs: this VM sees multi-second CPU-steal bursts that can span
+    # both runs of a min-of-2 (one recorded 8.8s for a query that
+    # steady-states at 2.1s); a third sample usually lands outside the
+    # burst at ~0.5s/query added cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")

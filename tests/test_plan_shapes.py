@@ -144,3 +144,31 @@ def test_trend_slope_single_agg_pass_per_stage(spark):
     plan = plan_of(trend_daily_revenue_slope(spark, SF_SMOKE))
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan  # broadcast 1-row join only
+
+
+def test_analyzed_table_statistics_feed_cbo(spark, tmp_path):
+    """Catalog statistics round-trip: ANALYZE TABLE computes row
+    counts the optimizer then reports in the logical plan's stats —
+    the input the cost-based join-reorder and broadcast decisions use
+    on a real warehouse (file-size estimates alone misprice highly
+    compressed or wide tables)."""
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    load_table(spark, SF_SMOKE, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_probe"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nation_stats_probe COMPUTE STATISTICS")
+        # row counts surface in plan Statistics only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = (
+            spark.table("nation_stats_probe")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 25
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS nation_stats_probe")
