@@ -194,3 +194,38 @@ WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
 GROUP BY o_orderpriority
 ORDER BY priority
 """
+
+
+# Identical recursive ANSI text for both engines. The decimal-key
+# hierarchy (parent = floor(key/10)) turns the flat customer table
+# into a 6-level tree rooted at keys < 10 — the org-chart/BOM
+# recursion shape. floor(x/10.0) is exact for keys far below 2^53, so
+# Spark's `/` (double) and DuckDB's agree bit-for-bit.
+RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, CAST(0 AS INT) AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey AS node, chain.depth + 1 AS depth
+  FROM customer c
+  JOIN chain ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = chain.node
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS sum_keys
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) walking a 6-level
+    hierarchy over customer keys, grouped by depth. Each recursion
+    round is one join+filter over the previous frontier — the same
+    iterative join+agg shape as the DataFrame connected-components
+    loop (ext/dedup.py), here expressed declaratively and run from
+    the very same SQL text DuckDB executes."""
+    register_views(spark, sf_dir, tables=("customer",))
+    return spark.sql(RECURSIVE_HIERARCHY_SQL)
+
+
+QUERIES_SQL["sql_recursive_hierarchy"] = sql_recursive_hierarchy
+ORACLES_SQL["sql_recursive_hierarchy"] = RECURSIVE_HIERARCHY_SQL
