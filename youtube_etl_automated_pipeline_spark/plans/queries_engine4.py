@@ -211,3 +211,40 @@ ORDER BY doc_id
 
 # WS_CHARS is re-exported for kernels that need the raw class body
 __all__ = ["QUERIES_ENGINE4", "ORACLES_ENGINE4", "WS_CHARS"]
+
+
+def pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark surface (pyspark.pandas): a user ports
+    reference-style pandas code (groupby/agg/reset_index — the idiom
+    of Python-pipeline/dataprocessing3.py) and it executes as the
+    SAME distributed plan as the DataFrame API — .pandas_api() and
+    .to_spark() are metadata bridges, not data movement. Cents are
+    precomputed Spark-side so the sum is integer-exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    pdf = orders.pandas_api()
+    rolled = (
+        pdf.groupby("o_orderpriority")
+        .agg({"cents": ["count", "sum"]})
+        .reset_index()
+    )
+    out = rolled.to_spark()
+    # MultiIndex columns flatten to "(col, agg)" names on the bridge
+    return out.select(
+        F.col("`(o_orderpriority, )`").alias("priority"),
+        F.col("`(cents, count)`").alias("n_orders"),
+        F.col("`(cents, sum)`").alias("cents"),
+    ).orderBy("priority")
+
+
+QUERIES_ENGINE4["pandas_api_rollup"] = pandas_api_rollup
+
+ORACLES_ENGINE4["pandas_api_rollup"] = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
