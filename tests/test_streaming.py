@@ -350,3 +350,40 @@ def test_tws_user_peaks_or_env_gate(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """The RocksDB state store — the at-scale provider (bounded heap,
+    spill-to-disk state, changelog checkpointing on clusters) — must
+    produce the identical windowed aggregate as the default HDFS-backed
+    in-memory provider."""
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_window_agg,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+
+    def run(tag):
+        out = run_stream_to_memory(
+            tumbling_window_agg(read_events_stream(spark, SF_SMOKE)),
+            f"statestore_{tag}",
+        )
+        return {tuple(r) for r in out.collect()}
+
+    default_rows = run("default")
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = run("rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks_rows == default_rows
