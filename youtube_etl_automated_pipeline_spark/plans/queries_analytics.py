@@ -455,3 +455,93 @@ FROM r
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations as a first-class query (the dbt-test
+    / Delta-constraint pattern): one row per declared constraint with
+    its violation count over the live tables. Same-table checks fold
+    into ONE conditional-aggregation scan; referential integrity is a
+    broadcast anti join (customer keys ≪ fact rows at any scale — and
+    when the dim outgrows broadcast, the anti join shuffles on the
+    key like any equi-join). A zero row is evidence of a checked
+    invariant, not absence of checking."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    same_scan = orders.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "null_orderdate"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("bad_status_domain"),
+    )
+    melted = same_scan.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("nonpositive_price"),
+                    F.lit("null_orderdate"),
+                    F.lit("bad_status_domain"),
+                ),
+                F.array(
+                    F.col("nonpositive_price").cast("long"),
+                    F.col("null_orderdate").cast("long"),
+                    F.col("bad_status_domain").cast("long"),
+                ),
+            )
+        ).alias("constraint", "n_violations")
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orphan_order_custkey").alias("constraint"), "n_violations")
+    )
+    dup_keys = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("duplicate_custkey").alias("constraint"), "n_violations")
+    )
+    return melted.unionByName(orphans).unionByName(dup_keys).orderBy("constraint")
+
+
+QUERIES_ANALYTICS["constraint_violations"] = constraint_violations
+
+ORACLES_ANALYTICS["constraint_violations"] = """
+WITH checks AS (
+  SELECT 'nonpositive_price' AS constraint,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'null_orderdate',
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'bad_status_domain',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orphan_order_custkey',
+         CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'duplicate_custkey', CAST(count(*) AS BIGINT) FROM (
+    SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1
+  )
+)
+SELECT "constraint", n_violations FROM checks ORDER BY "constraint"
+"""
