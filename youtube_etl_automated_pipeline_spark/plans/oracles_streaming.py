@@ -173,3 +173,31 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY nation
 ORDER BY nation
 """
+
+
+# chained join->agg: batch join + daily rollup, filtered by the SAME
+# eviction rule the streaming engine applies at end-of-stream (day
+# window closed iff its end <= global watermark = least of the two
+# sides' max event time - 1h)
+ORACLES_STREAMING["streaming_chained_join_agg"] = """
+WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.ts AS p_ts
+  FROM e JOIN p ON e.user_id = p.user_id
+   AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM e), (SELECT max(ts) FROM p))
+         - INTERVAL 1 HOUR AS w
+),
+daily AS (
+  SELECT CAST(date_trunc('day', p_ts) AS TIMESTAMP) AS day,
+         count(*) AS n_conversions
+  FROM pairs GROUP BY day
+)
+SELECT day, n_conversions
+FROM daily
+WHERE day + INTERVAL 1 DAY <= (SELECT w FROM wm)
+ORDER BY day
+"""

@@ -480,3 +480,45 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["ivm_join_view"] = ivm_join_view
+
+
+def streaming_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark's
+    multi-stateful-operator support): watermarked stream-stream join
+    -> tumbling daily aggregate, append mode. The join emits matches
+    inside the data batch; the availableNow no-data final batch then
+    advances the global watermark (min of both sources' max event
+    time - 1h) and flushes every day window it has passed. The last
+    open day is therefore WITHHELD by design — the oracle applies the
+    same eviction predicate (day_end <= final watermark), making the
+    cut deterministic, not an accident of batch boundaries."""
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    agg = joined.groupBy(F.window("p_ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    out = run_stream_to_memory(
+        agg.select(F.col("window.start").alias("day"), "n_conversions"),
+        "chained_join_agg",
+        output_mode="append",
+    )
+    return out.orderBy("day")
+
+
+QUERIES_STREAMING["streaming_chained_join_agg"] = streaming_chained_join_agg
