@@ -403,3 +403,48 @@ SELECT l_returnflag, count(*) AS n,
   {sql_hround("covar_samp(l_extendedprice, l_discount)", 4)} AS price_disc_covar
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def skew_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-side skew lever as an oracle-visible query: orders
+    keys are COLLAPSED onto 5 hot nation-sized values (pmod on
+    custkey) to fabricate extreme skew, then salted-joined to the
+    5-row hot dim and rolled up. The oracle runs the plain join —
+    salting must be invisible in the result. (AQE skew-split handles
+    the planner-visible case, tests/test_bucketing.py; this operator
+    covers skew that appears mid-pipeline where stats can't see it.)
+    """
+    from youtube_etl_automated_pipeline_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(5)).alias("hot_key"),
+        "o_orderkey",
+        units(F.col("o_totalprice"), 2).alias("cents"),
+    )
+    hot_dim = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") < 5
+    ).select(F.col("n_nationkey").alias("dim_key"), "n_name")
+    joined = salted_join(
+        orders, hot_dim, "hot_key", "dim_key", F.col("o_orderkey"), n_salts=16
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES_OLAP["skew_salted_join_rollup"] = skew_salted_join_rollup
+
+ORACLES_OLAP["skew_salted_join_rollup"] = """
+SELECT n.n_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders o
+JOIN nation n ON (o.o_custkey % 5) = n.n_nationkey
+WHERE n.n_nationkey < 5
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
