@@ -215,3 +215,46 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_approx_percentile_error_envelope(spark):
+    """percentile_approx(accuracy=1000) guarantees RANK error — the
+    returned value must be an actual value whose rank lies within eps
+    of the target. Assert each approx quantile falls inside the exact
+    value window [percentile(q - m), percentile(q + m)] (margin m =
+    0.005 rank, 5x the sketch's nominal eps — sparse tails can move
+    values a lot per rank, so value tolerance would be meaningless)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_olap import (
+        approx_percentile_stats,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    approx = {
+        r.event_type: r for r in approx_percentile_stats(spark, SF_SMOKE).collect()
+    }
+    m = 0.005
+    windows = {
+        r.event_type: r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"percentile(value, {q - m})").alias(f"lo_{tag}")
+                for tag, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+            ],
+            *[
+                F.expr(f"percentile(value, {min(q + m, 1.0)})").alias(f"hi_{tag}")
+                for tag, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+            ],
+        )
+        .collect()
+    }
+    assert set(approx) == set(windows)
+    for et, a in approx.items():
+        w = windows[et]
+        for tag, val in (
+            ("p50", a.p50_approx),
+            ("p95", a.p95_approx),
+            ("p99", a.p99_approx),
+        ):
+            assert w[f"lo_{tag}"] <= val <= w[f"hi_{tag}"], (et, tag, val)

@@ -448,3 +448,26 @@ WHERE n.n_nationkey < 5
 GROUP BY n.n_name
 ORDER BY n.n_name
 """
+
+
+def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path percentile_stats' docstring points
+    at: percentile_approx (bounded-memory KLL-style quantile sketch,
+    mergeable across partitions — no global sort). Sketch output is
+    engine-specific -> rows-only gate; the accuracy envelope vs the
+    exact percentile is asserted in tests/test_sinks.py (same pattern
+    as the HLL and CMS sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+            F.expr("percentile_approx(value, 0.95, 1000)").alias("p95_approx"),
+            F.expr("percentile_approx(value, 0.99, 1000)").alias("p99_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_OLAP["approx_percentile_stats"] = approx_percentile_stats
