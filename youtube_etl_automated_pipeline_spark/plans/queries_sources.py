@@ -323,3 +323,79 @@ FROM items
 GROUP BY page
 ORDER BY page
 """
+
+
+def binaryfile_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-asset ingest connector multimodal pipelines start from:
+    spark.read.format('binaryFile') lists a directory of opaque files
+    and yields (path, length, content) rows — no decode, no parse,
+    content straight into a binary column (the media-table layout of
+    ext/multimodal.to_media_table). Fixture: first 40 documents
+    written once as individual .bin files named by doc_id; the rollup
+    checksums bytes per doc_id parity, and the oracle computes the
+    same from the documents table — proving the file round-trip and
+    the scan are byte-faithful. At 100 TB each file is one task input
+    (combinable via maxPartitionBytes); metadata-only queries
+    (count, sum(length)) never even read contents."""
+    import os
+
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/spark_graft_formats", sf_tag, "media_bin")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect()  # 40 tiny fixture files; never a query path
+        )
+        for r in rows:
+            with open(os.path.join(out, f"{r.doc_id:05d}.bin"), "wb") as f:
+                f.write((r.text or "").encode("utf-8"))
+        with open(os.path.join(out, "_DONE"), "w") as f:
+            f.write("ok")
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)\.bin$", 1
+    ).cast("long")
+    # portable content checksum: md5-prefix-as-long (the repo-wide
+    # cross-engine hash; DuckDB md5 hashes the same UTF-8 bytes)
+    content_hash = F.conv(
+        F.substring(F.md5(F.col("content")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        files.select(
+            (doc_id % 4).alias("doc_bucket"),
+            F.col("length"),
+            content_hash.alias("chash"),
+        )
+        .groupBy("doc_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("sum_bytes"),
+            F.sum("chash").alias("sum_hash"),
+        )
+        .orderBy("doc_bucket")
+    )
+
+
+QUERIES_SOURCES["binaryfile_media_rollup"] = binaryfile_media_rollup
+
+ORACLES_SOURCES["binaryfile_media_rollup"] = """
+SELECT doc_id % 4 AS doc_bucket,
+       count(*) AS n_files,
+       CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS sum_bytes,
+       CAST(sum(CAST('0x' || substr(md5(coalesce(text, '')), 1, 8) AS BIGINT))
+            AS BIGINT) AS sum_hash
+FROM documents
+WHERE doc_id < 40
+GROUP BY doc_bucket
+ORDER BY doc_bucket
+"""
