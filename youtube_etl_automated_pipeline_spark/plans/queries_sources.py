@@ -399,3 +399,52 @@ WHERE doc_id < 40
 GROUP BY doc_bucket
 ORDER BY doc_bucket
 """
+
+
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: an old extract (no event props) unioned
+    with a new extract (adds prop_k) via unionByName(
+    allowMissingColumns=True) — the missing column null-fills, by
+    NAME not position (positional union is how silent column swaps
+    happen at migration time). Rollup counts nulls per leg to prove
+    the fill; oracle reproduces both legs from the events table."""
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    old_extract = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    )
+    new_extract = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k int")["k"].alias("prop_k"),
+    )
+    merged = old_extract.unionByName(new_extract, allowMissingColumns=True)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("prop_k").alias("n_with_k"),
+            F.sum("prop_k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_SOURCES["schema_drift_union"] = schema_drift_union
+
+ORACLES_SOURCES["schema_drift_union"] = """
+WITH merged AS (
+  SELECT event_id, event_type, NULL AS prop_k
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, CAST(json_extract(props, '$.k') AS INT) AS prop_k
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT event_type, count(*) AS n_rows,
+       count(prop_k) AS n_with_k,
+       CAST(sum(prop_k) AS BIGINT) AS sum_k
+FROM merged
+GROUP BY event_type
+ORDER BY event_type
+"""
