@@ -201,3 +201,19 @@ FROM daily
 WHERE day + INTERVAL 1 DAY <= (SELECT w FROM wm)
 ORDER BY day
 """
+
+
+# chained dedup->agg: daily counts, filtered by the end-of-stream
+# eviction rule (day closed iff day_end <= max(ts) - 1h); event_ids
+# are unique so the dedup stage passes every row through
+ORACLES_STREAMING["streaming_chained_dedup_agg"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY day
+)
+SELECT day, n_events FROM daily
+WHERE day + INTERVAL 1 DAY <= (SELECT w FROM wm)
+ORDER BY day
+"""

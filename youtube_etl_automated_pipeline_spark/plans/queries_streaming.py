@@ -522,3 +522,30 @@ def streaming_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["streaming_chained_join_agg"] = streaming_chained_join_agg
+
+
+def streaming_chained_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other multi-stateful chain: watermarked DEDUP
+    (dropDuplicatesWithinWatermark on event_id) feeding a tumbling
+    DAILY aggregate in the same streaming query. Dedup emits rows
+    inside the data batch, so the downstream agg sees them in time;
+    the availableNow no-data batch closes every day window the final
+    watermark (max ts - 1h) passed — the last open day is withheld,
+    and the oracle applies the same eviction cut. The source has
+    unique event_ids, so dedup is a no-op on CONTENT (the oracle
+    needs no dedup step) while still exercising the stateful
+    operator chain."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.select("event_id", "ts").dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy(F.window("ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_stream_to_memory(
+        agg.select(F.col("window.start").alias("day"), "n_events"),
+        "chained_dedup_agg",
+        output_mode="append",
+    )
+    return out.orderBy("day")
+
+
+QUERIES_STREAMING["streaming_chained_dedup_agg"] = streaming_chained_dedup_agg
