@@ -142,3 +142,23 @@ FROM per_type
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+ORACLES_JOINS_AGGS["nation_revenue_share"] = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name AS region_name, n_name AS nation_name, cents,
+       CAST(cents AS DOUBLE)
+         / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share_of_region,
+       CAST(cents AS DOUBLE)
+         / CAST(sum(cents) OVER () AS DOUBLE) AS share_of_total
+FROM per_nation
+ORDER BY region_name, nation_name
+"""

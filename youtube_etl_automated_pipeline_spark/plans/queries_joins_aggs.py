@@ -265,3 +265,40 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_JOINS_AGGS["user_event_type_map"] = user_event_type_map
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics (the ratio_to_report pattern): each
+    nation's revenue as a fraction of its region's and of the grand
+    total — two window sums OVER different scopes layered on one
+    aggregate. Integer-cents sums; each share is ONE double division
+    of two bigints, so the ratios are bit-identical cross-engine.
+    Plan: one hash aggregate (25 rows) then windows over the tiny
+    aggregate — the window cost is on the ROLLUP, never the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(units(F.col("o_totalprice"), 2)).alias("cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        "cents",
+        (F.col("cents").cast("double") / F.sum("cents").over(w_region).cast("double")).alias(
+            "share_of_region"
+        ),
+        (F.col("cents").cast("double") / F.sum("cents").over(w_all).cast("double")).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region_name", "nation_name")
+
+
+QUERIES_JOINS_AGGS["nation_revenue_share"] = nation_revenue_share
