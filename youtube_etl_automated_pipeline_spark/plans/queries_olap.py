@@ -5,6 +5,8 @@ the operator family Spark lacks as a built-in). Oracles inline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -471,3 +473,55 @@ def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_OLAP["approx_percentile_stats"] = approx_percentile_stats
+
+
+def bucketed_colocated_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketing strategy as an ORACLE-VISIBLE query (the
+    no-Exchange plan property itself is asserted in
+    tests/test_bucketing.py): orders and lineitem are written ONCE as
+    8-bucket managed tables hash-bucketed + sorted on the join key,
+    then joined WITHOUT broadcast — the sort-merge join reads
+    co-located buckets, so the only shuffle in the plan is the final
+    rollup key. At 100 TB this is the pay-the-shuffle-once-at-write
+    layout for every repeated fact-fact join. The oracle computes the
+    same rollup from the raw tables, proving the bucketed layout is
+    content-lossless."""
+    from youtube_etl_automated_pipeline_spark.sinks import write_bucketed
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    t_orders = f"bkt_orders_{sf_tag.replace('.', '_')}"
+    t_li = f"bkt_lineitem_{sf_tag.replace('.', '_')}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(load_table(spark, sf_dir, "orders"), t_orders, "o_orderkey")
+    if not spark.catalog.tableExists(t_li):
+        write_bucketed(load_table(spark, sf_dir, "lineitem"), t_li, "l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return (
+            spark.table(t_orders)
+            .join(
+                spark.table(t_li),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(units(F.col("l_extendedprice"), 2)).alias("price_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+QUERIES_OLAP["bucketed_colocated_join_rollup"] = bucketed_colocated_join_rollup
+
+ORACLES_OLAP["bucketed_colocated_join_rollup"] = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
