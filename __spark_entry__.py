@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_mining import (
         QUERIES_MINING,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_curation import (
+        QUERIES_CURATION,
+    )
 
     return {
         **QUERIES,
@@ -93,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_SKETCH,
         **QUERIES_ENGINE4,
         **QUERIES_MINING,
+        **QUERIES_CURATION,
     }
 
 
@@ -143,6 +147,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_mining import (
         ORACLES_MINING,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_curation import (
+        ORACLES_CURATION,
+    )
 
     return {
         **ORACLES,
@@ -166,4 +173,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_SKETCH,
         **ORACLES_ENGINE4,
         **ORACLES_MINING,
+        **ORACLES_CURATION,
     }

@@ -1,0 +1,289 @@
+"""Curation-pipeline gate queries: PII redaction, repetition filter,
+benchmark decontamination, chunking, temperature sampling weights.
+
+Extends the reference's regex text-sanitize surface
+(Python-pipeline/data_cleaning.py) to the full LLM-pretraining
+curation toolbox. Every query is a scan-speed projection or one
+well-keyed shuffle; oracles share regex/hash constants with the Spark
+side so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext import curation as C
+from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS, md5_long
+from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    """Deterministically plant synthetic PII in a subset of docs so the
+    redactor has real matches to find (the raw synthetic corpus has
+    none). Same concat is expressed in the oracle — pure test scaffold,
+    the operators themselves (ext.curation) take any text column."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" Reach user"), did.cast("string"), F.lit("@mail-example.com now.")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            (did % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone))
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count emails/IPs/phones, then mask each
+    class with a typed token (pinned replacement order, see
+    ext.curation.PII_ORDER). One projection — scan speed at 100 TB."""
+    docs = _pii_enriched(widen_scan(load_table(spark, sf_dir, "documents")))
+    text = F.col("text")
+    counts = C.pii_counts(text)
+    red = C.redact_pii(text)
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        md5_long(red, 15).alias("redacted_fp"),
+    )
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style boilerplate censuses (top/dup bigram ppm +
+    keep flag) via distributed (doc, bigram) aggregation — see
+    ext.curation.repetition_stats for the scale rationale."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return C.repetition_stats(docs)
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token
+    3-gram with the held-out split (doc_id % 97 == 0), via a broadcast
+    probe of the eval shingle-hash set."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return C.decontaminate(docs)
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (64-token windows, stride 48):
+    doc_id, chunk index, chunk length, portable chunk fingerprint."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return C.chunk_windows(docs)
+
+
+def corpus_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language-resampling weights: per-lang
+    doc counts -> integer sqrt scaling -> ppm weights + per-epoch doc
+    targets at a 100k budget. floor(sqrt(bigint)) is IEEE-exact and
+    identical cross-engine; everything after is integer division. One
+    tiny aggregation + a 5-row window — the corpus is scanned once."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    per_lang = docs.groupBy(
+        F.coalesce(F.col("lang"), F.lit("??")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    scaled = per_lang.withColumn(
+        "sqrt_scale", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    w = Window.partitionBy()
+    return scaled.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sqrt_scale",
+        F.expr(
+            "sqrt_scale * 1000000 div sum(sqrt_scale) over ()"
+        ).alias("weight_ppm"),
+        F.expr(
+            "sqrt_scale * 100000 div sum(sqrt_scale) over ()"
+        ).alias("target_docs_100k"),
+    )
+
+
+QUERIES_CURATION = {
+    "text_pii_redaction": text_pii_redaction,
+    "text_repetition_stats": text_repetition_stats,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "doc_chunk_windows": doc_chunk_windows,
+    "corpus_sampling_weights": corpus_sampling_weights,
+}
+
+
+# --- DuckDB oracles ---------------------------------------------------
+
+_TOKS = f"string_split_regex(trim(text), '{WS_CLASS}+')"
+_NONEMPTY = "text IS NOT NULL AND trim(text) <> ''"
+
+
+def _fp15(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _h8(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' Reach user' || CAST(doc_id AS VARCHAR)"
+    "      || '@mail-example.com now.' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    "      || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'"
+    "      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(pii_text,"
+    f" '{C.EMAIL_RE}', '<EMAIL>', 'g'),"
+    f" '{C.IPV4_RE}', '<IP>', 'g'),"
+    f" '{C.PHONE_RE}', '<PHONE>', 'g')"
+)
+
+ORACLES_CURATION: dict[str, str] = {}
+
+ORACLES_CURATION["text_pii_redaction"] = f"""
+WITH b AS (SELECT doc_id, {_PII_TEXT} AS pii_text FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(pii_text, '{C.EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(pii_text, '{C.IPV4_RE}')) AS n_ips,
+  len(regexp_extract_all(pii_text, '{C.PHONE_RE}')) AS n_phones,
+  length({_REDACTED}) AS redacted_len,
+  {_fp15(_REDACTED)} AS redacted_fp
+FROM b
+ORDER BY doc_id
+"""
+
+_BIGRAMS = (
+    "list_transform(generate_series(1, len(toks) - 1),"
+    " i -> array_to_string(toks[i:i+1], ' '))"
+)
+
+ORACLES_CURATION["text_repetition_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE {_NONEMPTY} AND len({_TOKS}) >= 2
+),
+bg AS (
+  SELECT doc_id, unnest({_BIGRAMS}) AS bigram FROM t
+),
+per_bigram AS (
+  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+    sum(cnt) AS n_bigrams,
+    count(*) AS n_distinct_bigrams,
+    max(cnt) AS max_bigram_cnt,
+    coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS dup_instances
+  FROM per_bigram GROUP BY 1
+)
+SELECT doc_id,
+  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+  CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+  CAST(max_bigram_cnt AS BIGINT) AS max_bigram_cnt,
+  CAST(max_bigram_cnt * 1000000 // n_bigrams AS BIGINT) AS top_bigram_ppm,
+  CAST(dup_instances * 1000000 // n_bigrams AS BIGINT) AS dup_bigram_ppm,
+  (max_bigram_cnt * 1000000 // n_bigrams) < 180000 AS keep_flag
+FROM per_doc
+ORDER BY doc_id
+"""
+
+_TRIGRAMS = (
+    "list_transform(generate_series(1, len(toks) - 2),"
+    " i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+ORACLES_CURATION["decontaminate_ngram_overlap"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE {_NONEMPTY} AND len({_TOKS}) >= {C.DECON_N}
+),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform({_TRIGRAMS}, s -> {_h8('s')}))) AS shash
+  FROM t
+),
+ev AS (
+  SELECT doc_id AS eval_doc_id, shash FROM sh WHERE doc_id % {C.EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, shash FROM sh WHERE doc_id % {C.EVAL_MOD} <> 0
+)
+SELECT tr.doc_id,
+  count(*) AS n_hit_pairs,
+  count(DISTINCT tr.shash) AS n_hit_shingles,
+  count(DISTINCT ev.eval_doc_id) AS n_eval_docs,
+  min(ev.eval_doc_id) AS first_eval_doc
+FROM tr JOIN ev ON tr.shash = ev.shash
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES_CURATION["doc_chunk_windows"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE {_NONEMPTY}
+),
+c AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0,
+      (1 + (greatest(len(toks) - {C.CHUNK_W}, 0) + {C.CHUNK_S - 1})
+        // {C.CHUNK_S}) - 1)) AS start_i
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id,
+  CAST(start_i AS INT) AS chunk_idx,
+  CAST(len(toks[start_i * {C.CHUNK_S} + 1 :
+            start_i * {C.CHUNK_S} + {C.CHUNK_W}]) AS INT) AS chunk_len,
+  {_fp15(f"array_to_string(toks[start_i * {C.CHUNK_S} + 1 : "
+         f"start_i * {C.CHUNK_S} + {C.CHUNK_W}], ' ')")} AS chunk_fp
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+ORACLES_CURATION["corpus_sampling_weights"] = """
+WITH per_lang AS (
+  SELECT coalesce(lang, '??') AS lang,
+    count(*) AS n_docs,
+    sum(n_chars) AS sum_chars
+  FROM documents GROUP BY 1
+),
+scaled AS (
+  SELECT lang, n_docs, sum_chars,
+    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS sqrt_scale
+  FROM per_lang
+)
+SELECT lang,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(sum_chars AS BIGINT) AS sum_chars,
+  sqrt_scale,
+  CAST(sqrt_scale * 1000000 // sum(sqrt_scale) OVER () AS BIGINT) AS weight_ppm,
+  CAST(sqrt_scale * 100000 // sum(sqrt_scale) OVER () AS BIGINT) AS target_docs_100k
+FROM scaled
+ORDER BY lang
+"""
