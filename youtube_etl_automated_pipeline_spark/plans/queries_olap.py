@@ -498,7 +498,7 @@ def bucketed_colocated_join_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        return (
+        df = (
             spark.table(t_orders)
             .join(
                 spark.table(t_li),
@@ -511,6 +511,15 @@ def bucketed_colocated_join_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             )
             .orderBy("o_orderstatus")
         )
+        # Materialize the physical plan WHILE the conf is active:
+        # Catalyst reads SQLConf at planning time (lazily, at the first
+        # action), so restoring the conf before the caller's action
+        # would silently re-enable broadcast and void the co-located
+        # SMJ this query exists to demonstrate. executedPlan is a
+        # cached lazy val — once forced here, the caller's action
+        # reuses it.
+        df._jdf.queryExecution().executedPlan()
+        return df
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -522,6 +531,66 @@ SELECT o_orderstatus, count(*) AS n_lines,
        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
          AS price_cents
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def bloom_filter_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join as an ORACLE-VISIBLE query: a
+    selective dim-side predicate (1-URGENT orders) feeds a shuffle
+    join, and Spark's runtime row-level filtering injects a
+    bloom_filter_agg on the dim side plus a might_contain probe at the
+    FACT scan — most lineitem rows die before the shuffle. At 100 TB
+    the 10MB/10GB default thresholds trigger this rewrite on exactly
+    this shape; the smoke tables are tiny, so the thresholds are
+    lowered here and the physical plan is forced while the confs are
+    active (Catalyst reads SQLConf at planning time — see
+    bucketed_colocated_join_rollup). The oracle is the plain join:
+    identical results prove the runtime filter is semantics-free.
+    Plan-shape assertion lives in
+    tests/test_plan_shapes.py::test_runtime_bloom_filter_prunes_large_join."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(units(F.col("l_extendedprice"), 2)).alias("price_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+QUERIES_OLAP["bloom_filter_join_rollup"] = bloom_filter_join_rollup
+
+ORACLES_OLAP["bloom_filter_join_rollup"] = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
