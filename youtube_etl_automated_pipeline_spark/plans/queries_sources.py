@@ -448,3 +448,28 @@ FROM merged
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def xml_documents_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 NATIVE XML source: documents re-materialized as XML
+    (<doc> row tag), scanned back with an explicit schema and rolled
+    up over every column. The oracle runs on the original parquet, so
+    equality proves the XML round-trip (element escaping, whitespace
+    preservation via ignoreSurroundingSpaces=false, empty-vs-null) is
+    content-lossless. Completes the format-federation matrix:
+    parquet + JSONL + ORC + binaryFile + XML."""
+    from youtube_etl_automated_pipeline_spark.sources import (
+        materialize_format,
+        read_xml,
+    )
+
+    path = materialize_format(spark, sf_dir, "documents", "xml")
+    docs = read_xml(
+        spark, path, DOCUMENTS_SCHEMA
+    )
+    return _doc_rollup(docs)
+
+
+QUERIES_SOURCES["xml_documents_rollup"] = xml_documents_rollup
+
+ORACLES_SOURCES["xml_documents_rollup"] = _ROLLUP_SQL

@@ -8,6 +8,7 @@ from youtube_etl_automated_pipeline_spark.sources.readers import (
     read_jsonl,
     read_jsonl_quarantined,
     read_orc,
+    read_xml,
     widen_scan,
     register_views,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "read_jsonl",
     "read_jsonl_quarantined",
     "read_orc",
+    "read_xml",
     "register_views",
     "widen_scan",
 ]

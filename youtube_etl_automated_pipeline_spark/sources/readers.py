@@ -167,9 +167,30 @@ def materialize_format(
             writer.json(out)
         elif fmt == "orc":
             writer.orc(out)
+        elif fmt == "xml":
+            # Spark 4 native XML (the spark-xml package folded into
+            # core). rowTag names the per-record element.
+            writer.format("xml").option("rowTag", "doc").save(out)
         else:
             raise ValueError(f"unknown format {fmt!r}")
     return out
+
+
+def read_xml(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Spark 4 native XML scan with an EXPLICIT schema — like JSONL,
+    never let a 100 TB scan pay a schema-inference pre-pass. Empty
+    string elements round-trip as nulls in XML (an empty <text/>
+    element carries no text node), so callers that must distinguish
+    '' from NULL need a sentinel; the gate rollup coalesces."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        # default true TRIMS leading/trailing whitespace of element
+        # text — silent content loss for whitespace-padded documents
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(schema)
+        .load(path)
+    )
 
 
 def load_json_dim(spark: SparkSession, path: str) -> DataFrame:
