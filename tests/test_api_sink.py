@@ -1,0 +1,92 @@
+"""Python Data Source WRITE path (api_batch_sink): two-phase commit
+semantics — staged-then-published files, manifest accounting,
+overwrite replacement, abort leaves prior data untouched."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from youtube_etl_automated_pipeline_spark.sources import load_table
+from youtube_etl_automated_pipeline_spark.sources.api_sink import register
+
+
+def _manifest(target: str) -> dict:
+    with open(os.path.join(target, "_MANIFEST.json")) as f:
+        return json.load(f)
+
+
+def test_api_sink_roundtrip_and_manifest(spark, tmp_path):
+    register(spark)
+    target = str(tmp_path / "sink")
+    os.makedirs(target)
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    ev.repartition(4).write.format("api_batch_sink").option(
+        "batch_size", 100
+    ).mode("append").save(target)
+
+    m = _manifest(target)
+    assert m["total_rows"] == n
+    assert len(m["files"]) == 4
+    # request accounting: each partition ceil(rows/100) calls
+    assert m["total_requests"] >= n // 100
+    assert not os.path.exists(os.path.join(target, "_staging"))
+
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(os.path.join(target, "*.jsonl"))
+    assert back.count() == n
+    assert (
+        back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+    )
+
+
+def test_api_sink_overwrite_replaces_published_files(spark, tmp_path):
+    register(spark)
+    target = str(tmp_path / "sink")
+    os.makedirs(target)
+    df1 = spark.range(100).select(F.col("id").alias("k"))
+    df1.coalesce(2).write.format("api_batch_sink").mode("append").save(target)
+    assert _manifest(target)["total_rows"] == 100
+
+    df2 = spark.range(7).select(F.col("id").alias("k"))
+    df2.coalesce(1).write.format("api_batch_sink").mode("overwrite").save(target)
+    m = _manifest(target)
+    assert m["total_rows"] == 7 and len(m["files"]) == 1
+    back = spark.read.schema("k bigint").json(os.path.join(target, "*.jsonl"))
+    assert back.count() == 7
+
+
+def test_api_sink_abort_keeps_prior_data(spark, tmp_path):
+    register(spark)
+    target = str(tmp_path / "sink")
+    os.makedirs(target)
+    spark.range(50).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "api_batch_sink"
+    ).mode("append").save(target)
+    before = _manifest(target)
+
+    # a task-side failure mid-job: the commit never runs, staging is
+    # aborted, previously published data + manifest stay intact
+    failing = spark.range(10).select(
+        F.expr("assert_true(id < 5, 'poison row')").alias("chk"),
+        F.col("id").alias("k"),
+    )
+    with pytest.raises(Exception):
+        failing.coalesce(1).write.format("api_batch_sink").mode(
+            "overwrite"
+        ).save(target)
+
+    after = _manifest(target)
+    assert after == before
+    assert not os.path.exists(os.path.join(target, "_staging"))
+    back = spark.read.schema("k bigint").json(os.path.join(target, "*.jsonl"))
+    assert back.count() == 50

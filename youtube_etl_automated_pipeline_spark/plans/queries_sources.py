@@ -473,3 +473,61 @@ def xml_documents_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_SOURCES["xml_documents_rollup"] = xml_documents_rollup
 
 ORACLES_SOURCES["xml_documents_rollup"] = _ROLLUP_SQL
+
+
+def api_sink_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python Data Source WRITE path as an ORACLE-VISIBLE query:
+    events published through the api_batch_sink connector (two-phase
+    commit, 500-rows-per-request batching — the reference's sheet
+    write-back contract), then the published JSONL is scanned back and
+    rolled up. The oracle computes the same rollup from the raw
+    parquet, so equality proves the sink publishes every row exactly
+    once (commit-protocol atomicity visible to the correctness gate).
+    Protocol semantics (manifest accounting, overwrite, abort) are
+    asserted in tests/test_api_sink.py."""
+    import os
+
+    from youtube_etl_automated_pipeline_spark.sources import load_table as _lt
+    from youtube_etl_automated_pipeline_spark.sources.api_sink import (
+        register as _register_sink,
+    )
+
+    _register_sink(spark)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    target = os.path.join("/tmp/spark_graft_formats", sf_tag, "events.apisink")
+    os.makedirs(target, exist_ok=True)
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.format("api_batch_sink").mode("overwrite").save(target)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(os.path.join(target, "*.jsonl"))
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+            F.sum(F.col("user_id")).alias("sum_users"),
+            F.sum(F.expr("CAST(round(value * 100.0) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_SOURCES["api_sink_roundtrip_rollup"] = api_sink_roundtrip_rollup
+
+ORACLES_SOURCES["api_sink_roundtrip_rollup"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event,
+       CAST(sum(user_id) AS BIGINT) AS sum_users,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,120 @@
+"""Custom connector, write side: a batched-upload API SINK on Spark
+4's Python Data Source writer API (``DataSourceArrowWriter``) — the
+counterpart of the paged_api read connector.
+
+The reference publishes results by batch-updating a Google Sheet
+(gspread ``update``/``append_rows`` calls driven row-window by
+row-window from one process). Re-expressed for Spark, each PARTITION
+becomes one uploader task (1000 executors publish 1000 partitions
+concurrently), rows inside a partition are grouped into
+``batch_size``-row "requests" (the reference's 500-per-call contract),
+and Spark's two-phase commit protocol provides the atomicity the
+reference approximates with its truncate-then-rewrite dance:
+
+- executors WRITE to a staging area and return a commit message
+  (file, rows, request count) — nothing is visible yet;
+- the driver COMMITs by publishing exactly the staged files named in
+  the commit messages and writing a ``_MANIFEST.json`` (the "finalize"
+  call a transactional API would expose); a task retry's orphaned
+  attempt file is ignored because only message-named files publish;
+- on any task failure the driver ABORTs: staging is dropped, the
+  previously-published data stays untouched.
+
+The simulated endpoint is the local filesystem (JSONL per partition);
+a real deployment swaps ``_upload`` for HTTP PUTs and keeps the
+protocol. No network in this container — same honesty contract as
+paged_api.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+DEFAULT_BATCH_SIZE = 500  # the reference's rows-per-request contract
+
+
+@dataclass
+class ApiSinkCommit(WriterCommitMessage):
+    staged_file: str
+    rows: int
+    requests: int
+
+
+def _staging_dir(target: str) -> str:
+    return os.path.join(target, "_staging")
+
+
+class BatchedApiWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.target = options["path"]
+        self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+        self.overwrite = overwrite
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator: Iterator) -> ApiSinkCommit:
+        os.makedirs(_staging_dir(self.target), exist_ok=True)
+        # uuid per task ATTEMPT: a retried task stages a fresh file and
+        # only the message the driver receives gets published.
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(_staging_dir(self.target), fname)
+        rows = 0
+        with open(staged, "w") as f:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(json.dumps(rec, sort_keys=True, default=str))
+                    f.write("\n")
+                rows += batch.num_rows
+        requests = math.ceil(rows / self.batch_size) if rows else 0
+        return ApiSinkCommit(staged_file=fname, rows=rows, requests=requests)
+
+    # -- driver side ---------------------------------------------------
+    def commit(self, messages: List[Optional[ApiSinkCommit]]) -> None:
+        msgs = [m for m in messages if m is not None]
+        if self.overwrite:
+            for entry in os.listdir(self.target):
+                if entry != "_staging":
+                    path = os.path.join(self.target, entry)
+                    (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+        for m in msgs:
+            os.replace(
+                os.path.join(_staging_dir(self.target), m.staged_file),
+                os.path.join(self.target, m.staged_file),
+            )
+        manifest = {
+            "files": sorted(m.staged_file for m in msgs),
+            "total_rows": sum(m.rows for m in msgs),
+            "total_requests": sum(m.requests for m in msgs),
+            "batch_size": self.batch_size,
+        }
+        with open(os.path.join(self.target, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
+
+    def abort(self, messages: List[Optional[ApiSinkCommit]]) -> None:
+        shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
+
+
+class ApiSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "api_batch_sink"
+
+    def writer(self, schema, overwrite: bool) -> BatchedApiWriter:
+        return BatchedApiWriter(dict(self.options), overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the sink connector on a session."""
+    spark.dataSource.register(ApiSinkDataSource)
