@@ -88,3 +88,33 @@ def test_keep_last_matches_pandas_semantics(spark, rows):
     )
     exp = pdf.drop_duplicates(subset=["key"], keep="last").set_index("key")["uid"]
     assert got == exp.to_dict()
+
+
+def test_logreg_trainer_beats_majority_class(spark):
+    """The distributed gradient-descent trainer must actually LEARN:
+    accuracy on the planted linear label has to clear the majority
+    class by a real margin (the planted rule is separable, so a
+    correct trainer lands well above it; a broken gradient lands at
+    the majority rate)."""
+    from tests.conftest import SF_SMOKE
+    from youtube_etl_automated_pipeline_spark.ext import logreg
+    from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+
+    docs = widen_scan(load_table(spark, SF_SMOKE, "documents"))
+    feat = logreg.features(docs).persist()
+    try:
+        w = logreg.train(feat)
+        scored = logreg.score(feat, w)
+        agg = scored.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("predicted") == (F.col("label") == 1)).cast("int")).alias(
+                "hits"
+            ),
+            F.sum("label").alias("pos"),
+        ).collect()[0]
+        acc = agg["hits"] / agg["n"]
+        majority = max(agg["pos"], agg["n"] - agg["pos"]) / agg["n"]
+        assert acc >= majority + 0.05, (acc, majority, w)
+        assert acc >= 0.85, (acc, w)
+    finally:
+        feat.unpersist()

@@ -287,3 +287,92 @@ SELECT lang,
 FROM scaled
 ORDER BY lang
 """
+
+
+def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic-regression document
+    classifier TRAINED INSIDE THE QUERY as 48 batch-gradient
+    aggregations over a persisted 4-column feature table (text is
+    regex-scanned once), then one scoring pass. Integer-quantized
+    gradients + a hard-sigmoid link keep every step bit-identical to
+    the oracle's 48 unrolled CTEs — see ext.logreg for the full
+    determinism argument. Accuracy-beats-majority is asserted in
+    tests/test_properties.py."""
+    from youtube_etl_automated_pipeline_spark.ext import logreg
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    feat = logreg.features(docs).persist()
+    w = logreg.train(feat)
+    return logreg.score(feat, w)
+
+
+QUERIES_CURATION["quality_logreg_scores"] = quality_logreg_scores
+
+
+def _logreg_oracle() -> str:
+    """The same 48 training iterations as unrolled CTEs (the kmeans
+    oracle pattern): w{i} -> gradient over feat -> w{i+1}."""
+    from youtube_etl_automated_pipeline_spark.ext.logreg import ITERS, LR, SCALE
+    from youtube_etl_automated_pipeline_spark.ext.textstats import LANG_MARKERS
+
+    marker = " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in LANG_MARKERS["en"]
+    )
+    from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CHARS
+
+    parts = [
+        f"""feat AS MATERIALIZED (
+  SELECT doc_id, x1, x2, x3,
+         CAST((2.0*x1 + 0.8*x2 - 0.6*x3 - 0.9 > 0) AS INT) AS y
+  FROM (
+    SELECT doc_id,
+      least(CAST(n_tokens AS DOUBLE), 200.0)/200.0 AS x1,
+      CASE WHEN n_tokens > 0 THEN 10.0*stop_cnt/n_tokens ELSE 0.0 END AS x2,
+      CASE WHEN text_len > 0 THEN 10.0*punct/text_len ELSE 0.0 END AS x3
+    FROM (
+      SELECT doc_id,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len({_TOKS}) END AS n_tokens,
+        ({marker}) AS stop_cnt,
+        length(regexp_replace(text, '[A-Za-z0-9{WS_CHARS}]', '', 'g')) AS punct,
+        length(text) AS text_len
+      FROM documents)))""",
+        # every CTE is MATERIALIZED: without it DuckDB inlines the
+        # chain and w48's expression tree doubles per level (w_i is
+        # referenced by both g_i and w_{i+1}) — 2^48 expansion.
+        "w0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)",
+    ]
+    p = "least(greatest(0.25*(w1*x1 + w2*x2 + w3*x3 + b) + 0.5, 0.0), 1.0)"
+
+    def q(c: str) -> str:
+        return (
+            f"CAST(sum(CAST(floor(({c}) * {SCALE} + 0.5) AS BIGINT)) AS BIGINT)"
+        )
+
+    for i in range(ITERS):
+        err = f"({p} - y)"
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"{q(err + ' * x1')} AS g1, {q(err + ' * x2')} AS g2, "
+            f"{q(err + ' * x3')} AS g3, {q(err)} AS g4 "
+            f"FROM feat, w{i})"
+        )
+        upd = ", ".join(
+            f"{col} - {LR!r}*((g{j + 1}/{float(SCALE)!r})/n) AS {col}"
+            for j, col in enumerate(("w1", "w2", "w3", "b"))
+        )
+        parts.append(f"w{i + 1} AS MATERIALIZED (SELECT {upd} FROM w{i}, g{i})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, y AS label,
+       CAST(floor({p} * 1000000.0 + 0.5) AS BIGINT) AS score_ppm,
+       {p} >= 0.5 AS predicted
+FROM feat, w{ITERS}
+ORDER BY doc_id
+"""
+    )
+
+
+ORACLES_CURATION["quality_logreg_scores"] = _logreg_oracle()
