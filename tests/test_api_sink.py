@@ -90,3 +90,48 @@ def test_api_sink_abort_keeps_prior_data(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, "_staging"))
     back = spark.read.schema("k bigint").json(os.path.join(target, "*.jsonl"))
     assert back.count() == 50
+
+
+def test_api_stream_sink_publishes_per_batch_manifests(spark, tmp_path):
+    """Streaming write path (DataSourceStreamArrowWriter): each
+    micro-batch publishes under batch=<id>/ with its own manifest;
+    totals across batches equal the source row count."""
+    register(spark)
+    src, ckpt, target = (
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "sink"),
+    )
+    os.makedirs(target)
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    n = ev.count()
+    # 3 files -> maxFilesPerTrigger=1 gives 3 real micro-batches
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("api_batch_sink")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_dirs = sorted(d for d in os.listdir(target) if d.startswith("batch="))
+    assert len(batch_dirs) == 3, batch_dirs
+    total = 0
+    for d in batch_dirs:
+        with open(os.path.join(target, d, "_MANIFEST.json")) as f:
+            m = json.load(f)
+        assert m["files"], m
+        total += m["total_rows"]
+    assert total == n
+    back = spark.read.schema("event_id bigint, value double").json(
+        os.path.join(target, "batch=*", "*.jsonl")
+    )
+    assert back.count() == n

@@ -39,6 +39,7 @@ from typing import Iterator, List, Optional
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -106,6 +107,48 @@ class BatchedApiWriter(DataSourceArrowWriter):
         shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
 
 
+class BatchedApiStreamWriter(DataSourceStreamArrowWriter):
+    """The STREAMING face of the same endpoint: per micro-batch, the
+    executors stage uploads exactly like the batch writer, and the
+    driver publishes them under ``batch=<id>/`` with a per-batch
+    manifest. Publication is keyed by the checkpointed batchId, so a
+    RESTARTED micro-batch republishes the same directory instead of
+    appending twice — the sink-side half of exactly-once (the
+    source-side half is the checkpointed offset, see paged_api)."""
+
+    def __init__(self, options: dict):
+        self.target = options["path"]
+        self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+
+    def write(self, iterator: Iterator) -> ApiSinkCommit:
+        return BatchedApiWriter(
+            {"path": self.target, "batch_size": self.batch_size}, False
+        ).write(iterator)
+
+    def commit(self, messages: List[Optional[ApiSinkCommit]], batchId: int) -> None:
+        msgs = [m for m in messages if m is not None]
+        batch_dir = os.path.join(self.target, f"batch={int(batchId)}")
+        if os.path.isdir(batch_dir):  # replayed batch: republish clean
+            shutil.rmtree(batch_dir)
+        os.makedirs(batch_dir)
+        for m in msgs:
+            os.replace(
+                os.path.join(_staging_dir(self.target), m.staged_file),
+                os.path.join(batch_dir, m.staged_file),
+            )
+        manifest = {
+            "batch_id": int(batchId),
+            "files": sorted(m.staged_file for m in msgs),
+            "total_rows": sum(m.rows for m in msgs),
+            "total_requests": sum(m.requests for m in msgs),
+        }
+        with open(os.path.join(batch_dir, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+    def abort(self, messages: List[Optional[ApiSinkCommit]], batchId: int) -> None:
+        shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
+
+
 class ApiSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -113,6 +156,9 @@ class ApiSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> BatchedApiWriter:
         return BatchedApiWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> BatchedApiStreamWriter:
+        return BatchedApiStreamWriter(dict(self.options))
 
 
 def register(spark) -> None:
