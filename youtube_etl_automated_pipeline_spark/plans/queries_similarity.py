@@ -76,9 +76,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     dim = embedding_dim(emb)
+    # persist: the double-cast vector table feeds k-means training
+    # (iters passes), both assignment passes, and both unit-vector
+    # projections — one compute, six cached reads.
     all_d = emb.select(
         F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
-    )
+    ).persist()
     # train on a deterministic modulo sample (the faiss posture: a few
     # hundred vectors per centroid suffice) — training cost decoupled
     # from corpus size, and the oracle re-derives the same subset
@@ -189,7 +192,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = emb.filter(F.col("vec_id") % DUP_EVERY == 0).select(
         (F.col("vec_id") + DUP_OFFSET).alias("emb_id"), pert.alias("v")
     )
-    corpus = base.unionByName(dups)
+    # persist: the perturbation projection feeds the signature kernel
+    # AND both verify sides — without it the dim-wide element_at
+    # arithmetic re-runs per consumer. Production materializes this as
+    # the dedup working set; at 100 TB swap for a parquet staging
+    # write (same one-compute-many-reads shape).
+    corpus = base.unionByName(dups).persist()
     sig = signatures(corpus, dim)
     a = sig.select(F.col("emb_id").alias("vec_a"), "band", "key")
     b = sig.select(F.col("emb_id").alias("vec_b"), "band", "key")
@@ -199,8 +207,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ua = corpus.select(F.col("emb_id").alias("vec_a"), unit(F.col("v")).alias("u_a"))
-    ub = corpus.select(F.col("emb_id").alias("vec_b"), unit(F.col("v")).alias("u_b"))
+    # normalize ONCE; both pair sides read the cached unit vectors
+    # (unit() is a dim-term expression — 2x cheaper computed once)
+    uall = corpus.select("emb_id", unit(F.col("v")).alias("u")).persist()
+    ua = uall.select(F.col("emb_id").alias("vec_a"), F.col("u").alias("u_a"))
+    ub = uall.select(F.col("emb_id").alias("vec_b"), F.col("u").alias("u_b"))
     return (
         cand.join(ua, "vec_a")
         .join(ub, "vec_b")
