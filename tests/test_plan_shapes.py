@@ -172,3 +172,33 @@ def test_analyzed_table_statistics_feed_cbo(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS nation_stats_probe")
+
+
+def test_dynamic_partition_pruning_on_partitioned_events(spark):
+    """100 TB shape: joining the date-partitioned fact on its
+    partition column against a FILTERED dim must inject a dynamic
+    partition pruning subquery (PartitionFilters: [dynamicpruning#..])
+    so only the dim's surviving dates are ever read — directory-level
+    skipping decided at runtime, not by a literal predicate."""
+    from youtube_etl_automated_pipeline_spark.sources import (
+        materialize_partitioned_events,
+    )
+
+    path = materialize_partitioned_events(spark, SF_SMOKE)
+    fact = spark.read.parquet(path)
+    dim = fact.select("event_date").distinct().withColumn(
+        "tier",
+        F.when(F.dayofmonth("event_date") <= 3, "hot").otherwise("cold"),
+    )
+    # write the dim so its scan is a real source DPP can hang a
+    # subquery off (an in-memory LocalRelation short-circuits); the
+    # dim filter must be a LIKELY-SELECTIVE predicate (equality/IN/
+    # comparison) — PartitionPruning ignores a bare boolean column
+    import tempfile
+
+    dpath = tempfile.mkdtemp(prefix="dpp_dim_")
+    dim.write.mode("overwrite").parquet(dpath)
+    dimt = spark.read.parquet(dpath).filter(F.col("tier") == "hot")
+    joined = fact.join(dimt, "event_date").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]

@@ -545,3 +545,79 @@ WITH checks AS (
 )
 SELECT "constraint", n_violations FROM checks ORDER BY "constraint"
 """
+
+
+def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini coefficient of event values through a GROUPED-AGG
+    pandas UDF — the vectorized-UDAF flavor of the Pandas API surface
+    (each group's values arrive as ONE numpy-backed Series; the kernel
+    is a sort + an integer dot product, never per-row Python).
+
+    Bit-exactness: values quantize to exact integer cents, the Gini
+    numerator sum((2i-n-1)*x_(i)) is an integer (invariant under tie
+    permutation: tied x share one coefficient sum), and the single
+    final division of two exact integers < 2^53 is IEEE-identical in
+    DuckDB's window-function formulation.
+
+    Scale: Spark's grouped-agg UDF streams each group through Arrow;
+    groups here are event types (5 groups, ~n/5 rows each). For
+    heavy-tailed group sizes the same metric decomposes into the
+    sort-free window form the oracle uses — both shapes shown."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses postponed annotations
+    # (PEP 563), which turn type hints into strings pyspark's
+    # hint-based UDF-type inference cannot resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini_cents(v):
+        x = np.sort(np.floor(v.to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64"))
+        n = len(x)
+        tot = int(x.sum())
+        if n == 0 or tot == 0:
+            return 0.0
+        num = int(((2 * np.arange(1, n + 1, dtype="int64") - n - 1) * x).sum())
+        return float(num) / float(n * tot)
+
+    # Spark disallows mixing group-agg pandas UDFs with JVM aggregates
+    # in one Aggregate, so the row count is a pandas UDAF too (both
+    # ride the same Arrow transfer of the group)
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_rows(F.col("value")).alias("n"),
+            gini_cents(F.col("value")).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_ANALYTICS["gini_value_concentration"] = gini_value_concentration
+
+ORACLES_ANALYTICS["gini_value_concentration"] = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cents) OVER (PARTITION BY event_type) AS tot
+  FROM c
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CASE WHEN max(n) = 0 OR max(tot) = 0 THEN 0.0
+            ELSE CAST(CAST(sum((2*rn - n - 1) * cents) AS BIGINT) AS DOUBLE)
+                 / CAST(max(n) * max(tot) AS DOUBLE) END AS gini
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""

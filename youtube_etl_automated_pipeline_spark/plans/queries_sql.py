@@ -229,3 +229,27 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_SQL["sql_recursive_hierarchy"] = sql_recursive_hierarchy
 ORACLES_SQL["sql_recursive_hierarchy"] = RECURSIVE_HIERARCHY_SQL
+
+
+GROUP_BY_ALL_SQL = """
+SELECT n_name AS nation, o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL: the modern analyst-SQL surface
+    (grouping keys inferred from the non-aggregate select list) —
+    IDENTICAL query text executes on both engines."""
+    register_views(spark, sf_dir, tables=("orders", "customer", "nation"))
+    return spark.sql(GROUP_BY_ALL_SQL)
+
+
+QUERIES_SQL["sql_group_by_all"] = sql_group_by_all
+ORACLES_SQL["sql_group_by_all"] = GROUP_BY_ALL_SQL
