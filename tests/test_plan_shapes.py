@@ -202,3 +202,29 @@ def test_dynamic_partition_pruning_on_partitioned_events(spark):
     joined = fact.join(dimt, "event_date").groupBy("event_type").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:4000]
+
+
+def test_join_strategy_hints_control_physical_operator(spark):
+    """The engine exposes all four join-strategy hints and each one
+    lands the physical operator it names — the manual override surface
+    for when a 100 TB planner estimate is wrong (e.g. force
+    SHUFFLE_HASH for a medium dim too big to broadcast but cheaper to
+    hash than sort)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cases = {
+        "BROADCAST": "BroadcastHashJoin",
+        "MERGE": "SortMergeJoin",
+        "SHUFFLE_HASH": "ShuffledHashJoin",
+        "SHUFFLE_REPLICATE_NL": "CartesianProduct",
+    }
+    for hint, operator in cases.items():
+        if hint == "SHUFFLE_REPLICATE_NL":
+            # replicate-NL is only legal for a true cross join
+            j = li.crossJoin(orders.hint(hint).limit(10))
+        else:
+            j = li.join(
+                orders.hint(hint), li["l_orderkey"] == orders["o_orderkey"]
+            )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert operator in plan, f"{hint}: expected {operator}\n{plan[:2000]}"

@@ -162,3 +162,24 @@ SELECT r_name AS region_name, n_name AS nation_name, cents,
 FROM per_nation
 ORDER BY region_name, nation_name
 """
+
+
+ORACLES_JOINS_AGGS["null_safe_join_rollup"] = """
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderpriority <> '5-LOW'
+              THEN CAST(o_custkey % 10 AS VARCHAR) END AS clerk_bucket
+  FROM orders
+),
+dim AS (
+  SELECT clerk_bucket, count(*) AS bucket_orders
+  FROM keyed GROUP BY clerk_bucket
+)
+SELECT k.clerk_bucket,
+       count(*) AS n_orders,
+       CAST(max(d.bucket_orders) AS BIGINT) AS bucket_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM keyed k JOIN dim d ON k.clerk_bucket IS NOT DISTINCT FROM d.clerk_bucket
+GROUP BY k.clerk_bucket
+ORDER BY k.clerk_bucket NULLS FIRST
+"""

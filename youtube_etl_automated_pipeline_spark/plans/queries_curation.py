@@ -301,7 +301,13 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.ext import logreg
 
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    feat = logreg.features(docs).persist()
+    # repartition(8), not coalesce: coalesce would collapse the
+    # regex-heavy extraction itself to 8 tasks; a shuffle AFTER
+    # extraction keeps it scan-wide while the 48 iteration jobs each
+    # schedule 8 tasks over the tiny cached relation instead of 32
+    # (pure scheduling overhead at this size). At cluster scale pick
+    # partitions ~ feature-table-size / 128MB.
+    feat = logreg.features(docs).repartition(8).persist()
     w = logreg.train(feat)
     return logreg.score(feat, w)
 

@@ -302,3 +302,43 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_JOINS_AGGS["nation_revenue_share"] = nation_revenue_share
+
+
+def null_safe_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): a nullable
+    derived key (clerk bucket, NULL for low-priority orders) joined
+    null-equals-null — NULL keys MATCH each other instead of silently
+    dropping, the semantic the reference's dict-lookup 'missing key →
+    default row' path needs when the key itself is absent. Spark plans
+    <=> as a hash join key (no cartesian blowup); identical grouping
+    both engines proves the match semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") != "5-LOW",
+            (F.col("o_custkey") % 10).cast("string"),
+        ).alias("clerk_bucket"),
+    )
+    dim = (
+        keyed.groupBy("clerk_bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_orders"))
+    )
+    joined = keyed.join(
+        dim, keyed["clerk_bucket"].eqNullSafe(dim["clerk_bucket"]), "inner"
+    ).drop(dim["clerk_bucket"])
+    return (
+        joined.groupBy("clerk_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("bucket_orders").alias("bucket_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+        .orderBy(F.col("clerk_bucket").asc_nulls_first())
+    )
+
+
+QUERIES_JOINS_AGGS["null_safe_join_rollup"] = null_safe_join_rollup

@@ -531,3 +531,35 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def csv_documents_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip gate: documents written as quoted CSV (text
+    bodies contain commas/quotes/newlines-as-escapes) and scanned back
+    with an explicit schema + multiLine. Oracle on the parquet
+    original — the every-column rollup catches any quoting or
+    type-coercion loss. At 100 TB: multiLine CSV is NOT splittable
+    (one task per file) — this gate documents the cost; columnar
+    formats remain the recommended interchange."""
+    import os as _os
+
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir))
+    out = _os.path.join("/tmp/spark_graft_formats", sf_tag, "documents.csvdir")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").option(
+            "header", True
+        ).option("quoteAll", True).option("escape", '"').csv(out)
+    docs = (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return _doc_rollup(docs)
+
+
+QUERIES_SOURCES["csv_documents_rollup"] = csv_documents_rollup
+ORACLES_SOURCES["csv_documents_rollup"] = _ROLLUP_SQL
