@@ -122,3 +122,32 @@ def test_lsh_recall_on_planted_dups(spark):
     assert found <= planted  # no false positives survive the verify
     assert len(found) / len(planted) >= 0.9
     assert all(r.cos_sim >= 0.99 for r in res)
+
+
+def test_product_quantization_codebooks_nondegenerate(spark):
+    """PQ sanity: codes stay in [0, PQ_K), every subspace's codebook
+    is actually used (>1 distinct code — a degenerate k-means that
+    collapsed to one centroid would quantize everything identically),
+    and quantization error is finite and non-negative."""
+    from pyspark.sql import functions as F
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        PQ_K,
+        PQ_M,
+        embedding_product_quantize,
+    )
+
+    df = embedding_product_quantize(spark, SF_SMOKE)
+    agg = df.agg(
+        *[F.min(f"code_{m}").alias(f"lo{m}") for m in range(PQ_M)],
+        *[F.max(f"code_{m}").alias(f"hi{m}") for m in range(PQ_M)],
+        *[
+            F.countDistinct(f"code_{m}").alias(f"nd{m}")
+            for m in range(PQ_M)
+        ],
+        F.min("err_units").alias("err_lo"),
+    ).collect()[0]
+    for m in range(PQ_M):
+        assert 0 <= agg[f"lo{m}"] and agg[f"hi{m}"] < PQ_K
+        assert agg[f"nd{m}"] > 1, f"subspace {m} codebook degenerate"
+    assert agg["err_lo"] >= 0

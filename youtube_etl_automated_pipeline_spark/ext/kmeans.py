@@ -170,41 +170,44 @@ def sql_dist2(vec_expr: str, cent_expr: str, dim: int) -> str:
 
 
 def sql_kmeans_ctes(
-    dim: int, k: int = 8, iters: int = 3, train_src: str = "corpus"
+    dim: int, k: int = 8, iters: int = 3, train_src: str = "corpus",
+    prefix: str = "",
 ) -> str:
     """CTE chain reproducing train_kmeans bit-for-bit on a
     ``train_src`` CTE of (emb_id, v: list<double>) — the same
     training subset the Spark side passes in. Terminal CTE:
-    cent{iters} = (cid, cvec)."""
+    {prefix}cent{iters} = (cid, cvec). ``prefix`` namespaces the CTE
+    chain so several trainings (e.g. one per PQ subspace) can live in
+    one WITH clause."""
     parts = [
-        f"""cent0 AS (
+        f"""{prefix}cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY emb_id) - 1 AS INTEGER) AS cid, v AS cvec
   FROM (SELECT emb_id, v FROM {train_src} ORDER BY emb_id LIMIT {k})
 )"""
     ]
     for t in range(iters):
-        parts.append(f"""assign{t} AS (
+        parts.append(f"""{prefix}assign{t} AS (
   SELECT emb_id, v, cid FROM (
     SELECT e.emb_id, e.v, c.cid,
            row_number() OVER (PARTITION BY e.emb_id
              ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
-    FROM {train_src} e CROSS JOIN cent{t} c
+    FROM {train_src} e CROSS JOIN {prefix}cent{t} c
   ) WHERE _rn = 1
 )""")
-        parts.append(f"""sums{t} AS (
+        parts.append(f"""{prefix}sums{t} AS (
   SELECT cid, i AS pos,
          CAST(sum(CAST(floor(v[i] * {UNIT_SCALE!r} + 0.5) AS BIGINT)) AS BIGINT) AS su,
          count(*) AS cnt
-  FROM assign{t}, generate_series(1, {dim}) AS g(i)
+  FROM {prefix}assign{t}, generate_series(1, {dim}) AS g(i)
   GROUP BY cid, i
 )""")
-        parts.append(f"""cent{t + 1} AS (
+        parts.append(f"""{prefix}cent{t + 1} AS (
   SELECT p.cid,
          coalesce(n.cvec, p.cvec) AS cvec
-  FROM cent{t} p LEFT JOIN (
+  FROM {prefix}cent{t} p LEFT JOIN (
     SELECT cid, list(CAST(su AS DOUBLE) / CAST(cnt AS DOUBLE) / {UNIT_SCALE!r}
                      ORDER BY pos) AS cvec
-    FROM sums{t} GROUP BY cid
+    FROM {prefix}sums{t} GROUP BY cid
   ) n USING (cid)
 )""")
     return ",\n".join(parts)

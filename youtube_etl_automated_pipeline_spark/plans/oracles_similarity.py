@@ -251,3 +251,79 @@ SELECT label, count(*) AS n_vecs,
 FROM n GROUP BY label
 ORDER BY label
 """
+
+
+def _pq_oracle(dim: int = 64) -> str:
+    """Twin of embedding_product_quantize: per-subspace k-means CTE
+    chains (prefixed so 4 trainings share one WITH clause), nearest
+    sub-centroid assignment with the cid-ASC tiebreak matching
+    array_position-first-match, and the same floor(d*1e6+0.5) error
+    units summed across subspaces."""
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_dist2,
+        sql_kmeans_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        TRAIN_MOD,
+    )
+
+    sub = dim // PQ_M
+    parts = [
+        """corpus AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0)",
+    ]
+    assigns = []
+    for m in range(PQ_M):
+        off = m * sub
+        parts.append(
+            f"tr{m} AS (SELECT emb_id, v[{off + 1}:{off + sub}] AS v FROM sample)"
+        )
+        parts.append(
+            sql_kmeans_ctes(sub, k=PQ_K, iters=PQ_ITERS, train_src=f"tr{m}",
+                            prefix=f"pq{m}")
+        )
+        parts.append(
+            f"""pq{m}d AS (
+  SELECT e.emb_id, c.cid,
+         {sql_dist2(f"e.v[{off + 1}:{off + sub}]", "c.cvec", sub)} AS d
+  FROM corpus e CROSS JOIN pq{m}cent{PQ_ITERS} c
+)"""
+        )
+        parts.append(
+            f"""pq{m}a AS (
+  SELECT emb_id, cid, d FROM (
+    SELECT emb_id, cid, d,
+           row_number() OVER (PARTITION BY emb_id ORDER BY d ASC, cid ASC) AS _rn
+    FROM pq{m}d
+  ) WHERE _rn = 1
+)"""
+        )
+        assigns.append(f"pq{m}a")
+    code_cols = ",\n       ".join(
+        f"CAST(pq{m}a.cid AS INT) AS code_{m}" for m in range(PQ_M)
+    )
+    err_sum = " + ".join(
+        f"CAST(floor(pq{m}a.d * 1000000.0 + 0.5) AS BIGINT)" for m in range(PQ_M)
+    )
+    joins = "".join(
+        f" JOIN pq{m}a ON pq0a.emb_id = pq{m}a.emb_id" for m in range(1, PQ_M)
+    )
+    with_body = ",\n".join(parts)
+    return f"""
+WITH {with_body}
+SELECT pq0a.emb_id AS emb_id,
+       {code_cols},
+       CAST({err_sum} AS BIGINT) AS err_units
+FROM pq0a{joins}
+ORDER BY emb_id
+"""
+
+
+ORACLES_SIMILARITY["embedding_product_quantize"] = _pq_oracle()

@@ -280,3 +280,65 @@ QUERIES_SIMILARITY = {
     "embedding_label_stats": embedding_label_stats,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
+
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # centroids per subspace (3-bit codes)
+PQ_ITERS = 2
+
+
+def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the ANN compression workhorse (IVF-PQ):
+    the 64-dim vector splits into PQ_M=4 16-dim subspaces, each with
+    its OWN k-means codebook (trained on the deterministic modulo
+    sample via ext.kmeans, exactly like the IVF index); every vector
+    is stored as 4 small codes + the per-vector quantization error.
+
+    Scale/plan shape: training cost is sample-sized and per-subspace
+    codebooks are kilobytes, so ENCODING is a single map-only
+    projection — each subspace's 8 centroid distances are UNROLLED
+    column expressions (Tungsten codegen, no kernel, no shuffle), the
+    code is argmin via array_position(arr, array_min(arr)) (first
+    match = lowest cid, matching the oracle's cid ASC tiebreak), and
+    the error is the same left-to-right fold the kmeans oracle
+    reproduces bit-for-bit. 100 TB: one scan, zero Python in the
+    encode path, 64x storage cut (4 bytes of codes vs 256 of floats).
+    """
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import train_kmeans
+
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    dim = embedding_dim(emb)
+    sub = dim // PQ_M
+    all_d = emb.select(
+        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
+    ).persist()
+    train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
+
+    cols = [F.col("emb_id")]
+    total_err = None
+    for m in range(PQ_M):
+        off = m * sub
+        sub_train = train.select(
+            "emb_id", F.slice(F.col("v"), off + 1, sub).alias("v")
+        )
+        cents = train_kmeans(sub_train, sub, k=PQ_K, iters=PQ_ITERS)
+        dists = []
+        for cent in cents:
+            acc = None
+            for i, cv in enumerate(cent):
+                d = F.element_at(F.col("v"), off + i + 1) - F.lit(float(cv))
+                term = d * d
+                acc = term if acc is None else acc + term
+            dists.append(acc)
+        arr = F.array(*dists)
+        code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        err_units = F.floor(F.array_min(arr) * 1000000.0 + F.lit(0.5)).cast(
+            "long"
+        )
+        cols.append(code.alias(f"code_{m}"))
+        total_err = err_units if total_err is None else total_err + err_units
+    cols.append(total_err.alias("err_units"))
+    return all_d.select(*cols)
+
+
+QUERIES_SIMILARITY["embedding_product_quantize"] = embedding_product_quantize
