@@ -327,3 +327,107 @@ ORDER BY emb_id
 
 
 ORACLES_SIMILARITY["embedding_product_quantize"] = _pq_oracle()
+
+
+def _ivfpq_oracle(dim: int = 64) -> str:
+    """Twin of similarity_ivfpq_topk: coarse kmeans chain (prefix cs)
+    + per-subspace codebook chains (prefix pq{m}) + IVF candidate join
+    + ADC from codes. Ranks by the floored integer units (exactly the
+    Spark sort key), ties by neighbor_id."""
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_dist2,
+        sql_kmeans_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        IVF_QUERY_HI,
+        IVF_QUERY_LO,
+        KMEANS_ITERS,
+        NPROBE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        TRAIN_MOD,
+    )
+
+    sub = dim // PQ_M
+    parts = [
+        """corpus AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0)",
+        sql_kmeans_ctes(dim, k=8, iters=KMEANS_ITERS, train_src="sample",
+                        prefix="cs"),
+    ]
+    for m in range(PQ_M):
+        off = m * sub
+        parts.append(
+            f"tr{m} AS (SELECT emb_id, v[{off + 1}:{off + sub}] AS v FROM sample)"
+        )
+        parts.append(
+            sql_kmeans_ctes(sub, k=PQ_K, iters=PQ_ITERS, train_src=f"tr{m}",
+                            prefix=f"pq{m}")
+        )
+        parts.append(f"""pq{m}a AS (
+  SELECT emb_id, cid FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id ORDER BY
+             {sql_dist2(f"e.v[{off + 1}:{off + sub}]", "c.cvec", sub)} ASC,
+             c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN pq{m}cent{PQ_ITERS} c
+    WHERE e.emb_id >= {IVF_QUERY_HI}
+  ) WHERE _rn = 1
+)""")
+    parts.append(f"""c_assign AS (
+  SELECT emb_id AS neighbor_id, cid AS cluster_id FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id ORDER BY
+             {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN cscent{KMEANS_ITERS} c
+    WHERE e.emb_id >= {IVF_QUERY_HI}
+  ) WHERE _rn = 1
+)""")
+    parts.append(f"""q_probes AS (
+  SELECT emb_id AS query_id, cid AS cluster_id FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id ORDER BY
+             {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN cscent{KMEANS_ITERS} c
+    WHERE e.emb_id >= {IVF_QUERY_LO} AND e.emb_id < {IVF_QUERY_HI}
+  ) WHERE _rn <= {NPROBE}
+)""")
+    parts.append(f"""q_vec AS (
+  SELECT emb_id AS query_id, v AS q_v FROM corpus
+  WHERE emb_id >= {IVF_QUERY_LO} AND emb_id < {IVF_QUERY_HI}
+)""")
+    adc_terms = " + ".join(
+        sql_dist2(f"q.q_v[{m * sub + 1}:{m * sub + sub}]", f"cb{m}.cvec", sub)
+        for m in range(PQ_M)
+    )
+    code_joins = "".join(
+        f"\n  JOIN pq{m}a ON pq{m}a.emb_id = ca.neighbor_id"
+        f"\n  JOIN pq{m}cent{PQ_ITERS} cb{m} ON cb{m}.cid = pq{m}a.cid"
+        for m in range(PQ_M)
+    )
+    parts.append(f"""scored AS (
+  SELECT qp.query_id, ca.neighbor_id,
+         CAST(floor(({adc_terms}) * 1000000.0 + 0.5) AS BIGINT) AS adc_units
+  FROM c_assign ca
+  JOIN q_probes qp ON ca.cluster_id = qp.cluster_id
+  JOIN q_vec q ON q.query_id = qp.query_id{code_joins}
+)""")
+    with_body = ",\n".join(parts)
+    return f"""
+WITH {with_body}
+SELECT query_id, neighbor_id, adc_units, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id, adc_units,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_units ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+ORACLES_SIMILARITY["similarity_ivfpq_topk"] = _ivfpq_oracle()

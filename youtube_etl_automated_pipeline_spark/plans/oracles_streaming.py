@@ -217,3 +217,46 @@ SELECT day, n_events FROM daily
 WHERE day + INTERVAL 1 DAY <= (SELECT w FROM wm)
 ORDER BY day
 """
+
+
+# Dynamic gap: the previous session END is the running MAX of all
+# earlier interval ends (an early error event's 60-minute hold can
+# outlast several later short-gap events), so the island break tests
+# ts against that running max, not lag(ts) + gap.
+ORACLES_STREAMING["events_session_dynamic_gap"] = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN event_type = 'error' THEN INTERVAL 60 MINUTE
+         ELSE INTERVAL 15 MINUTE END AS gap
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+    max(ts + gap) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prev_end
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, value,
+    CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+i AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (
+      PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS island
+  FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_last,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM i
+GROUP BY user_id, island
+ORDER BY user_id, session_start
+"""

@@ -342,3 +342,106 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_SIMILARITY["embedding_product_quantize"] = embedding_product_quantize
+
+
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full large-scale ANN serving path — coarse IVF
+    bucketing prunes candidates, then distances are approximated from
+    PQ codes by ASYMMETRIC DISTANCE COMPUTATION (query vs codebook
+    entry, never the raw corpus vector). This is how a 100 TB corpus
+    is searched from codes 64x smaller than the floats: the scan that
+    scores candidates reads 4 small ints per vector.
+
+    Plan shape: coarse + sub-codebook training on the modulo sample
+    (shared ext/kmeans); corpus encodes map-only (same unrolled
+    expressions as embedding_product_quantize); candidate generation
+    is the IVF bucket equi-join; ADC per candidate is
+    get(dist-table-array, code) per subspace — the distance TABLE is
+    an expression over the (broadcast-carried) query vector, so no
+    per-row Python anywhere. Ties (identical code tuples share one
+    ADC value) break by neighbor_id — deterministic cross-engine.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        assign_nearest,
+        train_kmeans,
+    )
+    from pyspark.sql import Window
+
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    dim = embedding_dim(emb)
+    sub = dim // PQ_M
+    all_d = emb.select(
+        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
+    ).persist()
+    train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
+
+    coarse = train_kmeans(train, dim, k=N_CENTROIDS, iters=KMEANS_ITERS)
+    books = []
+    for m in range(PQ_M):
+        off = m * sub
+        books.append(
+            train_kmeans(
+                train.select("emb_id", F.slice("v", off + 1, sub).alias("v")),
+                sub,
+                k=PQ_K,
+                iters=PQ_ITERS,
+            )
+        )
+
+    def _dists(vcol: str, book: list[list[float]], off: int) -> list:
+        out = []
+        for cent in book:
+            acc = None
+            for i, cv in enumerate(cent):
+                d = F.element_at(F.col(vcol), off + i + 1) - F.lit(float(cv))
+                term = d * d
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+
+    c_base = all_d.filter(F.col("emb_id") >= IVF_QUERY_HI)
+    code_cols = [
+        (F.array_position(
+            F.array(*_dists("v", books[m], m * sub)),
+            F.array_min(F.array(*_dists("v", books[m], m * sub))),
+        ) - 1).cast("int").alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    c_codes = c_base.select(F.col("emb_id").alias("neighbor_id"), *code_cols)
+    c_assign = assign_nearest(c_base, "emb_id", coarse, nprobe=1).select(
+        F.col("emb_id").alias("neighbor_id"), "cluster_id"
+    )
+    c_full = c_codes.join(c_assign, "neighbor_id")
+
+    q_base = all_d.filter(
+        (F.col("emb_id") >= IVF_QUERY_LO) & (F.col("emb_id") < IVF_QUERY_HI)
+    )
+    q_probes = assign_nearest(q_base, "emb_id", coarse, nprobe=NPROBE).select(
+        F.col("emb_id").alias("query_id"), "cluster_id"
+    )
+    q_vec = q_base.select(F.col("emb_id").alias("query_id"), F.col("v").alias("q_v"))
+
+    cand = c_full.join(F.broadcast(q_probes), "cluster_id").join(
+        F.broadcast(q_vec), "query_id"
+    )
+    adc = None
+    for m in range(PQ_M):
+        table = F.array(*_dists("q_v", books[m], m * sub))
+        term = F.get(table, F.col(f"code_{m}"))
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(adc * 1000000.0 + F.lit(0.5)).cast("long").alias("adc_units"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_units").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES_SIMILARITY["similarity_ivfpq_topk"] = similarity_ivfpq_topk

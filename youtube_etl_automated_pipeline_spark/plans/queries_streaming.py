@@ -549,3 +549,35 @@ def streaming_chained_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["streaming_chained_dedup_agg"] = streaming_chained_dedup_agg
+
+
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-ROW dynamic gap: error events hold a
+    session open for 60 minutes, everything else 15 — the
+    incident-aware session semantics a static gap can't express.
+    Spark's session_window accepts a gap EXPRESSION; the engine merges
+    per-key overlapping [ts, ts+gap) intervals in one shuffle. The
+    oracle reproduces the merge as gaps-and-islands over the running
+    max of interval ends (for dynamic gaps, lag(ts)+gap is NOT the
+    previous session end — an earlier long-gap event can still hold
+    the session open)."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "sum_value"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES_STREAMING["events_session_dynamic_gap"] = events_session_dynamic_gap
