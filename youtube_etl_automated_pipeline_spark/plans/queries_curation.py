@@ -382,3 +382,166 @@ ORDER BY doc_id
 
 
 ORACLES_CURATION["quality_logreg_scores"] = _logreg_oracle()
+
+
+DUP_EVERY_FUNNEL = 10
+DUP_OFFSET_FUNNEL = 1_000_000
+
+
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as one query: raw corpus (with
+    planted exact duplicates — the synthetic corpus has none) ->
+    exact dedup (keep min doc_id per content hash) -> near-dup
+    removal (drop any survivor with a >=0.2-Jaccard partner of lower
+    doc_id, same blocked-LSH shape as dedup_ngram_jaccard) ->
+    decontamination (drop the eval split and every training doc
+    sharing a 3-gram with it). One row per stage with the surviving
+    doc count — the dashboard number a 100 TB curation run reports
+    after each pass. Every stage reuses the already-oracle-proven
+    operator shape; the funnel proves they COMPOSE."""
+    from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
+    from youtube_etl_automated_pipeline_spark.ext.textstats import content_hash
+
+    base = widen_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    planted = base.filter(F.col("doc_id") % DUP_EVERY_FUNNEL == 0).select(
+        (F.col("doc_id") + DUP_OFFSET_FUNNEL).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(planted)
+
+    keyed = corpus.select(
+        "doc_id", "text", content_hash(F.col("text")).alias("fp")
+    )
+    keep = keyed.withColumn(
+        "min_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("min_id")).select("doc_id", "text")
+    exact = keep.persist()
+
+    sh = (
+        exact.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+        .filter(F.size("hs") >= 3)
+        .withColumn("block_key", F.array_min("hs"))
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"), "block_key"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"), "block_key"
+    )
+    pairs = a.join(b, "block_key").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union_sz = F.size(F.array_union("set_a", "set_b"))
+    near_dropped = (
+        pairs.filter(union_sz > 0)
+        .filter(inter / union_sz >= 0.2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near = exact.join(near_dropped, "doc_id", "left_anti").persist()
+
+    shn = (
+        near.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+        .filter(F.size("hs") >= 3)
+        .select("doc_id", F.explode("hs").alias("shash"))
+    )
+    eval_sh = (
+        shn.filter(F.col("doc_id") % C.EVAL_MOD == 0).select("shash").distinct()
+    )
+    contaminated = (
+        shn.filter(F.col("doc_id") % C.EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shash")
+        .select("doc_id")
+        .distinct()
+    )
+    final = (
+        near.filter(F.col("doc_id") % C.EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("1_raw", corpus)
+        .unionByName(stage("2_exact_dedup", exact))
+        .unionByName(stage("3_near_dedup", near))
+        .unionByName(stage("4_decontaminated", final))
+        .orderBy("stage")
+    )
+
+
+QUERIES_CURATION["curation_funnel_stats"] = curation_funnel_stats
+
+_FUNNEL_FP = (
+    "CAST('0x' || substr(md5(lower(regexp_replace(trim(text),"
+    f" '{WS_CLASS}+', ' ', 'g'))), 1, 15) AS BIGINT)"
+)
+_F_SHINGLES = (
+    "list_transform(generate_series(1, len(toks) - 2),"
+    " i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+ORACLES_CURATION["curation_funnel_stats"] = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET_FUNNEL} AS doc_id, text FROM documents
+  WHERE doc_id % {DUP_EVERY_FUNNEL} = 0
+),
+keyed AS (SELECT doc_id, text, {_FUNNEL_FP} AS fp FROM corpus),
+exact AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fp) AS min_id
+    FROM keyed
+  ) WHERE doc_id = min_id
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform({_F_SHINGLES},
+      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))) AS hs
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM exact WHERE {_NONEMPTY})
+  WHERE len(list_distinct(list_transform({_F_SHINGLES},
+      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)))) >= 3
+),
+blocked AS (SELECT doc_id, hs, list_min(hs) AS block_key FROM sh),
+near_dropped AS (
+  SELECT DISTINCT b.doc_id FROM blocked a
+  JOIN blocked b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.hs, b.hs))) > 0
+    AND len(list_intersect(a.hs, b.hs))
+        / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.2
+),
+near AS MATERIALIZED (
+  SELECT e.doc_id, e.text FROM exact e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+),
+shn AS MATERIALIZED (
+  SELECT doc_id, unnest(hs) AS shash FROM (
+    SELECT doc_id,
+      list_distinct(list_transform({_F_SHINGLES},
+        s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))) AS hs
+    FROM (SELECT doc_id, {_TOKS} AS toks, text FROM near WHERE {_NONEMPTY})
+  ) WHERE len(hs) >= 3
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id FROM shn t
+  JOIN (SELECT DISTINCT shash FROM shn WHERE doc_id % {C.EVAL_MOD} = 0) e
+    ON t.shash = e.shash
+  WHERE t.doc_id % {C.EVAL_MOD} <> 0
+),
+final AS (
+  SELECT doc_id FROM near
+  WHERE doc_id % {C.EVAL_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT stage, n_docs FROM (
+  SELECT '1_raw' AS stage, count(*) AS n_docs FROM corpus
+  UNION ALL SELECT '2_exact_dedup', count(*) FROM exact
+  UNION ALL SELECT '3_near_dedup', count(*) FROM near
+  UNION ALL SELECT '4_decontaminated', count(*) FROM final
+)
+ORDER BY stage
+"""
