@@ -260,3 +260,10 @@ FROM i
 GROUP BY user_id, island
 ORDER BY user_id, session_start
 """
+
+# Streaming dynamic-gap sessions share the batch oracle: complete-mode
+# output of a fully-consumed availableNow source is the final session
+# set of the same plan.
+ORACLES_STREAMING["streaming_session_dynamic_gap"] = ORACLES_STREAMING[
+    "events_session_dynamic_gap"
+]

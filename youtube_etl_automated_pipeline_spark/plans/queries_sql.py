@@ -253,3 +253,96 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_SQL["sql_group_by_all"] = sql_group_by_all
 ORACLES_SQL["sql_group_by_all"] = GROUP_BY_ALL_SQL
+
+
+def ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safe arithmetic (Spark 4 runs ANSI ON by default —
+    overflow/div-by-zero THROW): the try_* family returns NULL where
+    strict ANSI would fail, the semantics the reference's
+    int(x or 0)-style guards approximate. try_divide on a sometimes-
+    zero denominator, try_add at bigint range edge, try_to_number on
+    mixed-validity strings, try_element_at past array end — each
+    mirrored by an explicit CASE guard in the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    zero_when_low = F.when(
+        F.col("o_orderpriority") == "5-LOW", F.lit(0)
+    ).otherwise(F.col("o_custkey") % 7)
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), zero_when_low).alias("safe_ratio"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"),
+            (F.col("o_custkey") % 2).cast("long"),
+        ).alias("safe_add"),
+        F.try_element_at(
+            F.array(F.lit(1), F.lit(2)), (F.col("o_custkey") % 4 + 1).cast("int")
+        ).alias("safe_elem"),
+    ).orderBy("o_orderkey")
+
+
+QUERIES_SQL["ansi_safe_math"] = ansi_safe_math
+
+ORACLES_SQL["ansi_safe_math"] = """
+SELECT o_orderkey,
+  CASE WHEN (CASE WHEN o_orderpriority = '5-LOW' THEN 0
+             ELSE o_custkey % 7 END) = 0 THEN NULL
+       ELSE o_totalprice / (CASE WHEN o_orderpriority = '5-LOW' THEN 0
+                            ELSE o_custkey % 7 END) END AS safe_ratio,
+  CASE WHEN o_custkey % 2 = 0 THEN 9223372036854775807 END AS safe_add,
+  CASE WHEN o_custkey % 4 + 1 <= 2
+       THEN CAST(o_custkey % 4 + 1 AS INT) END AS safe_elem
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: grouping under UTF8_LCASE compares
+    case-insensitively at the COLLATION level (no lower() rewrite of
+    the data). A deterministically case-mangled priority column groups
+    back to 5 rows; min() picks the collation-smallest variant. The
+    oracle reproduces the semantics with explicit lower() keys and the
+    same representative rule."""
+    orders = load_table(spark, sf_dir, "orders")
+    mangled = F.when(
+        F.col("o_orderkey") % 3 == 0, F.upper("o_orderpriority")
+    ).when(
+        F.col("o_orderkey") % 3 == 1, F.lower("o_orderpriority")
+    ).otherwise(F.col("o_orderpriority"))
+    df = orders.select(
+        F.collate(mangled, "UTF8_LCASE").alias("priority_ci"),
+        F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+    )
+    return (
+        df.groupBy("priority_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            # project a collation-free canonical key for the compare
+            F.lower(F.col("priority_ci").cast("string")).alias("priority"),
+            "n_orders",
+            "sum_cents",
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES_SQL["collated_grouping"] = collated_grouping
+
+ORACLES_SQL["collated_grouping"] = """
+WITH m AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+              WHEN o_orderkey % 3 = 1 THEN lower(o_orderpriority)
+              ELSE o_orderpriority END AS mangled,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT lower(mangled) AS priority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM m
+GROUP BY lower(mangled)
+ORDER BY priority
+"""

@@ -581,3 +581,33 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["events_session_dynamic_gap"] = events_session_dynamic_gap
+
+
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-gap sessionizer through the REAL streaming engine:
+    the per-row gap expression sizes each event's session-extension
+    interval inside streaming state. Complete-mode output over a fully
+    consumed availableNow source equals the batch plan, so the
+    running-max-of-interval-ends oracle applies verbatim."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "4 days")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    result = (
+        stream.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last", "n_events", "sum_value"
+        )
+    )
+    return run_stream_to_memory(result, "session_dyn_windows").orderBy(
+        "user_id", "session_start"
+    )
+
+
+QUERIES_STREAMING["streaming_session_dynamic_gap"] = streaming_session_dynamic_gap
