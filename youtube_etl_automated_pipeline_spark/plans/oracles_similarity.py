@@ -351,10 +351,20 @@ def _ivfpq_oracle(dim: int = 64) -> str:
 
     sub = dim // PQ_M
     parts = [
-        """corpus AS (
+        """rawcorpus AS (
   SELECT vec_id AS emb_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+)""",
+        # unit-normalize exactly like ext.similarity.unit: norm is the
+        # in-order fold of squares, zero vectors stay zero
+        """corpus AS (
+  SELECT emb_id,
+         CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+              ELSE list_transform(v, x -> 0.0) END AS v
+  FROM (SELECT emb_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        FROM rawcorpus)
 )""",
         f"sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0)",
         sql_kmeans_ctes(dim, k=8, iters=KMEANS_ITERS, train_src="sample",

@@ -389,13 +389,18 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     dim = embedding_dim(emb)
     sub = dim // PQ_M
+    # L2-NORMALIZE before quantizing: on unit vectors, L2 distance is
+    # a monotone transform of cosine (d² = 2 - 2cos), so ADC ranking
+    # approximates the cosine ranking the exact paths use — without
+    # this, raw-magnitude L2 and cosine order candidates differently.
     all_d = emb.select(
-        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
+        F.col("vec_id").alias("emb_id"),
+        unit(F.col("embedding")).alias("v"),
     ).persist()
     train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
 
     coarse = _trained(
-        (sf_dir, "coarse"),
+        (sf_dir, "coarse_u"),
         lambda: train_kmeans(train, dim, k=N_CENTROIDS, iters=KMEANS_ITERS),
     )
     books = []
@@ -404,7 +409,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = train.select("emb_id", F.slice("v", off + 1, sub).alias("v"))
         books.append(
             _trained(
-                (sf_dir, "book", m),
+                (sf_dir, "book_u", m),
                 lambda st=st: train_kmeans(st, sub, k=PQ_K, iters=PQ_ITERS),
             )
         )
