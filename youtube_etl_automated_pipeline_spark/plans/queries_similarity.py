@@ -349,12 +349,19 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 term = d * d
                 acc = term if acc is None else acc + term
             dists.append(acc)
-        arr = F.array(*dists)
-        code = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-        err_units = F.floor(F.array_min(arr) * 1000000.0 + F.lit(0.5)).cast(
-            "long"
-        )
-        cols.append(code.alias(f"code_{m}"))
+        # single-use argmin: sort (distance, cid) structs and take the
+        # head — array_position(arr, array_min(arr)) instantiates the
+        # K×sub-term distance array TWICE in the expression tree, which
+        # at PQ sizes doubles an already-large codegen unit. Lexical
+        # struct sort keeps the lowest-cid tiebreak.
+        best = F.sort_array(
+            F.arrays_zip(
+                F.array(*dists).alias("d"),
+                F.sequence(F.lit(0), F.lit(PQ_K - 1)).alias("cid"),
+            )
+        )[0]
+        cols.append(best["cid"].cast("int").alias(f"code_{m}"))
+        err_units = F.floor(best["d"] * 1000000.0 + F.lit(0.5)).cast("long")
         total_err = err_units if total_err is None else total_err + err_units
     cols.append(total_err.alias("err_units"))
     return all_d.select(*cols)
@@ -426,11 +433,14 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     c_base = all_d.filter(F.col("emb_id") >= IVF_QUERY_HI)
+    # single-use argmin via struct sort — see embedding_product_quantize
     code_cols = [
-        (F.array_position(
-            F.array(*_dists("v", books[m], m * sub)),
-            F.array_min(F.array(*_dists("v", books[m], m * sub))),
-        ) - 1).cast("int").alias(f"code_{m}")
+        F.sort_array(
+            F.arrays_zip(
+                F.array(*_dists("v", books[m], m * sub)).alias("d"),
+                F.sequence(F.lit(0), F.lit(PQ_K - 1)).alias("cid"),
+            )
+        )[0]["cid"].cast("int").alias(f"code_{m}")
         for m in range(PQ_M)
     ]
     c_codes = c_base.select(F.col("emb_id").alias("neighbor_id"), *code_cols)
