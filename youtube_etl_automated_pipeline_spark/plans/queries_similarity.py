@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext.similarity import (
     as_double,
-    cosine_unit,
+    cosine_unit_cols,
     embedding_dim,
     label_norm_stats,
     topk_by_query,
@@ -47,7 +47,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "neighbor_id",
-        cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
+        cosine_unit_cols("q_u", "c_u", dim).alias("cos_sim"),
     )
     return (
         topk_by_query(scored, "query_id", "cos_sim", "neighbor_id", 10)
@@ -116,7 +116,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "cluster_id",
-            cosine_unit(F.col("q_u"), F.col("c_u"), dim).alias("cos_sim"),
+            cosine_unit_cols("q_u", "c_u", dim).alias("cos_sim"),
         )
     )
     return (
@@ -146,7 +146,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "vec_a",
         "vec_b",
-        cosine_unit(F.col("u_a"), F.col("u_b"), dim).alias("cos_sim"),
+        cosine_unit_cols("u_a", "u_b", dim).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= 0.3)
 
@@ -221,7 +221,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            cosine_unit(F.col("u_a"), F.col("u_b"), dim).alias("cos_sim"),
+            cosine_unit_cols("u_a", "u_b", dim).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= LSH_THRESH)
     )
@@ -303,6 +303,48 @@ def _trained(key: tuple, builder):
     return _TRAINED[key]
 
 
+def _book_lit(book: list[list[float]]) -> str:
+    """A k-means codebook as a foldable SQL array-of-arrays literal.
+    repr(float) is the shortest round-trip decimal, and Spark parses
+    double literals with Double.parseDouble — so the in-plan constants
+    are bit-identical to the trained centroids."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(c)!r}D" for c in cent) + ")" for cent in book
+    ) + ")"
+
+
+def _dist_table_sql(vcol: str, off: int, sub: int, book: list[list[float]]) -> str:
+    """array<double> of per-centroid squared-L2 distances for the
+    [off+1, off+sub] slice of ``vcol`` — the same left-to-right
+    ``acc + (x−c)²`` fold as ext/kmeans (0.0 + t₀ ≡ t₀ bit-exact for
+    the non-negative squared terms, so seeding the fold with 0.0D
+    changes nothing).
+
+    Tree-size rationale: the codebook rides as ONE foldable literal
+    and the fold is a HOF, so the expression stays O(1) in k·sub —
+    the fully unrolled form is ~5·k·sub Column nodes built through
+    py4j (measured: 14 s of pure DataFrame-BUILD time per IVF-PQ
+    invocation at k=8, dim=64, plus seconds of Catalyst walk per
+    action). The encode pass is O(rows) — interpreter overhead is
+    bounded by the corpus scan, unlike the O(pairs) cosine hot path,
+    which stays unrolled codegen (``dot_unrolled_sql``)."""
+    return (
+        f"transform({_book_lit(book)}, c -> "
+        f"aggregate(zip_with(slice({vcol}, {off + 1}, {sub}), c, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))"
+    )
+
+
+def _best_sql(vcol: str, off: int, sub: int, book: list[list[float]]) -> str:
+    """(distance, cid) struct of the argmin centroid: lexical struct
+    sort keeps the lowest-cid tiebreak, single instantiation of the
+    distance table."""
+    return (
+        f"sort_array(arrays_zip({_dist_table_sql(vcol, off, sub, book)}, "
+        f"sequence(0, {len(book) - 1})))[0]"
+    )
+
+
 def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization — the ANN compression workhorse (IVF-PQ):
     the 64-dim vector splits into PQ_M=4 16-dim subspaces, each with
@@ -312,13 +354,14 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale/plan shape: training cost is sample-sized and per-subspace
     codebooks are kilobytes, so ENCODING is a single map-only
-    projection — each subspace's 8 centroid distances are UNROLLED
-    column expressions (Tungsten codegen, no kernel, no shuffle), the
-    code is argmin via array_position(arr, array_min(arr)) (first
-    match = lowest cid, matching the oracle's cid ASC tiebreak), and
-    the error is the same left-to-right fold the kmeans oracle
-    reproduces bit-for-bit. 100 TB: one scan, zero Python in the
-    encode path, 64x storage cut (4 bytes of codes vs 256 of floats).
+    projection — each subspace's distance table is a HOF fold over
+    the codebook literal (tree O(1) in k·dim, see _dist_table_sql),
+    the code is the argmin via lexical struct sort (first match =
+    lowest cid, matching the oracle's cid ASC tiebreak), and the
+    error is the same left-to-right fold the kmeans oracle reproduces
+    bit-for-bit. 100 TB: one scan, zero Python and zero shuffle in
+    the encode path, 64x storage cut (4 bytes of codes vs 256 of
+    floats).
     """
     from youtube_etl_automated_pipeline_spark.ext.kmeans import train_kmeans
 
@@ -331,7 +374,7 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
 
     cols = [F.col("emb_id")]
-    total_err = None
+    err_terms = []
     for m in range(PQ_M):
         off = m * sub
         sub_train = train.select(
@@ -341,29 +384,12 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sf_dir, "book", m),
             lambda st=sub_train: train_kmeans(st, sub, k=PQ_K, iters=PQ_ITERS),
         )
-        dists = []
-        for cent in cents:
-            acc = None
-            for i, cv in enumerate(cent):
-                d = F.element_at(F.col("v"), off + i + 1) - F.lit(float(cv))
-                term = d * d
-                acc = term if acc is None else acc + term
-            dists.append(acc)
-        # single-use argmin: sort (distance, cid) structs and take the
-        # head — array_position(arr, array_min(arr)) instantiates the
-        # K×sub-term distance array TWICE in the expression tree, which
-        # at PQ sizes doubles an already-large codegen unit. Lexical
-        # struct sort keeps the lowest-cid tiebreak.
-        best = F.sort_array(
-            F.arrays_zip(
-                F.array(*dists).alias("d"),
-                F.sequence(F.lit(0), F.lit(PQ_K - 1)).alias("cid"),
-            )
-        )[0]
-        cols.append(best["cid"].cast("int").alias(f"code_{m}"))
-        err_units = F.floor(best["d"] * 1000000.0 + F.lit(0.5)).cast("long")
-        total_err = err_units if total_err is None else total_err + err_units
-    cols.append(total_err.alias("err_units"))
+        best = _best_sql("v", off, sub, cents)
+        cols.append(F.expr(f"CAST({best}['1'] AS INT)").alias(f"code_{m}"))
+        # codegen-level CSE collapses the duplicated struct-sort with
+        # the code_m projection above
+        err_terms.append(f"CAST(floor({best}['0'] * 1000000.0 + 0.5) AS BIGINT)")
+    cols.append(F.expr(" + ".join(err_terms)).alias("err_units"))
     return all_d.select(*cols)
 
 
@@ -379,13 +405,15 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores candidates reads 4 small ints per vector.
 
     Plan shape: coarse + sub-codebook training on the modulo sample
-    (shared ext/kmeans); corpus encodes map-only (same unrolled
+    (shared ext/kmeans); corpus encodes map-only (same HOF-fold
     expressions as embedding_product_quantize); candidate generation
-    is the IVF bucket equi-join; ADC per candidate is
-    get(dist-table-array, code) per subspace — the distance TABLE is
-    an expression over the (broadcast-carried) query vector, so no
-    per-row Python anywhere. Ties (identical code tuples share one
-    ADC value) break by neighbor_id — deterministic cross-engine.
+    is the IVF bucket equi-join; ADC distance TABLES are computed
+    ONCE PER QUERY VECTOR (k doubles per subspace, on the tiny query
+    side — the faiss ADC posture) and ride the broadcast join, so
+    per-candidate work is just get(table, code) per subspace summed —
+    4 array lookups + 3 adds, pure codegen, no per-row Python
+    anywhere. Ties (identical code tuples share one ADC value) break
+    by neighbor_id — deterministic cross-engine.
     """
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
         assign_nearest,
@@ -421,26 +449,11 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def _dists(vcol: str, book: list[list[float]], off: int) -> list:
-        out = []
-        for cent in book:
-            acc = None
-            for i, cv in enumerate(cent):
-                d = F.element_at(F.col(vcol), off + i + 1) - F.lit(float(cv))
-                term = d * d
-                acc = term if acc is None else acc + term
-            out.append(acc)
-        return out
-
     c_base = all_d.filter(F.col("emb_id") >= IVF_QUERY_HI)
-    # single-use argmin via struct sort — see embedding_product_quantize
     code_cols = [
-        F.sort_array(
-            F.arrays_zip(
-                F.array(*_dists("v", books[m], m * sub)).alias("d"),
-                F.sequence(F.lit(0), F.lit(PQ_K - 1)).alias("cid"),
-            )
-        )[0]["cid"].cast("int").alias(f"code_{m}")
+        F.expr(f"CAST({_best_sql('v', m * sub, sub, books[m])}['1'] AS INT)").alias(
+            f"code_{m}"
+        )
         for m in range(PQ_M)
     ]
     c_codes = c_base.select(F.col("emb_id").alias("neighbor_id"), *code_cols)
@@ -455,15 +468,22 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_probes = assign_nearest(q_base, "emb_id", coarse, nprobe=NPROBE).select(
         F.col("emb_id").alias("query_id"), "cluster_id"
     )
-    q_vec = q_base.select(F.col("emb_id").alias("query_id"), F.col("v").alias("q_v"))
+    # per-query ADC distance tables: k doubles per subspace, computed
+    # on the 5-row query side BEFORE the join — never per candidate
+    q_tabs = q_base.select(
+        F.col("emb_id").alias("query_id"),
+        *[
+            F.expr(_dist_table_sql("v", m * sub, sub, books[m])).alias(f"tab_{m}")
+            for m in range(PQ_M)
+        ],
+    )
 
     cand = c_full.join(F.broadcast(q_probes), "cluster_id").join(
-        F.broadcast(q_vec), "query_id"
+        F.broadcast(q_tabs), "query_id"
     )
     adc = None
     for m in range(PQ_M):
-        table = F.array(*_dists("q_v", books[m], m * sub))
-        term = F.get(table, F.col(f"code_{m}"))
+        term = F.get(F.col(f"tab_{m}"), F.col(f"code_{m}"))
         adc = term if adc is None else adc + term
     scored = cand.select(
         "query_id",
