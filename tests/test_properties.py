@@ -118,3 +118,47 @@ def test_logreg_trainer_beats_majority_class(spark):
         assert acc >= 0.85, (acc, w)
     finally:
         feat.unpersist()
+
+
+def test_winnowing_recovers_planted_substring_copies(spark):
+    """The winnowing guarantee: every planted substring-copy doc whose
+    normalized copy meets the guarantee length (WIN_K + WIN_W - 1)
+    must surface as a (source, copy) pair; and no fingerprint is
+    emitted for docs below that length."""
+    import re
+
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        WIN_K,
+        WIN_W,
+        WS_CHARS,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_ext import (
+        PLANT_EVERY_SUB,
+        PLANT_OFFSET_SUB,
+        dedup_repeated_substring,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_repeated_substring(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    src = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet' "
+        f"WHERE doc_id % {PLANT_EVERY_SUB} = 0"
+    ).fetchall()
+    guarantee = WIN_K + WIN_W - 1
+    expected, too_short = [], []
+    for did, text in src:
+        sub = (text or "")[20:180]
+        norm = re.sub("[" + WS_CHARS + "]+", " ", sub.strip(" ")).lower()
+        (expected if len(norm) >= guarantee else too_short).append(did)
+    assert expected, "fixture regression: no plantable docs"
+    for did in expected:
+        assert (did, did + PLANT_OFFSET_SUB) in got, f"planted pair {did} missed"
+    for did in too_short:
+        assert (did, did + PLANT_OFFSET_SUB) not in got

@@ -201,3 +201,70 @@ def rolling_hash_stats(docs):
         kernel,
         "doc_id bigint, rabin_full bigint, min_window_hash bigint, norm_len int",
     )
+
+
+WIN_K = 32  # fingerprint k-gram chars
+WIN_W = 8  # winnowing selection window (fingerprint density ~2/(w+1))
+RABIN_B2 = 263  # second polynomial base: join on (h1, h2) makes a
+#                 cross-doc false collision ~2^-62 — no verify join needed
+
+
+def winnowed_fingerprints(docs):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm) — the primitive behind EXACT-SUBSTRING dedup
+    of training corpora: any two documents sharing an identical
+    normalized substring of >= WIN_K + WIN_W - 1 chars are GUARANTEED
+    to select at least one common fingerprint, while only ~2/(W+1) of
+    window hashes are kept (the winnowing density bound).
+
+    Per doc (O(n) via the prefix-hash identity, same as
+    rolling_hash_stats): hash every WIN_K-char window under TWO
+    polynomial bases; slide a WIN_W-window over the h1 sequence and
+    select the LEFTMOST-minimum position of each; emit the distinct
+    (h1, h2) pairs at selected positions. Docs whose normalized text
+    is shorter than WIN_K + WIN_W - 1 emit nothing (below the
+    guarantee length). Map-only — fingerprint rows are ~n/4 per doc,
+    and the downstream pair join is an equi-join on (h1, h2), never
+    an all-pairs scan.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    bk1 = pow(RABIN_B, WIN_K, RABIN_M)
+    bk2 = pow(RABIN_B2, WIN_K, RABIN_M)
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_h1, out_h2 = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = _re.sub(WS_CLASS + "+", " ", (text or "").strip(" ")).lower()
+                n = len(t)
+                if n < WIN_K + WIN_W - 1:
+                    continue
+                pre1, pre2 = [0], [0]
+                for ch in t:
+                    c = ord(ch)
+                    pre1.append((pre1[-1] * RABIN_B + c) % RABIN_M)
+                    pre2.append((pre2[-1] * RABIN_B2 + c) % RABIN_M)
+                n_win = n - WIN_K + 1
+                h1 = [
+                    (pre1[i + WIN_K] - pre1[i] * bk1) % RABIN_M for i in range(n_win)
+                ]
+                h2 = [
+                    (pre2[i + WIN_K] - pre2[i] * bk2) % RABIN_M for i in range(n_win)
+                ]
+                seen = set()
+                for p in range(n_win - WIN_W + 1):
+                    win = h1[p : p + WIN_W]
+                    pos = p + win.index(min(win))  # leftmost min
+                    seen.add((h1[pos], h2[pos]))
+                for a, b in sorted(seen):
+                    out_id.append(int(doc_id))
+                    out_h1.append(a)
+                    out_h2.append(b)
+            yield pd.DataFrame({"doc_id": out_id, "h1": out_h1, "h2": out_h2})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id bigint, h1 bigint, h2 bigint"
+    )

@@ -177,3 +177,66 @@ SELECT doc_id,
 FROM b
 ORDER BY doc_id
 """
+
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (  # noqa: E402
+    RABIN_B2,
+    WIN_K,
+    WIN_W,
+)
+from youtube_etl_automated_pipeline_spark.plans.queries_ext import (  # noqa: E402
+    PLANT_EVERY_SUB,
+    PLANT_OFFSET_SUB,
+)
+
+# Winnowing fingerprints, mirrored step by step from
+# ext/textstats.winnowed_fingerprints: the kernel's prefix-hash
+# window identity (pre[i+K] - pre[i]*B^K) mod M equals the stepwise
+# fold list_reduce performs here (both are the K-char polynomial hash
+# reduced into [0, M)); selection takes the LEFTMOST minimum of each
+# W-window of h1 (list_position returns the first match).
+_FOLD2 = f"(a, b) -> (CAST(a AS BIGINT) * {RABIN_B2} + b) % {RABIN_M}"
+_WCL = "list_transform(generate_series(i, i + " f"{WIN_K - 1}" "), j -> ord(substr(nrm, j, 1)))"
+
+ORACLES_EXT["dedup_repeated_substring"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET_SUB} AS doc_id, substr(text, 21, 160) AS text
+  FROM documents WHERE doc_id % {PLANT_EVERY_SUB} = 0
+),
+nd AS (
+  SELECT doc_id, {_NORM} AS nrm FROM corpus
+),
+eligible AS (
+  SELECT doc_id, nrm, length(nrm) AS n FROM nd
+  WHERE length(nrm) >= {WIN_K + WIN_W - 1}
+),
+hs AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(generate_series(1, n - {WIN_K - 1}),
+                   i -> list_reduce({_WCL}, {_FOLD})) AS h1s,
+    list_transform(generate_series(1, n - {WIN_K - 1}),
+                   i -> list_reduce({_WCL}, {_FOLD2})) AS h2s,
+    n - {WIN_K - 1} AS n_win
+  FROM eligible
+),
+sel AS (
+  SELECT doc_id, h1s, h2s,
+    list_distinct(list_transform(generate_series(1, n_win - {WIN_W - 1}),
+      p -> p - 1 + list_position(h1s[p:p+{WIN_W - 1}],
+                                 list_min(h1s[p:p+{WIN_W - 1}])))) AS pos_list
+  FROM hs
+),
+fp AS (
+  SELECT DISTINCT doc_id, h1s[pos] AS h1, h2s[pos] AS h2
+  FROM (SELECT doc_id, h1s, h2s, unnest(pos_list) AS pos FROM sel)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs ORDER BY doc_a, doc_b
+"""

@@ -170,3 +170,54 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT["doc_rolling_hash"] = doc_rolling_hash
+
+
+PLANT_EVERY_SUB = 25
+PLANT_OFFSET_SUB = 10_000_000
+
+
+def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup via winnowing fingerprints (the MOSS
+    selection rule; the operator class of "Deduplicating Training
+    Data Makes Language Models Better"'s suffix-array pass,
+    re-expressed as a Spark-joinable fingerprint index): report every
+    document pair sharing at least one identical normalized substring
+    of >= WIN_K + WIN_W - 1 = 39 chars, with the count of shared
+    selected fingerprints as the overlap strength.
+
+    The synthetic corpus has few natural long repeats, so one
+    substring-copy of every PLANT_EVERY_SUB-th document is planted
+    (substring(text, 21, 160) — a pure function the oracle
+    reproduces); tests/test_properties.py asserts every planted
+    (orig, copy) pair is recovered — the winnowing guarantee.
+
+    Scale shape: fingerprints are map-only and ~2/(W+1) dense
+    (ext/textstats.winnowed_fingerprints); candidates come from an
+    equi-join on the (h1, h2) double hash — never an all-pairs or
+    substring scan. At 100 TB the fingerprint relation persists as a
+    parquet index; boilerplate-heavy corpora additionally drop
+    fingerprints appearing in more than T docs (a frequency cap) to
+    bound join skew — the same stop-fingerprint cut web-dedup
+    pipelines use.
+    """
+    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % PLANT_EVERY_SUB == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET_SUB).alias("doc_id"),
+        F.expr("substring(text, 21, 160)").alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    fp = TS.winnowed_fingerprints(corpus)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
+    return (
+        a.join(b, ["h1", "h2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES_EXT["dedup_repeated_substring"] = dedup_repeated_substring
