@@ -228,3 +228,16 @@ def test_join_strategy_hints_control_physical_operator(spark):
             )
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert operator in plan, f"{hint}: expected {operator}\n{plan[:2000]}"
+
+
+def test_global_sequence_never_single_partition(spark):
+    """Global contiguous row numbering must stay parallel: the plan
+    may shuffle on the bucket key but must never collapse the data
+    into a SinglePartition sort (the naive global-window shape)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
+        global_sequence_events,
+    )
+
+    plan = plan_of(global_sequence_events(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan

@@ -248,3 +248,87 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY priority
 """
+
+
+def global_sequence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally contiguous sequence numbers in a total order WITHOUT a
+    single-reducer sort — the canonical 100 TB pattern for stable row
+    ids (training-example indices, shard-stable sample numbering).
+
+    A naive row_number() over a global ORDER BY collapses the whole
+    table into ONE partition (Window with empty PARTITION BY). This
+    plan keeps every stage parallel:
+
+    1. rows map to EXPLICIT order-compatible buckets (a deterministic
+       expression over the key — unlike repartitionByRange, whose
+       sampled boundaries may differ between the two jobs below) and
+       hash-shuffle on the bucket id; within each partition rows sort
+       by (bucket, key);
+    2. one tiny aggregation collects per-bucket counts (B longs — the
+       only driver traffic) and turns them into exclusive prefix-sum
+       offsets;
+    3. an Arrow-batched mapInPandas counter emits
+       seq = bucket_offset + within-bucket ordinal — no second
+       shuffle, no per-partition window exchange.
+
+    The sequence depends only on the total (bucket, key) = key order,
+    so the oracle is a plain row_number(); the plan never materializes
+    a SinglePartition sort (asserted in tests/test_plan_shapes.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hi = events.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+    n_buckets = 64
+    bucket = F.least(
+        F.floor(F.col("event_id") * n_buckets / (hi + 1)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    keyed = (
+        events.select(
+            "event_id", "user_id", "event_type", bucket.alias("bucket")
+        )
+        .repartition(32, "bucket")
+        .sortWithinPartitions("bucket", "event_id")
+    )
+
+    counts = {
+        r["bucket"]: r["c"]
+        for r in keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+
+    def enumerate_kernel(it):
+        seen: dict[int, int] = {}
+        for pdf in it:
+            base = pdf["bucket"].map(lambda b: offsets[b] + seen.get(b, 0))
+            within = pdf.groupby("bucket").cumcount()
+            pdf = pdf.copy()
+            pdf["seq"] = (base + within).astype("int64")
+            for b, c in pdf["bucket"].value_counts().items():
+                seen[b] = seen.get(b, 0) + int(c)
+            yield pdf[["event_id", "user_id", "event_type", "seq"]]
+
+    out = keyed.mapInPandas(
+        enumerate_kernel,
+        "event_id bigint, user_id bigint, event_type string, seq bigint",
+    )
+    # sample the assigned sequence (every 1000th row) so the gate
+    # output stays small while pinning the full assignment; no
+    # presentation orderBy — the sort's range sampler would re-execute
+    # the whole upstream pipeline, and the compare is order-insensitive
+    return out.filter(F.col("seq") % 1000 == 0)
+
+
+QUERIES_ENGINE4["global_sequence_events"] = global_sequence_events
+
+ORACLES_ENGINE4["global_sequence_events"] = """
+WITH numbered AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (ORDER BY event_id) - 1 AS seq
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(seq AS BIGINT) AS seq
+FROM numbered WHERE seq % 1000 = 0 ORDER BY seq
+"""

@@ -160,3 +160,138 @@ ORDER BY pr_units DESC, node LIMIT 50
 """
     ),
 }
+
+
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-purchase graph (nodes =
+    suppliers, an edge when two suppliers appear in the same order) —
+    the clustering-structure primitive of graph analytics, via the
+    DEGREE-ORIENTED join (the standard MPC/MapReduce algorithm):
+
+    1. undirected distinct edges from per-order baskets (same 2-
+       exchange expansion as copurchase_supplier_pairs — no self-join);
+    2. orient each edge from the endpoint with (degree, id) lexical
+       order lower -> higher: every triangle is counted exactly once,
+       and the path-join fan-out per node is bounded by out-degree
+       <= O(sqrt(|E|)) — the arboricity bound that makes the join
+       survive power-law degree skew at 100 TB (an unoriented join
+       explodes on hub nodes);
+    3. join oriented paths u->v->w with the closing edge u->w.
+
+    Output: one row — nodes, undirected edges, triangles, and the
+    global clustering coefficient in exact ppm (3·triangles /
+    wedge-count, integer arithmetic both engines reproduce).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "supps",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = pairs.distinct().persist()  # a < b, one row per undirected edge
+
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    ).persist()
+
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"])
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    # wedges = sum over nodes of C(deg, 2); clustering = 3*tri/wedges
+    wedges = deg.agg(
+        F.expr("CAST(sum((deg * (deg - 1)) DIV 2) AS BIGINT)").alias("wedges")
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        tri.crossJoin(wedges)
+        .crossJoin(counts)
+        .crossJoin(nodes)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "triangles",
+            F.expr(
+                "CASE WHEN wedges > 0"
+                " THEN CAST((3 * triangles * 1000000) DIV wedges AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+QUERIES_GRAPH["triangle_count_suppliers"] = triangle_count_suppliers
+
+ORACLES_GRAPH["triangle_count_suppliers"] = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.a ELSE p.b END AS src,
+         CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.b ELSE p.a END AS dst
+  FROM pairs p
+  JOIN deg da ON da.v = p.a
+  JOIN deg db ON db.v = p.b
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+w AS (
+  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM deg
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+)
+SELECT n_nodes, n_edges, triangles,
+  CASE WHEN wedges > 0
+       THEN CAST(3 * triangles * 1000000 // wedges AS BIGINT)
+       ELSE 0 END AS clustering_ppm
+FROM tri, w, c, n
+"""

@@ -373,8 +373,11 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
 
-    cols = [F.col("emb_id")]
-    err_terms = []
+    # two-stage projection: materialize each subspace's (distance,
+    # cid) argmin struct ONCE, then extract code and error from it —
+    # HOF folds are CodegenFallback (no codegen CSE), so referencing
+    # the struct-sort twice would evaluate every distance table twice
+    best_cols = [F.col("emb_id")]
     for m in range(PQ_M):
         off = m * sub
         sub_train = train.select(
@@ -384,13 +387,19 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sf_dir, "book", m),
             lambda st=sub_train: train_kmeans(st, sub, k=PQ_K, iters=PQ_ITERS),
         )
-        best = _best_sql("v", off, sub, cents)
-        cols.append(F.expr(f"CAST({best}['1'] AS INT)").alias(f"code_{m}"))
-        # codegen-level CSE collapses the duplicated struct-sort with
-        # the code_m projection above
-        err_terms.append(f"CAST(floor({best}['0'] * 1000000.0 + 0.5) AS BIGINT)")
-    cols.append(F.expr(" + ".join(err_terms)).alias("err_units"))
-    return all_d.select(*cols)
+        best_cols.append(F.expr(_best_sql("v", off, sub, cents)).alias(f"best_{m}"))
+    staged = all_d.select(*best_cols)
+    out_cols = [F.col("emb_id")]
+    for m in range(PQ_M):
+        out_cols.append(
+            F.expr(f"CAST(best_{m}['1'] AS INT)").alias(f"code_{m}")
+        )
+    err = " + ".join(
+        f"CAST(floor(best_{m}['0'] * 1000000.0 + 0.5) AS BIGINT)"
+        for m in range(PQ_M)
+    )
+    out_cols.append(F.expr(err).alias("err_units"))
+    return staged.select(*out_cols)
 
 
 QUERIES_SIMILARITY["embedding_product_quantize"] = embedding_product_quantize

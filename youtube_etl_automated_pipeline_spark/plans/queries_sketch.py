@@ -408,3 +408,103 @@ FROM diff
 GROUP BY status
 ORDER BY status
 """
+
+
+KMV_K = 64
+KMV_DOMAIN = float(1 << 60)  # md5_long(_, 15) range: [0, 2^60)
+
+
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per order priority — the
+    DETERMINISTIC mergeable sketch alternative to HLL
+    (`approx_distinct_customers` is rows-only because Spark's HLL is
+    engine-specific; KMV over the portable md5 hash is bit-exact in
+    both engines, so this one gets a full oracle gate).
+
+    Estimator (Bar-Yossef et al.): keep the K smallest 60-bit hashes
+    of the distinct keys; if fewer than K exist the count is exact,
+    else est = (K-1) · 2^60 / kth_min. The per-group kept set is K
+    longs — mergeable by union + re-truncate, the same shape a 100 TB
+    rollup ships between levels.
+
+    Scale shape: distinct-hash reduce first (map-side combine), then
+    the min-K is a row_number window that Spark 3.5+ executes with
+    WindowGroupLimit — each map task pre-truncates its partition to K
+    rows per group BEFORE the shuffle, so the exchange carries
+    O(groups · K), not the distinct stream. The estimate arithmetic
+    is one double multiply+divide per group, identically ordered in
+    the oracle.
+    """
+    orders = widen_scan(load_table(spark, sf_dir, "orders"))
+    h = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            md5_long(F.col("o_custkey").cast("string"), 15).alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("priority").orderBy("hv")
+    kept = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth_hash"))
+    )
+    ex = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.lit(float(KMV_K - 1))
+                * (F.lit(KMV_DOMAIN) / F.col("kth_hash").cast("double"))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+    )
+    return (
+        kept.join(ex, "priority")
+        .select(
+            "priority",
+            "n_kept",
+            "kth_hash",
+            est.alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES_SKETCH["kmv_distinct_customers"] = kmv_distinct_customers
+
+ORACLES_SKETCH["kmv_distinct_customers"] = f"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS priority,
+    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM orders
+),
+ranked AS (
+  SELECT priority, hv,
+         row_number() OVER (PARTITION BY priority ORDER BY hv) AS rn
+  FROM h
+),
+kept AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(hv) AS BIGINT) AS kth_hash
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY priority
+),
+ex AS (
+  SELECT o_orderpriority AS priority,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT k.priority, n_kept, kth_hash,
+  CASE WHEN n_kept < {KMV_K} THEN n_kept
+       ELSE CAST(floor({float(KMV_K - 1)!r} *
+                       ({KMV_DOMAIN!r} / CAST(kth_hash AS DOUBLE)) + 0.5)
+                 AS BIGINT) END AS est_distinct,
+  exact_distinct
+FROM kept k JOIN ex USING (priority)
+ORDER BY priority
+"""
