@@ -162,3 +162,38 @@ def test_winnowing_recovers_planted_substring_copies(spark):
         assert (did, did + PLANT_OFFSET_SUB) in got, f"planted pair {did} missed"
     for did in too_short:
         assert (did, did + PLANT_OFFSET_SUB) not in got
+
+
+def test_prefix_filter_is_exact_at_threshold(spark):
+    """Prefix filtering is EXACT (unlike LSH): the result must equal
+    the brute-force all-pairs sweep at the same threshold."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _SH_HASHES
+    from youtube_etl_automated_pipeline_spark.plans.queries_ext import (
+        JAC_DEN,
+        JAC_NUM,
+        dedup_prefix_filter,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_prefix_filter(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    brute = con.execute(f"""
+        WITH base AS (
+          SELECT doc_id, {_SH_HASHES} AS hs FROM documents
+          WHERE len({_SH_HASHES}) >= 3
+        )
+        SELECT a.doc_id, b.doc_id
+        FROM base a JOIN base b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.hs, b.hs)) * {JAC_DEN}
+              >= {JAC_NUM} * (len(a.hs) + len(b.hs)
+                              - len(list_intersect(a.hs, b.hs)))
+    """).fetchall()
+    assert got == set(brute)

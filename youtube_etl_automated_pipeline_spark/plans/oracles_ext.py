@@ -240,3 +240,45 @@ pairs AS (
 )
 SELECT doc_a, doc_b, n_shared FROM pairs ORDER BY doc_a, doc_b
 """
+
+
+from youtube_etl_automated_pipeline_spark.plans.queries_ext import (  # noqa: E402
+    JAC_DEN,
+    JAC_NUM,
+)
+
+ORACLES_EXT["dedup_prefix_filter"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+toks AS (SELECT doc_id, unnest(hs) AS sh FROM base),
+dfc AS (SELECT sh, count(*) AS df FROM toks GROUP BY sh),
+ranked AS (
+  SELECT t.doc_id, t.sh,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.sh) AS rn,
+    count(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM toks t JOIN dfc d USING (sh)
+),
+prefix AS (
+  SELECT doc_id, sh FROM ranked
+  WHERE rn <= n - (({JAC_NUM} * n + {JAC_DEN - 1}) // {JAC_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+arrays AS (SELECT doc_id, hs, len(hs) AS n FROM base),
+scored AS (
+  SELECT doc_a, doc_b,
+    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS n_inter,
+    CAST(x.n + y.n - len(list_intersect(x.hs, y.hs)) AS BIGINT) AS n_union
+  FROM cand
+  JOIN arrays x ON x.doc_id = doc_a
+  JOIN arrays y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+  CAST(n_inter * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+FROM scored WHERE n_inter * {JAC_DEN} >= {JAC_NUM} * n_union
+ORDER BY doc_a, doc_b
+"""

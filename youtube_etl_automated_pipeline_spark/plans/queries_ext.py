@@ -221,3 +221,105 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT["dedup_repeated_substring"] = dedup_repeated_substring
+
+
+JAC_NUM, JAC_DEN = 2, 5  # Jaccard threshold 0.4 as an exact rational
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL set-similarity self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin candidate family — Bayardo et al. / Xiao et al.)
+    — the third candidate-generation strategy next to blocking
+    (`dedup_ngram_jaccard`) and LSH banding (`dedup_minhash_lsh`),
+    and unlike both it is EXACT: every pair with Jaccard >= t is
+    guaranteed a candidate, with no bands/recall tuning.
+
+    The filter: order each doc's shingle set by ascending document
+    frequency (rarest first, ties by hash — a deterministic global
+    total order); two sets with Jaccard >= t MUST share a token in
+    their first n - ceil(t·n) + 1 tokens. Only prefix tokens enter
+    the candidate join — and because prefixes are rare-first, the
+    per-token join groups stay small (the hot frequent shingles never
+    appear in a prefix unless a doc is almost all-frequent).
+
+    Scale shape: df-count = one agg; rank = one window per doc;
+    candidates = equi-join on prefix token; verify = exact
+    integer-rational test n_inter·DEN >= NUM·n_union on the hashed
+    sets (array_intersect JVM-side). Everything shuffles on keys;
+    nothing is quadratic except verified candidates.
+    """
+    from pyspark.sql import Window
+
+    from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+        .filter(F.size("hs") >= 3)
+        .persist()
+    )
+    toks = base.select("doc_id", F.explode("hs").alias("sh"))
+    dfc = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(dfc, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(f"({JAC_NUM} * n + {JAC_DEN - 1}) DIV {JAC_DEN}")
+        + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrays = base.select("doc_id", "hs", F.size("hs").alias("n"))
+    scored = (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+        )
+        .withColumn(
+            "n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("bigint")
+        )
+    )
+    return (
+        scored.filter(
+            F.col("n_inter") * JAC_DEN >= JAC_NUM * F.col("n_union")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.expr("CAST(n_inter * 1000000 DIV n_union AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES_EXT["dedup_prefix_filter"] = dedup_prefix_filter
