@@ -229,3 +229,73 @@ def decode_image_features(
         .select("media_id", "payload")
         .mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
     )
+
+
+SCENE_CUT_DELTA = 4  # mean-byte units between adjacent frames
+
+SCENE_CUTS_SCHEMA = (
+    "media_id bigint, n_frames int, n_cuts int, first_cut int,"
+    " min_mean bigint, max_mean bigint"
+)
+
+
+def scene_cuts(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    threshold: int = SCENE_CUT_DELTA,
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over video payloads — the
+    frame-DELTA pattern every video curation pipeline runs before
+    sampling keyframes: a cut at frame i > 0 when the integer
+    per-frame mean jumps by >= ``threshold`` from frame i-1.
+
+    Exactness contract: frame mean = byte_sum DIV frame_len (integer
+    floor division — no float averaging), so the cut decisions are
+    bit-portable to the oracle's lag-window formulation. Per-row
+    kernel, no shuffle; the ragged last frame participates with its
+    own length, same as frame_sample."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    continue
+                n_frames = (arr.size + frame_bytes - 1) // frame_bytes
+                means = []
+                for i in range(n_frames):
+                    chunk = arr[i * frame_bytes : (i + 1) * frame_bytes]
+                    means.append(int(chunk.sum(dtype=np.int64)) // chunk.size)
+                cuts = [
+                    i
+                    for i in range(1, n_frames)
+                    if abs(means[i] - means[i - 1]) >= threshold
+                ]
+                rows.append(
+                    (
+                        int(mid),
+                        n_frames,
+                        len(cuts),
+                        cuts[0] if cuts else -1,
+                        min(means),
+                        max(means),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "n_cuts",
+                    "first_cut",
+                    "min_mean",
+                    "max_mean",
+                ],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, SCENE_CUTS_SCHEMA)
+    )

@@ -111,3 +111,50 @@ SELECT doc_id AS media_id, w AS width,
 FROM f
 ORDER BY media_id
 """
+
+
+from youtube_etl_automated_pipeline_spark.ext.multimodal import (  # noqa: E402
+    SCENE_CUT_DELTA,
+)
+
+# Mirrors ext.multimodal.scene_cuts: integer frame means (sum DIV
+# len), lag-window deltas, cut when |delta| >= threshold. Payloads
+# are UTF-8 of ASCII text, so byte i == ord(char i).
+ORACLES_MULTIMODAL["multimodal_scene_cuts"] = f"""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 3 = 2 AND length(text) > 0
+),
+fr AS (
+  SELECT doc_id,
+    unnest(generate_series(0,
+      CAST((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS INT) - 1)) AS fi,
+    text
+  FROM v
+),
+m AS (
+  SELECT doc_id, fi,
+    CAST(list_sum(list_transform(
+           generate_series(1, length(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES}))),
+           j -> ord(substr(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES}), j, 1))))
+         AS BIGINT)
+      // length(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS mean
+  FROM fr
+),
+d AS (
+  SELECT doc_id, fi, mean,
+    mean - lag(mean) OVER (PARTITION BY doc_id ORDER BY fi) AS delta
+  FROM m
+)
+SELECT doc_id AS media_id,
+  CAST(count(*) AS INT) AS n_frames,
+  CAST(sum(CASE WHEN abs(delta) >= {SCENE_CUT_DELTA} THEN 1 ELSE 0 END) AS INT)
+    AS n_cuts,
+  CAST(coalesce(min(CASE WHEN abs(delta) >= {SCENE_CUT_DELTA} THEN fi END), -1)
+       AS INT) AS first_cut,
+  CAST(min(mean) AS BIGINT) AS min_mean,
+  CAST(max(mean) AS BIGINT) AS max_mean
+FROM d
+GROUP BY doc_id
+ORDER BY media_id
+"""

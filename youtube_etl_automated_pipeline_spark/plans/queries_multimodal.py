@@ -69,3 +69,15 @@ QUERIES_MULTIMODAL = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_features": multimodal_image_features,
 }
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the video modality (see
+    ext.multimodal.scene_cuts): integer frame-mean deltas, one row per
+    video with cut census."""
+    from youtube_etl_automated_pipeline_spark.ext.multimodal import scene_cuts
+
+    return scene_cuts(_media(spark, sf_dir))
+
+
+QUERIES_MULTIMODAL["multimodal_scene_cuts"] = multimodal_scene_cuts
