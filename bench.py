@@ -58,6 +58,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    med = round(sorted(timings.values())[len(timings) // 2], 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "engine_query_suite_seconds",
@@ -65,6 +66,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "sec_per_query_median": med,
         "queries": timings,
     }
     detail_path = os.path.join(
@@ -81,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "sec_per_query_median": med,
                 "queries": top5,
                 "detail": "bench_detail.json",
             }

@@ -85,3 +85,27 @@ def test_stratified_sample_rates(spark):
         n, k = totals[t], run1.get(t, 0)
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(k - n * frac) <= max(5 * sigma, 3), (t, k, n * frac)
+
+
+def test_query_build_time_bounded(spark):
+    """Constructing every gate DataFrame (no execution) must stay
+    cheap: a regression here means some query builds its expression
+    tree through per-term py4j calls again (one IVF-PQ formulation
+    measured 14 s of pure BUILD time before this was caught). Training
+    memos are primed by an untimed first build."""
+    import time
+
+    from __spark_entry__ import queries
+
+    from tests.conftest import SF_SMOKE
+
+    qs = queries()
+    for fn in qs.values():
+        fn(spark, SF_SMOKE)  # prime k-means/logreg memos, JVM paths
+    t0 = time.perf_counter()
+    for fn in qs.values():
+        fn(spark, SF_SMOKE)
+    elapsed = time.perf_counter() - t0
+    # 171 queries; generous CI budget — the regression we guard
+    # against is tens of seconds for a single query
+    assert elapsed < 60, f"building all queries took {elapsed:.1f}s"
