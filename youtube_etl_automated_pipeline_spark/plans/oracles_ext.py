@@ -198,6 +198,41 @@ from youtube_etl_automated_pipeline_spark.plans.queries_ext import (  # noqa: E4
 _FOLD2 = f"(a, b) -> (CAST(a AS BIGINT) * {RABIN_B2} + b) % {RABIN_M}"
 _WCL = "list_transform(generate_series(i, i + " f"{WIN_K - 1}" "), j -> ord(substr(nrm, j, 1)))"
 
+def winnow_fp_ctes(src_cte: str, prefix: str = "") -> str:
+    """CTE chain reproducing ext.textstats.winnowed_fingerprints over
+    a (doc_id, text) CTE named ``src_cte``; terminal CTE {prefix}fp =
+    (doc_id, h1, h2). ``prefix`` namespaces the chain so several
+    fingerprint sources (corpus index + streaming probes) can live in
+    one WITH clause."""
+    return f"""{prefix}nd AS (
+  SELECT doc_id, {_NORM} AS nrm FROM {src_cte}
+),
+{prefix}eligible AS (
+  SELECT doc_id, nrm, length(nrm) AS n FROM {prefix}nd
+  WHERE length(nrm) >= {WIN_K + WIN_W - 1}
+),
+{prefix}hs AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(generate_series(1, n - {WIN_K - 1}),
+                   i -> list_reduce({_WCL}, {_FOLD})) AS h1s,
+    list_transform(generate_series(1, n - {WIN_K - 1}),
+                   i -> list_reduce({_WCL}, {_FOLD2})) AS h2s,
+    n - {WIN_K - 1} AS n_win
+  FROM {prefix}eligible
+),
+{prefix}sel AS (
+  SELECT doc_id, h1s, h2s,
+    list_distinct(list_transform(generate_series(1, n_win - {WIN_W - 1}),
+      p -> p - 1 + list_position(h1s[p:p+{WIN_W - 1}],
+                                 list_min(h1s[p:p+{WIN_W - 1}])))) AS pos_list
+  FROM {prefix}hs
+),
+{prefix}fp AS (
+  SELECT DISTINCT doc_id, h1s[pos] AS h1, h2s[pos] AS h2
+  FROM (SELECT doc_id, h1s, h2s, unnest(pos_list) AS pos FROM {prefix}sel)
+)"""
+
+
 ORACLES_EXT["dedup_repeated_substring"] = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -205,33 +240,7 @@ WITH corpus AS (
   SELECT doc_id + {PLANT_OFFSET_SUB} AS doc_id, substr(text, 21, 160) AS text
   FROM documents WHERE doc_id % {PLANT_EVERY_SUB} = 0
 ),
-nd AS (
-  SELECT doc_id, {_NORM} AS nrm FROM corpus
-),
-eligible AS (
-  SELECT doc_id, nrm, length(nrm) AS n FROM nd
-  WHERE length(nrm) >= {WIN_K + WIN_W - 1}
-),
-hs AS MATERIALIZED (
-  SELECT doc_id,
-    list_transform(generate_series(1, n - {WIN_K - 1}),
-                   i -> list_reduce({_WCL}, {_FOLD})) AS h1s,
-    list_transform(generate_series(1, n - {WIN_K - 1}),
-                   i -> list_reduce({_WCL}, {_FOLD2})) AS h2s,
-    n - {WIN_K - 1} AS n_win
-  FROM eligible
-),
-sel AS (
-  SELECT doc_id, h1s, h2s,
-    list_distinct(list_transform(generate_series(1, n_win - {WIN_W - 1}),
-      p -> p - 1 + list_position(h1s[p:p+{WIN_W - 1}],
-                                 list_min(h1s[p:p+{WIN_W - 1}])))) AS pos_list
-  FROM hs
-),
-fp AS (
-  SELECT DISTINCT doc_id, h1s[pos] AS h1, h2s[pos] AS h2
-  FROM (SELECT doc_id, h1s, h2s, unnest(pos_list) AS pos FROM sel)
-),
+{winnow_fp_ctes("corpus")},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(count(*) AS BIGINT) AS n_shared

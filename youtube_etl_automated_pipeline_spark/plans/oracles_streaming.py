@@ -267,3 +267,29 @@ ORDER BY user_id, session_start
 ORACLES_STREAMING["streaming_session_dynamic_gap"] = ORACLES_STREAMING[
     "events_session_dynamic_gap"
 ]
+
+
+from youtube_etl_automated_pipeline_spark.plans.oracles_ext import (  # noqa: E402
+    winnow_fp_ctes,
+)
+from youtube_etl_automated_pipeline_spark.plans.queries_ext import (  # noqa: E402
+    PLANT_EVERY_SUB,
+    PLANT_OFFSET_SUB,
+)
+
+ORACLES_STREAMING["streaming_dedup_fingerprint_probe"] = f"""
+WITH probes_src AS (
+  SELECT doc_id + {PLANT_OFFSET_SUB} AS doc_id, substr(text, 21, 160) AS text
+  FROM documents WHERE doc_id % {PLANT_EVERY_SUB} = 0
+),
+corpus_src AS (
+  SELECT doc_id, text FROM documents
+),
+{winnow_fp_ctes("probes_src", "p_")},
+{winnow_fp_ctes("corpus_src", "c_")}
+SELECT p.doc_id AS probe_id, c.doc_id AS src_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM p_fp p JOIN c_fp c ON p.h1 = c.h1 AND p.h2 = c.h2
+GROUP BY 1, 2
+ORDER BY probe_id, src_id
+"""

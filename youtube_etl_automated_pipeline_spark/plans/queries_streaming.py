@@ -611,3 +611,69 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES_STREAMING["streaming_session_dynamic_gap"] = streaming_session_dynamic_gap
+
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def streaming_dedup_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring dedup: a stream of incoming
+    documents probed against the corpus's persisted winnowing
+    fingerprint index (ext.textstats.winnowed_fingerprints) — the
+    production shape of continuous corpus ingestion, where each new
+    document must answer "is this a copy of something already
+    indexed?" without rescanning the corpus.
+
+    The incoming docs are the planted substring copies of every
+    PLANT_EVERY_SUBth document, derived INSIDE the stream by the same
+    pure transform the batch gate uses; the index is the batch
+    fingerprint relation (static side — at 100 TB this is the parquet
+    fingerprint index the batch dedup already materializes, broadcast
+    or bucket-joined per micro-batch). The stateless kernel runs
+    unchanged on the streaming DataFrame; the stream-static equi-join
+    on (h1, h2) needs no stream state at all.
+
+    Output: (probe_id, src_id, n_shared) — every probe finds its
+    source document (winnowing guarantee), plus any natural repeats.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        winnowed_fingerprints,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_ext import (
+        PLANT_EVERY_SUB,
+        PLANT_OFFSET_SUB,
+    )
+    from youtube_etl_automated_pipeline_spark.sources.readers import (
+        ensure_session_confs,
+    )
+
+    ensure_session_confs(spark)
+    docs_stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    probes = docs_stream.filter(F.col("doc_id") % PLANT_EVERY_SUB == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET_SUB).alias("doc_id"),
+        F.expr("substring(text, 21, 160)").alias("text"),
+    )
+    probe_fp = winnowed_fingerprints(probes).select(
+        F.col("doc_id").alias("probe_id"), "h1", "h2"
+    )
+    corpus_fp = winnowed_fingerprints(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(F.col("doc_id").alias("src_id"), "h1", "h2")
+    matched = probe_fp.join(F.broadcast(corpus_fp), ["h1", "h2"])
+    agg = matched.groupBy("probe_id", "src_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return run_stream_to_memory(
+        agg, "fp_probe", output_mode="complete"
+    ).orderBy("probe_id", "src_id")
+
+
+QUERIES_STREAMING["streaming_dedup_fingerprint_probe"] = (
+    streaming_dedup_fingerprint_probe
+)
