@@ -270,12 +270,13 @@ ranked AS (
   FROM toks t JOIN dfc d USING (sh)
 ),
 prefix AS (
-  SELECT doc_id, sh FROM ranked
+  SELECT doc_id, sh, n FROM ranked
   WHERE rn <= n - (({JAC_NUM} * n + {JAC_DEN - 1}) // {JAC_DEN}) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+   AND greatest(a.n, b.n) * {JAC_NUM} <= least(a.n, b.n) * {JAC_DEN}
 ),
 arrays AS (SELECT doc_id, hs, len(hs) AS n FROM base),
 scored AS (

@@ -272,11 +272,25 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n")
         - F.expr(f"({JAC_NUM} * n + {JAC_DEN - 1}) DIV {JAC_DEN}")
         + 1
-    ).select("doc_id", "sh")
+    ).select("doc_id", "sh", "n")
+    # length filter (the PPJoin size-compatibility bound): J >= t
+    # forces max(|a|,|b|)*NUM <= min(|a|,|b|)*DEN — prune before the
+    # distinct/verify stages, in exact integer arithmetic
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("n_a"))
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("n_b")
+            ),
+            "sh",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.greatest("n_a", "n_b") * JAC_NUM
+                <= F.least("n_a", "n_b") * JAC_DEN
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
