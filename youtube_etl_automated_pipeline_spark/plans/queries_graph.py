@@ -312,3 +312,130 @@ SELECT n_nodes, n_edges, triangles,
        ELSE 0 END AS clustering_ppm
 FROM tri, w, c, n
 """
+
+
+def triangle_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation + LOCAL clustering coefficient
+    (the node-level companion of triangle_count_suppliers — who sits
+    in the most tightly-knit co-purchase neighborhoods): each
+    oriented triangle (u, v, w) credits all three corners, local
+    clustering = 2·tri(v)·1e6 DIV (deg·(deg−1)) in integer ppm; top-10
+    by (triangles desc, supplier asc).
+
+    Same degree-oriented join and 1-in-4 node sample as the census
+    (see that docstring); the extra work over the census is one
+    explode of the triangle corners and a node-keyed count — the
+    top-k is TakeOrderedAndProject, never a global sort.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey") % TRI_NODE_MOD == 0)
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "supps",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = pairs.distinct().persist()
+
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    ).persist()
+
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tris = e1.join(e2, "v").join(e3, ["u", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.join(deg, "v")
+        .select(
+            F.col("v").alias("supplier"),
+            "n_triangles",
+            "deg",
+            F.expr(
+                "CASE WHEN deg > 1 THEN CAST((2 * n_triangles * 1000000)"
+                " DIV (deg * (deg - 1)) AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("local_clustering_ppm"),
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("supplier"))
+        .limit(10)
+    )
+
+
+QUERIES_GRAPH["triangle_top_suppliers"] = triangle_top_suppliers
+
+ORACLES_GRAPH["triangle_top_suppliers"] = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  WHERE x.l_suppkey % 4 = 0 AND y.l_suppkey % 4 = 0
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.a ELSE p.b END AS src,
+         CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.b ELSE p.a END AS dst
+  FROM pairs p
+  JOIN deg da ON da.v = p.a
+  JOIN deg db ON db.v = p.b
+),
+tris AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS v FROM tris
+    UNION ALL SELECT v FROM tris
+    UNION ALL SELECT w FROM tris
+  ) GROUP BY v
+)
+SELECT p.v AS supplier, p.n_triangles, d.deg,
+  CASE WHEN d.deg > 1
+       THEN CAST((2 * p.n_triangles * 1000000) // (d.deg * (d.deg - 1)) AS BIGINT)
+       ELSE 0 END AS local_clustering_ppm
+FROM per_node p JOIN deg d ON d.v = p.v
+ORDER BY p.n_triangles DESC, supplier ASC LIMIT 10
+"""
