@@ -621,3 +621,72 @@ FROM r
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for
+    each (from_type, to_type) pair, how often to_type immediately
+    follows from_type in a user's (ts, event_id)-ordered stream, plus
+    the row-normalized transition share in exact integer ppm — the
+    behavioral-analytics primitive behind next-action prediction and
+    anomalous-flow detection.
+
+    Plan: ONE lead() window per user (shuffle on user_id — the same
+    key every sessionization query uses), then a grouped count over
+    ~|types|² cells and a tiny window for the row shares. No
+    self-join (the naive formulation joins events to events on
+    adjacent ranks — twice the shuffles and a join for what lead()
+    gives in place). Tie-break by event_id makes the sequence — and
+    therefore every count — deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w))
+    cells = (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row = Window.partitionBy("from_type")
+    return (
+        cells.withColumn("row_sum", F.sum("n_transitions").over(row))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr(
+                "CAST((n_transitions * 1000000) DIV row_sum AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES_ANALYTICS["event_transition_matrix"] = event_transition_matrix
+
+ORACLES_ANALYTICS["event_transition_matrix"] = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('microseconds', ts), event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+  CAST(CAST(n_transitions AS BIGINT) * 1000000
+       // sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+    AS share_ppm
+FROM t ORDER BY from_type, to_type
+"""
