@@ -690,3 +690,78 @@ SELECT from_type, to_type, n_transitions,
     AS share_ppm
 FROM t ORDER BY from_type, to_type
 """
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase event attributed to the
+    most recent PRECEDING click by the same user — the marketing-
+    analytics as-of pattern, computed with ONE ignore-nulls window
+    carry instead of an as-of self-join (which would shuffle events
+    twice and range-join; the window rides the same user_id shuffle
+    every sequence query uses).
+
+    The two carried columns (click time, click event id) come from
+    the same ordered frame, so they always describe the same click
+    row. Gap is exact integer microseconds; purchases with no prior
+    click emit (-1, -1) — the unattributable bucket a real report
+    shows, not drops.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    # events ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # cast reinterprets without shifting — matching DuckDB's epoch_us
+    # on the naive timestamp
+    _us = F.unix_micros(F.col("ts").cast("timestamp"))
+    carried = ev.withColumn(
+        "click_us",
+        F.last(F.when(is_click, _us), ignorenulls=True).over(w),
+    ).withColumn(
+        "click_event_id",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
+            F.coalesce(_us - F.col("click_us"), F.lit(-1)).alias("gap_us"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+QUERIES_ANALYTICS["attribution_last_touch"] = attribution_last_touch
+
+ORACLES_ANALYTICS["attribution_last_touch"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+    epoch_us(date_trunc('microseconds', ts)) AS us,
+    last_value(CASE WHEN event_type = 'click'
+                    THEN epoch_us(date_trunc('microseconds', ts)) END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id
+      ORDER BY date_trunc('microseconds', ts), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id
+      ORDER BY date_trunc('microseconds', ts), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event_id
+  FROM events
+)
+SELECT event_id AS purchase_event_id, user_id,
+  CAST(coalesce(click_event_id, -1) AS BIGINT) AS click_event_id,
+  CAST(coalesce(us - click_us, -1) AS BIGINT) AS gap_us
+FROM ordered WHERE event_type = 'purchase'
+ORDER BY purchase_event_id
+"""
