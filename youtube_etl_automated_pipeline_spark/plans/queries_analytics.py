@@ -765,3 +765,65 @@ SELECT event_id AS purchase_event_id, user_id,
 FROM ordered WHERE event_type = 'purchase'
 ORDER BY purchase_event_id
 """
+
+
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of inter-event gaps per event type —
+    the latency/burstiness profile behind session-gap tuning and bot
+    detection. The bucket is floor(log2(gap_us)) + 1 computed as
+    length(bin(gap_us)) — INTEGER bit-length, not libm log2 (whose
+    last-ulp rounding differs across engines); zero/negative gaps
+    (same-microsecond events) land in bucket 0 explicitly.
+
+    One lag() window on the user_id shuffle + one small grouped agg;
+    both engines agree on bin() for positive int64.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN gap_us <= 0 THEN 0"
+                " ELSE length(bin(gap_us)) END"
+            ).cast("int"),
+        )
+    )
+    return (
+        gaps.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+QUERIES_ANALYTICS["interevent_gap_histogram"] = interevent_gap_histogram
+
+ORACLES_ANALYTICS["interevent_gap_histogram"] = """
+WITH g AS (
+  SELECT event_type,
+    epoch_us(date_trunc('microseconds', ts))
+      - lag(epoch_us(date_trunc('microseconds', ts))) OVER (
+          PARTITION BY user_id
+          ORDER BY date_trunc('microseconds', ts), event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+  CAST(CASE WHEN gap_us <= 0 THEN 0 ELSE length(bin(gap_us)) END AS INT)
+    AS bucket,
+  CAST(count(*) AS BIGINT) AS n_gaps,
+  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
