@@ -182,3 +182,99 @@ FROM acc
 ORDER BY priority
 """,
 }
+
+
+LIFT_VOCAB_K = 32
+LIFT_TOP = 50
+
+
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence association mining: lift of the top-vocab
+    token pairs across documents — PMI's ratio without its log, so
+    the score stays in exact integer ppm:
+    lift_ppm = (n_ab · N · 1e6) DIV (n_a · n_b), where n_x counts
+    documents containing x and N is the corpus size. lift > 1e6 ⇒
+    the pair co-occurs more than independence predicts.
+
+    Scale shape: the vocabulary is capped to the LIFT_VOCAB_K most
+    frequent tokens (df desc, token asc — deterministic), so per-doc
+    pair fan-out is bounded by C(K, 2) regardless of document size,
+    and the vocabulary + its counts broadcast. Pair expansion is the
+    same JVM-side array transform as copurchase_supplier_pairs (no
+    self-join); corpus size rides a one-row broadcast cross join —
+    nothing driver-side. Top-50 lands as TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))")
+        ).alias("token"),
+    )
+    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfc.orderBy(F.desc("df"), F.asc("token")).limit(LIFT_VOCAB_K)
+    vtok = tok.join(F.broadcast(vocab.select("token")), "token")
+    baskets = vtok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("toks")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "toks",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("toks"), i + 2, F.size(F.col("toks")) - i - 1),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    n_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ca = vocab.select(F.col("token").alias("a"), F.col("df").alias("n_a"))
+    cb = vocab.select(F.col("token").alias("b"), F.col("df").alias("n_b"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_ab.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("token_a"),
+            F.col("b").alias("token_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((n_ab * n_docs * 1000000) DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "token_a", "token_b")
+        .limit(LIFT_TOP)
+    )
+
+
+QUERIES_MINING["token_lift_pairs"] = token_lift_pairs
+
+ORACLES_MINING["token_lift_pairs"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+vocab AS (SELECT token, df FROM dfc ORDER BY df DESC, token ASC LIMIT {LIFT_VOCAB_K}),
+vtok AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab v USING (token)),
+n_ab AS (
+  SELECT x.token AS a, y.token AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM vtok x JOIN vtok y ON x.doc_id = y.doc_id AND x.token < y.token
+  GROUP BY 1, 2
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT a AS token_a, b AS token_b, n_ab,
+  va.df AS n_a, vb.df AS n_b,
+  CAST((n_ab * n_docs * 1000000) // (va.df * vb.df) AS BIGINT) AS lift_ppm
+FROM n_ab
+JOIN vocab va ON va.token = a
+JOIN vocab vb ON vb.token = b
+CROSS JOIN total
+ORDER BY lift_ppm DESC, token_a, token_b LIMIT {LIFT_TOP}
+"""
