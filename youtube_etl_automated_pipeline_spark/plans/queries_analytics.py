@@ -827,3 +827,82 @@ SELECT event_type,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1, 2 ORDER BY event_type, bucket
 """
+
+
+DRIFT_SPLIT_DATE = "1998-01-01"
+DRIFT_BUCKET_CENTS = 2_000_000  # $20k price buckets
+DRIFT_BUCKET_CAP = 20
+
+
+def distribution_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two eras of the orders
+    stream (the data-quality check behind 'did the upstream change
+    under us'): bucket o_totalprice into capped $20k bins, compare
+    the early (< DRIFT_SPLIT_DATE) and late era bucket SHARES in
+    exact integer ppm, and report the per-bucket absolute share
+    delta — the L1 building block of a PSI report, without PSI's
+    libm log so the result is bit-portable.
+
+    One scan, one conditional-count aggregation per bucket (map-side
+    combined), shares from one tiny window over ~20 bucket rows —
+    nothing reorders floats anywhere.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.expr(f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV {DRIFT_BUCKET_CENTS}"),
+        F.lit(DRIFT_BUCKET_CAP),
+    )
+    early = F.col("o_orderdate") < DRIFT_SPLIT_DATE
+    cells = orders.groupBy(bucket.alias("bucket")).agg(
+        F.count_if(early).alias("n_early"),
+        F.count_if(~early).alias("n_late"),
+    )
+    tot = Window.partitionBy()
+    return (
+        cells.withColumn("tot_early", F.sum("n_early").over(tot))
+        .withColumn("tot_late", F.sum("n_late").over(tot))
+        .select(
+            "bucket",
+            "n_early",
+            "n_late",
+            F.expr("CAST((n_early * 1000000) DIV tot_early AS BIGINT)").alias(
+                "share_early_ppm"
+            ),
+            F.expr("CAST((n_late * 1000000) DIV tot_late AS BIGINT)").alias(
+                "share_late_ppm"
+            ),
+            F.expr(
+                "CAST(abs((n_early * 1000000) DIV tot_early"
+                " - (n_late * 1000000) DIV tot_late) AS BIGINT)"
+            ).alias("abs_diff_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES_ANALYTICS["distribution_drift_l1"] = distribution_drift_l1
+
+ORACLES_ANALYTICS["distribution_drift_l1"] = f"""
+WITH cells AS (
+  SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {DRIFT_BUCKET_CENTS},
+               {DRIFT_BUCKET_CAP}) AS bucket,
+    CAST(sum(CASE WHEN o_orderdate < '{DRIFT_SPLIT_DATE}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_early,
+    CAST(sum(CASE WHEN o_orderdate < '{DRIFT_SPLIT_DATE}' THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_late
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_early) AS BIGINT) AS tot_early,
+         CAST(sum(n_late) AS BIGINT) AS tot_late FROM cells
+)
+SELECT bucket, n_early, n_late,
+  CAST((n_early * 1000000) // tot_early AS BIGINT) AS share_early_ppm,
+  CAST((n_late * 1000000) // tot_late AS BIGINT) AS share_late_ppm,
+  CAST(abs((n_early * 1000000) // tot_early
+           - (n_late * 1000000) // tot_late) AS BIGINT) AS abs_diff_ppm
+FROM cells CROSS JOIN tot
+ORDER BY bucket
+"""
