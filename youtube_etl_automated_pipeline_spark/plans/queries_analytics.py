@@ -906,3 +906,59 @@ SELECT bucket, n_early, n_late,
 FROM cells CROSS JOIN tot
 ORDER BY bucket
 """
+
+
+def user_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's PEAK events-per-minute vs their
+    lifetime event count — the rate-limit / bot-flagging primitive.
+    Two grouped aggregations (user×minute, then user), both map-side
+    combined on the same user-keyed shuffle; top-20 bursty users via
+    TakeOrderedAndProject with a full deterministic tie-break. The
+    burst ratio is exact integer ppm of the user's events landing in
+    their single busiest minute."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n_min"))
+    per_user = per_min.groupBy("user_id").agg(
+        F.sum("n_min").alias("n_events"),
+        F.max("n_min").alias("peak_per_min"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "peak_per_min",
+            "n_active_minutes",
+            F.expr(
+                "CAST((peak_per_min * 1000000) DIV n_events AS BIGINT)"
+            ).alias("burst_ppm"),
+        )
+        .orderBy(
+            F.desc("peak_per_min"), F.desc("n_events"), F.asc("user_id")
+        )
+        .limit(20)
+    )
+
+
+QUERIES_ANALYTICS["user_burst_rates"] = user_burst_rates
+
+ORACLES_ANALYTICS["user_burst_rates"] = """
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute,
+         CAST(count(*) AS BIGINT) AS n_min
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(n_min) AS BIGINT) AS n_events,
+         CAST(max(n_min) AS BIGINT) AS peak_per_min,
+         CAST(count(*) AS BIGINT) AS n_active_minutes
+  FROM per_min GROUP BY user_id
+)
+SELECT user_id, n_events, peak_per_min, n_active_minutes,
+  CAST((peak_per_min * 1000000) // n_events AS BIGINT) AS burst_ppm
+FROM per_user
+ORDER BY peak_per_min DESC, n_events DESC, user_id ASC LIMIT 20
+"""
