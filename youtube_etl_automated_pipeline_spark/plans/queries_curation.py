@@ -554,3 +554,69 @@ SELECT stage, n_docs FROM (
 )
 ORDER BY stage
 """
+
+
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation surface for the in-query-trained quality
+    classifier: calibration table over FIXED score bins (score_ppm
+    DIV 100000 — ten equal-width bins, never a global ntile whose
+    empty-PARTITION window would serialize 100 TB through one task):
+    per bin, volume, positive rate, and mean score, all in exact
+    integer ppm (sums then one DIV — no float averaging). A
+    well-calibrated scorer shows pos_rate_ppm tracking
+    mean_score_ppm; systematic gaps are the drift signal that
+    triggers retraining.
+
+    Shares the per-process trained-weights memo with
+    quality_logreg_scores, so this query measures EVALUATION, not a
+    second 48-job training run.
+    """
+    from youtube_etl_automated_pipeline_spark.ext import logreg
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    feat = logreg.features(docs).repartition(8).persist()
+    if sf_dir not in _LOGREG_W:
+        _LOGREG_W[sf_dir] = logreg.train(feat)
+    scored = logreg.score(feat, _LOGREG_W[sf_dir])
+    return (
+        scored.groupBy(
+            F.expr("CAST(least(score_ppm DIV 100000, 9) AS INT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+            F.sum("score_ppm").alias("sum_score_ppm"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.expr("CAST((n_pos * 1000000) DIV n_docs AS BIGINT)").alias(
+                "pos_rate_ppm"
+            ),
+            F.expr("CAST(sum_score_ppm DIV n_docs AS BIGINT)").alias(
+                "mean_score_ppm"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+QUERIES_CURATION["logreg_calibration_bins"] = logreg_calibration_bins
+
+# Oracle: the same 48-iteration trained scoring subquery (nested WITH
+# inside a derived table), aggregated into the fixed score bins.
+ORACLES_CURATION["logreg_calibration_bins"] = f"""
+SELECT bin, n_docs, n_pos,
+  CAST((n_pos * 1000000) // n_docs AS BIGINT) AS pos_rate_ppm,
+  CAST(sum_score_ppm // n_docs AS BIGINT) AS mean_score_ppm
+FROM (
+  SELECT CAST(least(score_ppm // 100000, 9) AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm
+  FROM ({_logreg_oracle()}) s
+  GROUP BY 1
+)
+ORDER BY bin
+"""
