@@ -962,3 +962,134 @@ SELECT user_id, n_events, peak_per_min, n_active_minutes,
 FROM per_user
 ORDER BY peak_per_min DESC, n_events DESC, user_id ASC LIMIT 20
 """
+
+
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each nation — the market-concentration complement of
+    gini_value_concentration: per nation, each supplier's revenue
+    share in integer ppm, HHI = sum(share_ppm²) DIV 1e6 (0..1e6
+    scale; >2500-equivalent flags concentration). Revenue sums in
+    exact cents (order-free integer addition), shares and HHI via
+    integer division only — no float drift anywhere.
+
+    Plan: one lineitem-supplier broadcast-dim join, one grouped sum
+    per (nation, supplier), one window for nation totals, one final
+    group — all on key shuffles with map-side combine.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation")
+    shares = rev.withColumn("nation_cents", F.sum("rev_cents").over(w)).withColumn(
+        "share_ppm",
+        F.expr("CAST((rev_cents * 1000000) DIV nation_cents AS BIGINT)"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("share_ppm").alias("top_share_ppm"),
+            F.expr(
+                "CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES_ANALYTICS["hhi_supplier_concentration"] = hhi_supplier_concentration
+
+ORACLES_ANALYTICS["hhi_supplier_concentration"] = """
+WITH rev AS (
+  SELECT n.n_name AS nation, s.s_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT nation,
+    CAST((rev_cents * 1000000)
+         // sum(rev_cents) OVER (PARTITION BY nation) AS BIGINT) AS share_ppm
+  FROM rev
+)
+SELECT nation,
+  CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi
+FROM shares GROUP BY nation ORDER BY nation
+"""
+
+
+def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile: order volume and revenue share
+    by day-of-week, with each day's deviation from the uniform 1/7
+    expectation in signed integer ppm — the demand-shape primitive
+    behind staffing/capacity curves. dayofweek() is pinned via
+    date_part('dow') semantics alignment: Spark's dayofweek() is
+    1=Sunday..7=Saturday; DuckDB's dow is 0=Sunday..6 — the oracle
+    adds 1 so both key identically. Revenue in exact cents, one scan
+    + a 7-row window."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    per_dow = orders.groupBy(
+        F.dayofweek("o_orderdate").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_dow.withColumn("tot_orders", F.sum("n_orders").over(w))
+        .withColumn("tot_cents", F.sum("rev_cents").over(w))
+        .select(
+            "dow",
+            "n_orders",
+            "rev_cents",
+            F.expr("CAST((n_orders * 1000000) DIV tot_orders AS BIGINT)").alias(
+                "order_share_ppm"
+            ),
+            F.expr(
+                "CAST((rev_cents * 1000000) DIV tot_cents"
+                " - 1000000 DIV 7 AS BIGINT)"
+            ).alias("rev_dev_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+QUERIES_ANALYTICS["seasonality_dow_profile"] = seasonality_dow_profile
+
+ORACLES_ANALYTICS["seasonality_dow_profile"] = """
+WITH per_dow AS (
+  SELECT CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS tot_orders,
+         CAST(sum(rev_cents) AS BIGINT) AS tot_cents FROM per_dow
+)
+SELECT dow, n_orders, rev_cents,
+  CAST((n_orders * 1000000) // tot_orders AS BIGINT) AS order_share_ppm,
+  CAST((rev_cents * 1000000) // tot_cents - 1000000 // 7 AS BIGINT)
+    AS rev_dev_ppm
+FROM per_dow CROSS JOIN tot
+ORDER BY dow
+"""
