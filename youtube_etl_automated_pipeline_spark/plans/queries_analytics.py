@@ -1093,3 +1093,57 @@ SELECT dow, n_orders, rev_cents,
 FROM per_dow CROSS JOIN tot
 ORDER BY dow
 """
+
+
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-analytics split of daily active users into NEW (first
+    ever activity that day) vs RETURNING: per-user first-seen day via
+    one min() window carried on the user shuffle, then a per-day
+    distinct-user conditional count. The naive formulation joins
+    events against a per-user firsts table — same answer, one extra
+    shuffle and a join; the window form reuses the user partitioning.
+    Counts are exact distincts per day (count_distinct with a
+    conditional), deterministic by construction."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id")
+    marked = ev.select("user_id", day.alias("day")).withColumn(
+        "first_day", F.min("day").over(w)
+    )
+    return (
+        marked.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+            ).alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES_ANALYTICS["daily_new_vs_returning"] = daily_new_vs_returning
+
+ORACLES_ANALYTICS["daily_new_vs_returning"] = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+  FROM events
+)
+SELECT day,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+  CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END) AS BIGINT)
+    AS n_new,
+  CAST(count(DISTINCT user_id)
+       - count(DISTINCT CASE WHEN day = first_day THEN user_id END) AS BIGINT)
+    AS n_returning
+FROM marked GROUP BY day ORDER BY day
+"""
