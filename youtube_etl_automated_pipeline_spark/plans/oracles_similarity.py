@@ -441,3 +441,60 @@ ORDER BY query_id, rank
 
 
 ORACLES_SIMILARITY["similarity_ivfpq_topk"] = _ivfpq_oracle()
+
+
+def _purity_oracle(dim: int = 64) -> str:
+    """Same trained k-means (shared CTE builder), every vector
+    assigned to its nearest centroid (cid ASC tiebreak), then the
+    per-cluster majority-label census in integer ppm."""
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_dist2,
+        sql_kmeans_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        KMEANS_ITERS,
+        TRAIN_MOD,
+    )
+
+    final = f"cent{KMEANS_ITERS}"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         label
+  FROM embeddings
+),
+train AS (
+  SELECT emb_id, v FROM corpus WHERE emb_id % {TRAIN_MOD} = 0
+),
+{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS, train_src="train")},
+assigned AS (
+  SELECT emb_id, cid AS cluster_id FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN {final} c
+  ) WHERE _rn = 1
+),
+cells AS (
+  SELECT a.cluster_id, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM assigned a JOIN corpus e USING (emb_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cluster_id, label, n,
+    CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_vecs,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n DESC, label ASC) AS rn
+  FROM cells
+)
+SELECT cluster_id, n_vecs,
+  CAST(label AS INT) AS top_label,
+  n AS top_label_n,
+  CAST((n * 1000000) // n_vecs AS BIGINT) AS purity_ppm
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+ORACLES_SIMILARITY["cluster_label_purity"] = _purity_oracle()

@@ -510,3 +510,74 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_SIMILARITY["similarity_ivfpq_topk"] = similarity_ivfpq_topk
+
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation of the trained IVF index: assign
+    EVERY vector to its nearest k-means centroid and measure each
+    cluster's label purity — majority-label share in exact integer
+    ppm — the unsupervised-vs-ground-truth diagnostic run before
+    trusting an ANN index (impure clusters mean the coarse quantizer
+    is splitting semantic neighborhoods).
+
+    Shares the per-process trained-centroid memo with
+    similarity_ivf_topk (same (sf_dir, 'coarse') key), so this
+    measures evaluation, not re-training; assignment is the same
+    map-only kernel; the purity rollup is one (cluster, label) agg
+    plus a window over k rows.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        assign_nearest,
+        train_kmeans,
+    )
+    from pyspark.sql import Window
+
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    dim = embedding_dim(emb)
+    all_d = emb.select(
+        F.col("vec_id").alias("emb_id"),
+        as_double(F.col("embedding")).alias("v"),
+        "label",
+    ).persist()
+    cents = _trained(
+        (sf_dir, "coarse"),
+        lambda: train_kmeans(
+            all_d.filter(F.col("emb_id") % TRAIN_MOD == 0).select("emb_id", "v"),
+            dim,
+            k=N_CENTROIDS,
+            iters=KMEANS_ITERS,
+        ),
+    )
+    assigned = assign_nearest(
+        all_d.select("emb_id", "v"), "emb_id", cents, nprobe=1
+    ).select("emb_id", "cluster_id")
+    cells = (
+        assigned.join(all_d.select("emb_id", "label"), "emb_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = cells.withColumn("n_vecs", F.sum("n").over(w)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("n"), F.asc("label")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+            F.expr("CAST((n * 1000000) DIV n_vecs AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES_SIMILARITY["cluster_label_purity"] = cluster_label_purity
