@@ -1147,3 +1147,79 @@ SELECT day,
     AS n_returning
 FROM marked GROUP BY day ORDER BY day
 """
+
+
+RFM_REF_DATE = "2001-08-02"  # day after the fixture's max order date
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    customer, Recency (days since last order, from a FIXED reference
+    date so the result is reproducible), Frequency (order count) and
+    Monetary (lifetime cents), each banded by fixed thresholds into
+    scores 1..3; output is the segment census with exact-cents value
+    totals. Fixed bands, not quantile bands — a global ntile would
+    serialize through one window partition, while fixed thresholds
+    keep the whole query two map-side-combined aggregations (customer
+    rollup -> segment census) on key shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("cents"),
+    )
+    rec_days = F.datediff(F.lit(RFM_REF_DATE).cast("date"), F.col("last_day"))
+    r = (
+        F.when(rec_days <= 180, 3).when(rec_days <= 720, 2).otherwise(1)
+    )
+    f = (
+        F.when(F.col("n_orders") >= 20, 3)
+        .when(F.col("n_orders") >= 8, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("cents") >= 300_000_000, 3)
+        .when(F.col("cents") >= 100_000_000, 2)
+        .otherwise(1)
+    )
+    return (
+        per_cust.select(
+            r.alias("r_score"), f.alias("f_score"), m.alias("m_score"), "cents"
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+QUERIES_ANALYTICS["rfm_customer_segments"] = rfm_customer_segments
+
+ORACLES_ANALYTICS["rfm_customer_segments"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    max(CAST(o_orderdate AS DATE)) AS last_day,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT
+    CASE WHEN date_diff('day', last_day, DATE '{RFM_REF_DATE}') <= 180 THEN 3
+         WHEN date_diff('day', last_day, DATE '{RFM_REF_DATE}') <= 720 THEN 2
+         ELSE 1 END AS r_score,
+    CASE WHEN n_orders >= 20 THEN 3 WHEN n_orders >= 8 THEN 2 ELSE 1 END AS f_score,
+    CASE WHEN cents >= 300000000 THEN 3 WHEN cents >= 100000000 THEN 2
+         ELSE 1 END AS m_score,
+    cents
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
