@@ -620,3 +620,80 @@ FROM (
 )
 ORDER BY bin
 """
+
+
+CHUNK_DUP_EVERY = 25
+CHUNK_DUP_OFFSET = 20_000_000
+
+
+def chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup census: after splitting the corpus into
+    overlapping token windows (doc_chunk_windows' operator), how much
+    chunk-level duplication exists — the pretraining/RAG question
+    'how many context windows are repeats', which document-level
+    dedup misses. Planted full-document copies of every
+    CHUNK_DUP_EVERY-th doc give deterministic ground-truth duplicate
+    chunk groups (a substring copy would NOT — token-window alignment
+    shifts every fingerprint — so whole-doc copies are the honest
+    fixture here).
+
+    One chunking projection + one fingerprint-keyed census agg; the
+    top duplicated fingerprint breaks ties by lowest fp. Everything
+    integer/exact.
+    """
+    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") % CHUNK_DUP_EVERY == 0).select(
+        (F.col("doc_id") + CHUNK_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    chunks = C.chunk_windows(docs.unionByName(copies))
+    per_fp = chunks.groupBy("chunk_fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return per_fp.agg(
+        F.sum("n_copies").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_fps"),
+        F.count_if(F.col("n_copies") > 1).alias("n_dup_fps"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(F.lit(0))
+        ).alias("n_chunks_in_dup_groups"),
+        F.max("n_copies").alias("max_copies"),
+    )
+
+
+QUERIES_CURATION["chunk_dedup_census"] = chunk_dedup_census
+
+ORACLES_CURATION["chunk_dedup_census"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CHUNK_DUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {CHUNK_DUP_EVERY} = 0
+),
+t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM corpus
+  WHERE {_NONEMPTY}
+),
+c AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0,
+      (1 + (greatest(len(toks) - {C.CHUNK_W}, 0) + {C.CHUNK_S - 1})
+        // {C.CHUNK_S}) - 1)) AS start_i
+  FROM t WHERE len(toks) >= 1
+),
+fps AS (
+  SELECT {_fp15(f"array_to_string(toks[start_i * {C.CHUNK_S} + 1 : "
+                f"start_i * {C.CHUNK_S} + {C.CHUNK_W}], ' ')")} AS chunk_fp
+  FROM c
+),
+per_fp AS (
+  SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_copies FROM fps GROUP BY 1
+)
+SELECT
+  CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+  CAST(count(*) AS BIGINT) AS n_distinct_fps,
+  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fps,
+  CAST(sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END) AS BIGINT)
+    AS n_chunks_in_dup_groups,
+  CAST(max(n_copies) AS BIGINT) AS max_copies
+FROM per_fp
+"""
