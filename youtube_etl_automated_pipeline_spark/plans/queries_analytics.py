@@ -1223,3 +1223,49 @@ SELECT r_score, f_score, m_score,
   CAST(sum(cents) AS BIGINT) AS segment_cents
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths: the most common (t1 -> t2 -> t3)
+    event-type sequences across users — the second-order companion of
+    event_transition_matrix (first-order adjacency can't distinguish
+    view->click->purchase from view->click->view). Two lead() carries
+    on the SAME user-keyed window (one shuffle, one window pass reused
+    for both offsets), a grouped count over <= |types|³ cells, top-20
+    via TakeOrderedAndProject with a full lexical tie-break."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+QUERIES_ANALYTICS["top_event_paths"] = top_event_paths
+
+ORACLES_ANALYTICS["top_event_paths"] = """
+WITH seq AS (
+  SELECT event_type AS t1,
+    lead(event_type, 1) OVER (PARTITION BY user_id
+      ORDER BY date_trunc('microseconds', ts), event_id) AS t2,
+    lead(event_type, 2) OVER (PARTITION BY user_id
+      ORDER BY date_trunc('microseconds', ts), event_id) AS t3
+  FROM events
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20
+"""

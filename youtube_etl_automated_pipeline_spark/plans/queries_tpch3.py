@@ -302,3 +302,51 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
 ORDER BY s_suppkey
 """,
 }
+
+
+def ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment lead-time profile: order-to-ship delay in weekly
+    buckets per return flag — the operational-SLA histogram. The
+    orders join shuffles both sides on orderkey (the same key the
+    bucketed-layout path co-locates shuffle-free, see
+    bucketed_colocated_join_rollup); delays and buckets are exact
+    integer day arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = F.least(F.floor(delay / 7).cast("int"), F.lit(16))
+    return (
+        joined.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            bucket.alias("week_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(delay).alias("min_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+        .orderBy("returnflag", "week_bucket")
+    )
+
+
+QUERIES_TPCH3["ship_delay_histogram"] = ship_delay_histogram
+
+ORACLES_TPCH3["ship_delay_histogram"] = """
+WITH j AS (
+  SELECT l.l_returnflag AS returnflag,
+    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+      AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT returnflag,
+  CAST(least(CAST(floor(delay / 7.0) AS BIGINT), 16) AS INT) AS week_bucket,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(min(delay) AS INT) AS min_delay_days,
+  CAST(max(delay) AS INT) AS max_delay_days
+FROM j GROUP BY 1, 2 ORDER BY returnflag, week_bucket
+"""
