@@ -1269,3 +1269,61 @@ FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20
 """
+
+
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence census: per repeat customer, the mean days
+    between consecutive orders (exact integer: date-span DIV gap
+    count — identical to averaging the lag gaps, without computing
+    them), bucketed into monthly bands. The span identity turns a
+    per-customer lag window into a plain min/max/count aggregation —
+    one map-side-combined shuffle, no window at all; the census agg
+    is the second tiny shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+    repeat = per_cust.filter(F.col("n_orders") >= 2).withColumn(
+        "mean_gap_days",
+        F.expr(
+            "CAST(datediff(last_day, first_day) DIV (n_orders - 1) AS BIGINT)"
+        ),
+    )
+    bucket = F.least(F.expr("CAST(mean_gap_days DIV 30 AS INT)"), F.lit(12))
+    return (
+        repeat.groupBy(bucket.alias("month_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("mean_gap_days").alias("min_gap"),
+            F.max("mean_gap_days").alias("max_gap"),
+            F.sum("n_orders").alias("n_orders_covered"),
+        )
+        .orderBy("month_bucket")
+    )
+
+
+QUERIES_ANALYTICS["customer_order_cadence"] = customer_order_cadence
+
+ORACLES_ANALYTICS["customer_order_cadence"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    min(CAST(o_orderdate AS DATE)) AS first_day,
+    max(CAST(o_orderdate AS DATE)) AS last_day
+  FROM orders GROUP BY 1
+),
+repeat AS (
+  SELECT n_orders,
+    CAST(date_diff('day', first_day, last_day) // (n_orders - 1) AS BIGINT)
+      AS mean_gap_days
+  FROM per_cust WHERE n_orders >= 2
+)
+SELECT CAST(least(mean_gap_days // 30, 12) AS INT) AS month_bucket,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(min(mean_gap_days) AS BIGINT) AS min_gap,
+  CAST(max(mean_gap_days) AS BIGINT) AS max_gap,
+  CAST(sum(n_orders) AS BIGINT) AS n_orders_covered
+FROM repeat GROUP BY 1 ORDER BY month_bucket
+"""
