@@ -1327,3 +1327,53 @@ SELECT CAST(least(mean_gap_days // 30, 12) AS INT) AS month_bucket,
   CAST(sum(n_orders) AS BIGINT) AS n_orders_covered
 FROM repeat GROUP BY 1 ORDER BY month_bucket
 """
+
+
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap of the event stream (the
+    capacity-planning grid): per (dow, hour) cell, event count,
+    distinct users, and cell share of all events in exact integer
+    ppm. One scan, one grouped agg over <= 168 cells, one tiny
+    window for the total — dow keying pinned to Spark's 1=Sunday
+    convention (DuckDB dow + 1, as in seasonality_dow_profile)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    w = Window.partitionBy()
+    return (
+        cells.withColumn("total", F.sum("n_events").over(w))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "n_users",
+            F.expr("CAST((n_events * 1000000) DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+QUERIES_ANALYTICS["activity_heatmap_dow_hour"] = activity_heatmap_dow_hour
+
+ORACLES_ANALYTICS["activity_heatmap_dow_hour"] = """
+WITH cells AS (
+  SELECT CAST(date_part('dow', ts) + 1 AS INT) AS dow,
+         CAST(date_part('hour', ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cells)
+SELECT dow, hour, n_events, n_users,
+  CAST((n_events * 1000000) // total AS BIGINT) AS share_ppm
+FROM cells CROSS JOIN tot
+ORDER BY dow, hour
+"""
