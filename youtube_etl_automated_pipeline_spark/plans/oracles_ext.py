@@ -292,3 +292,17 @@ SELECT doc_a, doc_b, n_inter, n_union,
 FROM scored WHERE n_inter * {JAC_DEN} >= {JAC_NUM} * n_union
 ORDER BY doc_a, doc_b
 """
+
+
+ORACLES_EXT["corpus_mix_contingency"] = """
+WITH cells AS (
+  SELECT coalesce(lang, '??') AS lang, coalesce(source, '??') AS source,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, n_docs,
+  CAST((n_docs * sum(n_docs) OVER () * 1000000)
+       // (sum(n_docs) OVER (PARTITION BY lang)
+           * sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS lift_ppm
+FROM cells ORDER BY lang, source
+"""

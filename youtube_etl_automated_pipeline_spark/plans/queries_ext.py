@@ -337,3 +337,40 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT["dedup_prefix_filter"] = dedup_prefix_filter
+
+
+def corpus_mix_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition contingency table: the (lang × source) grid
+    with each cell's independence LIFT in exact integer ppm —
+    (n_cell · N · 1e6) DIV (n_lang · n_source); cells far from 1e6
+    reveal collection bias (a source over-supplying one language),
+    the first diagnostic a corpus-curation review runs. One scan,
+    one cell agg, two marginal windows — all integer arithmetic."""
+    from pyspark.sql import Window
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    cells = docs.groupBy(
+        F.coalesce("lang", F.lit("??")).alias("lang"),
+        F.coalesce("source", F.lit("??")).alias("source"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wt = Window.partitionBy()
+    return (
+        cells.withColumn("n_lang", F.sum("n_docs").over(wl))
+        .withColumn("n_source", F.sum("n_docs").over(ws))
+        .withColumn("n_total", F.sum("n_docs").over(wt))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST((n_docs * n_total * 1000000) DIV (n_lang * n_source)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+QUERIES_EXT["corpus_mix_contingency"] = corpus_mix_contingency
