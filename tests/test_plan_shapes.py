@@ -232,12 +232,32 @@ def test_join_strategy_hints_control_physical_operator(spark):
 
 def test_global_sequence_never_single_partition(spark):
     """Global contiguous row numbering must stay parallel: the plan
-    may shuffle on the bucket key but must never collapse the data
-    into a SinglePartition sort (the naive global-window shape)."""
+    may shuffle on the bucket key but must never collapse the DATA
+    into a SinglePartition sort or global window (the naive
+    row_number-over-empty-PARTITION-BY shape). Scalar aggregates
+    (the lazily-derived max bucket boundary) legitimately end in a
+    one-row SinglePartition final stage — what must never appear is
+    a Sort or Window fed by a SinglePartition exchange."""
     from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
         global_sequence_events,
     )
 
     plan = plan_of(global_sequence_events(spark, SF_SMOKE))
-    assert "SinglePartition" not in plan
     assert "hashpartitioning(bucket" in plan
+    assert "Window" not in plan
+    # every SinglePartition exchange must feed a scalar HashAggregate,
+    # never a Sort/Window over the data
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the operator consuming this exchange is the nearest line
+        # above with smaller indentation depth
+        depth = len(line) - len(line.lstrip(" :+-"))
+        for j in range(i - 1, -1, -1):
+            d = len(lines[j]) - len(lines[j].lstrip(" :+-"))
+            if d < depth and lines[j].strip():
+                assert "HashAggregate" in lines[j] or "Aggregate" in lines[j], (
+                    f"SinglePartition feeds non-aggregate: {lines[j]}"
+                )
+                break

@@ -19,6 +19,7 @@ from youtube_etl_automated_pipeline_spark.sources import (
     load_json_dim,
     load_table,
     register_views,
+    load_wide,
     widen_scan,
 )
 from youtube_etl_automated_pipeline_spark.pipeline import build_wide_fact
@@ -36,6 +37,7 @@ __all__ = [
     "load_json_dim",
     "load_table",
     "register_views",
+    "load_wide",
     "widen_scan",
     "build_wide_fact",
     "append_table",

@@ -13,6 +13,8 @@ functions/compat.py header).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -20,7 +22,7 @@ from youtube_etl_automated_pipeline_spark.functions.compat import (
     sql_xsum,
     xsum,
 )
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +210,9 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_chars DIV 32").alias("len_bucket"),
         F.substring(F.lower(F.col("text")), 1, 64).alias("prefix"),
     )
-    a = widen_scan(docs).alias("a")
+    a = widen_scan(
+        docs, cache_key=os.path.join(sf_dir, "documents.parquet")
+    ).alias("a")
     b = docs.alias("b")
     return (
         a.join(
@@ -854,10 +858,14 @@ def distribution_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV {DRIFT_BUCKET_CENTS}"),
         F.lit(DRIFT_BUCKET_CAP),
     )
+    # explicit when/otherwise (NOT count_if(pred)/count_if(~pred)):
+    # a NULL o_orderdate must land in the LATE era exactly like the
+    # oracle's CASE ... ELSE — count_if skips null-predicate rows on
+    # BOTH sides, silently dropping them from the distribution.
     early = F.col("o_orderdate") < DRIFT_SPLIT_DATE
     cells = orders.groupBy(bucket.alias("bucket")).agg(
-        F.count_if(early).alias("n_early"),
-        F.count_if(~early).alias("n_late"),
+        F.sum(F.when(early, 1).otherwise(0)).alias("n_early"),
+        F.sum(F.when(early, 0).otherwise(1)).alias("n_late"),
     )
     tot = Window.partitionBy()
     return (

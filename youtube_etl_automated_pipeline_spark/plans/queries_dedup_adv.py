@@ -15,7 +15,10 @@ from youtube_etl_automated_pipeline_spark.ext.dedup import (
     with_minhash,
 )
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+    memo_persist,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 JACCARD_THRESHOLD = 0.2
 # With SIMHASH_BANDS=4, banding has PERFECT recall for any pair within
@@ -34,19 +37,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs -> verify join pulls the two shingle sets -> exact
     Jaccard filter. All-pairs never materializes.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     # persist the signature table: it feeds the band explode AND both
     # sides of the verify join (3 consumers). In production this is
     # the materialized signature index you'd write to parquet.
-    base = (
-        with_minhash(docs.select("doc_id", "text"))
+    base = memo_persist(
+        spark,
+        ("minhash_base", sf_dir),
+        lambda: with_minhash(docs.select("doc_id", "text"))
         .filter(F.size("_sh_hashes") >= 3)
         .select(
             "doc_id",
             F.col("_sh_hashes").alias("hash_set"),
             *[f"sig_{j}" for j in range(N_PERM)],
-        )
-        .persist()
+        ),
     )
     bands = base.select(
         "doc_id",
@@ -93,7 +97,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance <= 3 (of 60 bits). Verification is a popcount on
     XOR — constant-time per candidate pair — and recall is exact, not
     approximate: <= 3 flipped bits cannot touch all 4 bands."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     sketched = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
     bands = sketched.select(
         "doc_id",
@@ -139,7 +143,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash sketch + band keys (the materialized-index
     form a production pipeline would persist)."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     out = docs.select("doc_id", simhash(F.col("text")).alias("sketch"))
     for b in range(SIMHASH_BANDS):
         out = out.withColumn(f"band_{b}", simhash_band(F.col("sketch"), b))
@@ -153,10 +157,12 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity into the keep-one-per-group dedup decision."""
     # persist: the undirected-edge union reads the pair set twice, and
     # every propagation round joins against it
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
+    pairs = memo_persist(
+        spark,
+        ("lsh_pairs", sf_dir),
+        lambda: dedup_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
     )
     comp = connected_components(pairs)
     return comp.select(
@@ -186,13 +192,15 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     members. At 100 TB the component table stays broadcast-sized
     (duplicates are a small fraction), so the only full shuffle is
     the final window on cluster_id."""
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
+    pairs = memo_persist(
+        spark,
+        ("lsh_pairs", sf_dir),
+        lambda: dedup_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
     )
     comp = connected_components(pairs)
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+    docs = load_wide(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
     labeled = (

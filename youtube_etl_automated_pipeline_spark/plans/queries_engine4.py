@@ -274,35 +274,52 @@ def global_sequence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sequence depends only on the total (bucket, key) = key order,
     so the oracle is a plain row_number(); the plan never materializes
     a SinglePartition sort (asserted in tests/test_plan_shapes.py).
+
+    Build is fully LAZY (round-2 advice): the max-key bucket boundary
+    and the per-bucket prefix-sum offsets are derived INSIDE the plan
+    (broadcast one-row max; 64-row triangular self-join for the
+    exclusive prefix sum — windowless, so no SinglePartition stage),
+    not collected at DataFrame-build time. Enumerating queries() or
+    printing the plan therefore triggers no Spark jobs, and the whole
+    assignment executes as one job over one source snapshot.
     """
     events = load_table(spark, sf_dir, "events")
-    hi = events.agg(F.max("event_id").alias("m")).collect()[0]["m"]
     n_buckets = 64
+    hi_df = events.agg(F.max("event_id").alias("hi"))
     bucket = F.least(
-        F.floor(F.col("event_id") * n_buckets / (hi + 1)).cast("int"),
+        F.floor(F.col("event_id") * n_buckets / (F.col("hi") + 1)).cast("int"),
         F.lit(n_buckets - 1),
     )
-    keyed = (
-        events.select(
-            "event_id", "user_id", "event_type", bucket.alias("bucket")
+    bucketed = (
+        events.select("event_id", "user_id", "event_type")
+        .crossJoin(F.broadcast(hi_df))
+        .select("event_id", "user_id", "event_type", bucket.alias("bucket"))
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    # exclusive prefix sum over 64 rows WITHOUT a global window: a
+    # triangular broadcast self-join keeps every stage hash-partitioned
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.bucket") < F.col("a.bucket"),
+            "left",
         )
-        .repartition(32, "bucket")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("offset"))
+    )
+    keyed = (
+        bucketed.repartition(32, "bucket")
+        .join(F.broadcast(offsets), "bucket")
         .sortWithinPartitions("bucket", "event_id")
     )
-
-    counts = {
-        r["bucket"]: r["c"]
-        for r in keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in range(n_buckets):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
 
     def enumerate_kernel(it):
         seen: dict[int, int] = {}
         for pdf in it:
-            base = pdf["bucket"].map(lambda b: offsets[b] + seen.get(b, 0))
+            base = pdf["offset"] + pdf["bucket"].map(
+                lambda b: seen.get(b, 0)
+            )
             within = pdf.groupby("bucket").cumcount()
             pdf = pdf.copy()
             pdf["seq"] = (base + within).astype("int64")

@@ -11,13 +11,16 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+    memo_persist,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish segments + punct
     census per document. Pure projection (scan-speed at 100 TB)."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -32,7 +35,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/punct mix -> [0,1] score and a
     keep flag (the classic pre-training filter shape)."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     text = F.col("text")
     n_tokens = TS.token_count(text)
     stop_cnt = TS.lang_marker_counts(text)["en"]
@@ -58,7 +61,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: marker-word census per language, deterministic
     argmax (priority tiebreak). An n-gram heuristic shaped like
     fastText-lite, kept oracle-reproducible."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     counts = TS.lang_marker_counts(F.col("text"))
     return docs.select(
         "doc_id",
@@ -71,7 +74,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5-derived 60-bit hash +
     winnowing-style min 3-gram-shingle hash."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -86,7 +89,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy) and reports group size. At 100 TB this is the standard
     first dedup pass — the shuffle key is the 60-bit content hash, so
     skew is impossible unless the corpus is pathological."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", TS.content_hash(F.col("text")).alias("content_fp")
     )
@@ -116,16 +119,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
 
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     # persist: the hashed-shingle table feeds BOTH self-join sides;
     # without it the md5 shingle projection runs once per side (and
     # again inside the filter). Production would materialize this as
     # the dedup index table.
-    base = (
-        docs.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hash_set"))
+    base = memo_persist(
+        spark,
+        ("ngram_jaccard_base", sf_dir),
+        lambda: docs.select(
+            "doc_id", shingle_hashes(F.col("text"), 3).alias("hash_set")
+        )
         .filter(F.size("hash_set") >= 3)
-        .withColumn("block_key", F.array_min("hash_set"))
-        .persist()
+        .withColumn("block_key", F.array_min("hash_set")),
     )
     a = base.select(
         F.col("doc_id").alias("doc_a"),
@@ -165,7 +171,7 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes of normalized text, via the O(n)-per-doc prefix-hash
     mapInPandas kernel (see ext.textstats.rolling_hash_stats for why
     the expression form loses here)."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     return TS.rolling_hash_stats(docs)
 
 
@@ -200,7 +206,7 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound join skew — the same stop-fingerprint cut web-dedup
     pipelines use.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+    docs = load_wide(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     copies = docs.filter(F.col("doc_id") % PLANT_EVERY_SUB == 0).select(
@@ -251,12 +257,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
 
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    base = (
-        docs.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
-        .filter(F.size("hs") >= 3)
-        .persist()
+    base = memo_persist(
+        spark,
+        ("dedup_prefix_base", sf_dir),
+        lambda: load_wide(spark, sf_dir, "documents")
+        .select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+        .filter(F.size("hs") >= 3),
     )
     toks = base.select("doc_id", F.explode("hs").alias("sh"))
     dfc = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -272,15 +282,33 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n")
         - F.expr(f"({JAC_NUM} * n + {JAC_DEN - 1}) DIV {JAC_DEN}")
         + 1
-    ).select("doc_id", "sh", "n")
-    # length filter (the PPJoin size-compatibility bound): J >= t
-    # forces max(|a|,|b|)*NUM <= min(|a|,|b|)*DEN — prune before the
-    # distinct/verify stages, in exact integer arithmetic
+    ).select("doc_id", "sh", "n", "rn")
+    # Two pre-verify prunes, both exact integer arithmetic:
+    # - length filter (size compatibility): J >= t forces
+    #   max(|a|,|b|)*NUM <= min(|a|,|b|)*DEN;
+    # - PPJoin POSITIONAL filter: both token lists carry the same
+    #   global (df, sh) total order, so for a token matched at ranks
+    #   (i, j) the overlap is bounded by 1 + min(n_a - i, n_b - j)
+    #   — tokens shared beyond the match must sit after it in BOTH
+    #   lists (any shared token ordered before the pair's first match
+    #   would itself be a prefix match, contradiction). J >= t needs
+    #   overlap*(NUM+DEN) >= NUM*(n_a+n_b), so candidates whose every
+    #   matched occurrence fails that bound on its overlap ceiling
+    #   can never verify; the first match of a truly-similar pair
+    #   always passes, so recall stays exact.
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("n_a"))
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "sh",
+            F.col("n").alias("n_a"),
+            F.col("rn").alias("rn_a"),
+        )
         .join(
             prefix.select(
-                F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("n_b")
+                F.col("doc_id").alias("doc_b"),
+                "sh",
+                F.col("n").alias("n_b"),
+                F.col("rn").alias("rn_b"),
             ),
             "sh",
         )
@@ -289,6 +317,17 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.greatest("n_a", "n_b") * JAC_NUM
                 <= F.least("n_a", "n_b") * JAC_DEN
+            )
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("n_a") - F.col("rn_a"),
+                        F.col("n_b") - F.col("rn_b"),
+                    )
+                )
+                * (JAC_NUM + JAC_DEN)
+                >= JAC_NUM * (F.col("n_a") + F.col("n_b"))
             )
         )
         .select("doc_a", "doc_b")
@@ -348,7 +387,7 @@ def corpus_mix_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cell agg, two marginal windows — all integer arithmetic."""
     from pyspark.sql import Window
 
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     cells = docs.groupBy(
         F.coalesce("lang", F.lit("??")).alias("lang"),
         F.coalesce("source", F.lit("??")).alias("source"),

@@ -165,6 +165,70 @@ ORDER BY pr_units DESC, node LIMIT 50
 TRI_NODE_MOD = 4  # deterministic node-sampling rate (1 in 4)
 
 
+def _tri_graph(spark: SparkSession, sf_dir: str):
+    """Shared builder for the sampled supplier co-purchase graph:
+    returns (edges, deg, oriented). edges/oriented are persisted via
+    the bounded registry (round-2 advice: bare .persist() leaked per
+    invocation) — and the census and per-node queries now share ONE
+    cache entry each instead of rebuilding the same graph twice."""
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    def build_edges():
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .filter(F.col("l_suppkey") % TRI_NODE_MOD == 0)
+        )
+        baskets = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "supps",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        return pairs.distinct()  # a < b, one row per undirected edge
+
+    edges = memo_persist(spark, ("tri_edges", sf_dir), build_edges)
+
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    def build_oriented():
+        da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+        lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+        )
+        return (
+            edges.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+                F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            )
+        )
+
+    oriented = memo_persist(spark, ("tri_oriented", sf_dir), build_oriented)
+    return edges, deg, oriented
+
+
 def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the supplier co-purchase graph (nodes =
     suppliers, an edge when two suppliers appear in the same order) —
@@ -194,50 +258,7 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter dropped. On real power-law graphs the orientation
     bound, not sampling, is what keeps this tractable.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .filter(F.col("l_suppkey") % TRI_NODE_MOD == 0)
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "supps",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
-                        ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    edges = pairs.distinct().persist()  # a < b, one row per undirected edge
-
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        edges.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
-    ).persist()
+    edges, deg, oriented = _tri_graph(spark, sf_dir)
 
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
@@ -327,50 +348,7 @@ def triangle_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode of the triangle corners and a node-keyed count — the
     top-k is TakeOrderedAndProject, never a global sort.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .filter(F.col("l_suppkey") % TRI_NODE_MOD == 0)
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "supps",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
-                        ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    edges = pairs.distinct().persist()
-
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        edges.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
-    ).persist()
+    edges, deg, oriented = _tri_graph(spark, sf_dir)
 
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 CHUNK_CHARS = 200
 CHUNK_OVERLAP = 40
@@ -46,7 +46,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying a 60-bit portable hash instead of the chunk text so the
     result (and any downstream exact-dedup of chunks) stays narrow.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).filter(
+    docs = load_wide(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     starts = F.sequence(
@@ -91,7 +91,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure projection (regex engines: Java and RE2 agree on these
     patterns — explicit classes, no \\s, no backrefs); scan-speed at
     100 TB, zero shuffle."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).filter(
+    docs = load_wide(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     aug = _pii_augmented()
@@ -121,7 +121,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array expression (O(n) per doc). The doc_id join between
     the two branches co-partitions on the agg's existing shuffle key.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).filter(
+    docs = load_wide(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     toks = TS.tokens(F.col("text"))
@@ -199,7 +199,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5k-row result joined broadcast). Explode of an empty array emits
     nothing, so short docs drop without a filter.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).filter(
+    docs = load_wide(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     toks = TS.tokens(F.col("text"))
@@ -242,7 +242,7 @@ def corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     an approximate per-lang hash threshold (keep hash < quantile
     estimate) before the exact window so the shuffle carries ~quota
     rows per lang, not the full corpus."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     h = TS.md5_long(F.col("doc_id").cast("string"))
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     return (

@@ -24,11 +24,11 @@ from youtube_etl_automated_pipeline_spark.ext.multimodal import (
     frame_sample,
     to_media_table,
 )
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return to_media_table(widen_scan(load_table(spark, sf_dir, "documents")))
+    return to_media_table(load_wide(spark, sf_dir, "documents"))
 
 
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,10 @@ from youtube_etl_automated_pipeline_spark.ext.similarity import (
     topk_by_query,
     unit,
 )
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+    memo_persist,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 N_QUERIES = 5
 N_CENTROIDS = 8
@@ -36,7 +39,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes perfectly; this is the exact-recall yardstick the IVF
     path is judged against.
     """
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), unit(F.col("embedding")).alias("q_u")
@@ -74,14 +77,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_kmeans,
     )
 
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     # persist: the double-cast vector table feeds k-means training
     # (iters passes), both assignment passes, and both unit-vector
     # projections — one compute, six cached reads.
-    all_d = emb.select(
-        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
-    ).persist()
+    all_d = memo_persist(
+        spark,
+        ("sim_all_d", sf_dir),
+        lambda: emb.select(
+            F.col("vec_id").alias("emb_id"),
+            as_double(F.col("embedding")).alias("v"),
+        ),
+    )
     # train on a deterministic modulo sample (the faiss posture: a few
     # hundred vectors per centroid suffice) — training cost decoupled
     # from corpus size, and the oracle re-derives the same subset
@@ -132,7 +140,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed, candidates ≪ n²) is ``dedup_embedding_lsh`` below; this
     form remains for corpora where an exact per-block sweep over a
     small natural cluster key is acceptable."""
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     normed = emb.select("vec_id", unit(F.col("embedding")).alias("u"), "label")
     a = normed.select(
@@ -177,7 +185,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.ext.embed_lsh import signatures
 
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     base = emb.select(
         F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
@@ -200,7 +208,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic re-runs per consumer. Production materializes this as
     # the dedup working set; at 100 TB swap for a parquet staging
     # write (same one-compute-many-reads shape).
-    corpus = base.unionByName(dups).persist()
+    corpus = memo_persist(
+        spark, ("emb_lsh_corpus", sf_dir), lambda: base.unionByName(dups)
+    )
     sig = signatures(corpus, dim)
     a = sig.select(F.col("emb_id").alias("vec_a"), "band", "key")
     b = sig.select(F.col("emb_id").alias("vec_b"), "band", "key")
@@ -212,7 +222,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # normalize ONCE; both pair sides read the cached unit vectors
     # (unit() is a dim-term expression — 2x cheaper computed once)
-    uall = corpus.select("emb_id", unit(F.col("v")).alias("u")).persist()
+    uall = memo_persist(
+        spark,
+        ("emb_lsh_uall", sf_dir),
+        lambda: corpus.select("emb_id", unit(F.col("v")).alias("u")),
+    )
     ua = uall.select(F.col("emb_id").alias("vec_a"), F.col("u").alias("u_a"))
     ub = uall.select(F.col("emb_id").alias("vec_b"), F.col("u").alias("u_b"))
     return (
@@ -245,7 +259,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes and their checksums are integers. The quantized vector is
     emitted as a CSV string (gate-boundary array serialization).
     """
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     vd = as_double(F.col("embedding"))
     amax = F.array_max(F.transform(vd, F.abs))
     scale = amax / F.lit(127.0)
@@ -271,7 +285,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas over the embeddings table: per-label
     norm statistics (the Pandas-UDF grouped-map surface)."""
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     return label_norm_stats(emb).orderBy("label")
 
 
@@ -365,12 +379,17 @@ def embedding_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.ext.kmeans import train_kmeans
 
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     sub = dim // PQ_M
-    all_d = emb.select(
-        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
-    ).persist()
+    all_d = memo_persist(
+        spark,
+        ("sim_all_d", sf_dir),
+        lambda: emb.select(
+            F.col("vec_id").alias("emb_id"),
+            as_double(F.col("embedding")).alias("v"),
+        ),
+    )
     train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
 
     # two-stage projection: materialize each subspace's (distance,
@@ -430,17 +449,21 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     sub = dim // PQ_M
     # L2-NORMALIZE before quantizing: on unit vectors, L2 distance is
     # a monotone transform of cosine (d² = 2 - 2cos), so ADC ranking
     # approximates the cosine ranking the exact paths use — without
     # this, raw-magnitude L2 and cosine order candidates differently.
-    all_d = emb.select(
-        F.col("vec_id").alias("emb_id"),
-        unit(F.col("embedding")).alias("v"),
-    ).persist()
+    all_d = memo_persist(
+        spark,
+        ("sim_all_d_unit", sf_dir),
+        lambda: emb.select(
+            F.col("vec_id").alias("emb_id"),
+            unit(F.col("embedding")).alias("v"),
+        ),
+    )
     train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
 
     coarse = _trained(
@@ -532,13 +555,17 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
-    all_d = emb.select(
-        F.col("vec_id").alias("emb_id"),
-        as_double(F.col("embedding")).alias("v"),
-        "label",
-    ).persist()
+    all_d = memo_persist(
+        spark,
+        ("sim_all_d_label", sf_dir),
+        lambda: emb.select(
+            F.col("vec_id").alias("emb_id"),
+            as_double(F.col("embedding")).alias("v"),
+            "label",
+        ),
+    )
     cents = _trained(
         (sf_dir, "coarse"),
         lambda: train_kmeans(

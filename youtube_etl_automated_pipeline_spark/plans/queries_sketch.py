@@ -23,7 +23,7 @@ from youtube_etl_automated_pipeline_spark.ext.textstats import (
     normalized_text,
     tokens,
 )
-from youtube_etl_automated_pipeline_spark.sources import load_table, widen_scan
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -46,7 +46,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative); at sf0.1 (1500 keys in 256 cells) the overcounts are
     real, which is the point — width controls the error bound.
     """
-    ev = widen_scan(load_table(spark, sf_dir, "events"))
+    ev = load_wide(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
     rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
     cells = per_key.select(
@@ -99,7 +99,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-shuffle rows at n_docs, at the price of scanning documents
     once per branch — the right trade at 100 TB.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
     )
@@ -202,7 +202,7 @@ def quality_corpus_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipf-truncated); per-doc reduce is map-side combinable. T is a
     1-row broadcast.
     """
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_wide(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
     )
@@ -281,7 +281,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.functions.compat import units
     from youtube_etl_automated_pipeline_spark.operators.skew import salted_count_sum
 
-    ev = widen_scan(load_table(spark, sf_dir, "events"))
+    ev = load_wide(spark, sf_dir, "events")
     cents = ev.select(
         "event_type", "event_id", units(F.col("value"), 2).alias("value_cents")
     )
@@ -323,7 +323,7 @@ def snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the join's null pattern — at 100 TB this is the canonical
     one-shuffle table diff, no driver involvement.
     """
-    orders = widen_scan(load_table(spark, sf_dir, "orders"))
+    orders = load_wide(spark, sf_dir, "orders")
     from youtube_etl_automated_pipeline_spark.functions.compat import units
 
     old = orders.select(
@@ -435,7 +435,7 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one double multiply+divide per group, identically ordered in
     the oracle.
     """
-    orders = widen_scan(load_table(spark, sf_dir, "orders"))
+    orders = load_wide(spark, sf_dir, "orders")
     h = (
         orders.select(
             F.col("o_orderpriority").alias("priority"),

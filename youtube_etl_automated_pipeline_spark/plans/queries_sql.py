@@ -277,7 +277,10 @@ def ansi_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(
             F.array(F.lit(1), F.lit(2)), (F.col("o_custkey") % 4 + 1).cast("int")
         ).alias("safe_elem"),
-    ).orderBy("o_orderkey")
+    )
+    # No trailing orderBy: the gate hash is order-insensitive, and a
+    # global range-sort of a row-per-order projection is exactly the
+    # Exchange+Sort a 100 TB sink write would never pay.
 
 
 QUERIES_SQL["ansi_safe_math"] = ansi_safe_math

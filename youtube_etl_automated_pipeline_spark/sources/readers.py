@@ -79,17 +79,42 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> 
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def widen_scan(df: DataFrame) -> DataFrame:
+# widen_scan decision memo: cache_key -> bool (scan needs widening).
+# The probe (`df.rdd.getNumPartitions()`) forces an analysis pass and an
+# RDD conversion in the JVM — cheap once, pure overhead when paid per
+# query across a ~190-query suite (round-2 verdict). The answer is a
+# function of the source layout only, so one probe per key suffices.
+_WIDEN_MEMO: dict[str, bool] = {}
+
+
+def widen_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Raise a scan's partition count to the session's parallelism when
     the source produced fewer (a single small local file -> 1 task,
     serializing CPU-heavy per-row work like hashing/sketching). At real
     scale a 100 TB scan already yields >= cores partitions, so this is
     a no-op; locally it is a ~150 KB round-robin shuffle that unlocks
-    every core."""
+    every core.
+
+    ``cache_key`` (e.g. the source path) memoizes the partition-count
+    probe so repeated scans of the same layout skip the RDD-conversion
+    analysis pass entirely."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if cache_key is not None and cache_key in _WIDEN_MEMO:
+        needs = _WIDEN_MEMO[cache_key]
+    else:
+        needs = df.rdd.getNumPartitions() < target
+        if cache_key is not None:
+            _WIDEN_MEMO[cache_key] = needs
+    return df.repartition(target) if needs else df
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + ``widen_scan`` with the probe memoized per
+    table path — the standard entry for CPU-heavy per-row queries."""
+    return widen_scan(
+        load_table(spark, sf_dir, name),
+        cache_key=os.path.join(sf_dir, f"{name}.parquet"),
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
