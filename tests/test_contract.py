@@ -106,6 +106,6 @@ def test_query_build_time_bounded(spark):
     for fn in qs.values():
         fn(spark, SF_SMOKE)
     elapsed = time.perf_counter() - t0
-    # 171 queries; generous CI budget — the regression we guard
-    # against is tens of seconds for a single query
+    # all registered queries; generous CI budget — the regression we
+    # guard against is tens of seconds for a single query
     assert elapsed < 60, f"building all queries took {elapsed:.1f}s"

@@ -1,15 +1,21 @@
-"""Multimodal plumbing: mapInPandas schemas, stub gating, kernel
+"""Multimodal plumbing: mapInPandas schemas, real PNG codec, kernel
 correctness against pure-python recomputation."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from tests.conftest import SF_SMOKE
 from youtube_etl_automated_pipeline_spark.ext.multimodal import (
     byte_stats,
     decode_image_features,
+    default_image_decoder,
+    encode_png_gray,
+    fake_gray_decoder,
     frame_sample,
+    png_encode_images,
+    png_gray_decoder,
     to_media_table,
 )
 from youtube_etl_automated_pipeline_spark.sources import load_table
@@ -20,9 +26,71 @@ def media(spark):
     return to_media_table(load_table(spark, SF_SMOKE, "documents")).cache()
 
 
-def test_decode_stub_requires_decoder(spark, media):
-    with pytest.raises(NotImplementedError):
-        decode_image_features(media)
+def test_default_decoder_rejects_unknown_codec(spark, media):
+    # raw text bytes are not a PNG; without PIL the dispatch must fail
+    # loudly rather than silently misinterpret the payload
+    with pytest.raises((NotImplementedError, ValueError)):
+        default_image_decoder(b"definitely not a png payload")
+
+
+def test_png_roundtrip_all_filters():
+    # >= 5 rows so every RFC 2083 filter type (row % 5) is exercised;
+    # values chosen to stress wraparound (mod-256) in Sub/Up/Paeth
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 5), (8, 3), (16, 16), (2, 2), (7, 31)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        png = encode_png_gray(img)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        out = png_gray_decoder(png)
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, img)
+
+
+def test_png_decoder_rejects_garbage():
+    with pytest.raises(ValueError):
+        png_gray_decoder(b"JFIF not a png")
+
+
+def test_png_encode_images_decodes_to_fixture_matrix(spark, media):
+    # the PNG-encoded payload must decode to exactly the matrix the
+    # raw-bytes interpretation produces — lossless codec roundtrip
+    encoded = {
+        r["media_id"]: bytes(r["payload"])
+        for r in png_encode_images(media).collect()
+    }
+    raw = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    checked = 0
+    for mid, payload in raw.items():
+        img = fake_gray_decoder(payload)
+        if img.shape[0] < 2:
+            assert mid not in encoded
+            continue
+        assert np.array_equal(png_gray_decoder(encoded[mid]), img)
+        checked += 1
+    assert checked > 0
+
+
+def test_image_features_no_injection(spark, media):
+    # the full gate path: PNG encode -> default (pure-numpy) decode
+    out = decode_image_features(png_encode_images(media)).collect()
+    assert out
+    by_id = {r["media_id"]: r for r in out}
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    for mid, payload in src.items():
+        img = fake_gray_decoder(payload)
+        w = img.shape[0]
+        if w < 2:
+            assert mid not in by_id
+            continue
+        r = by_id[mid]
+        assert r["width"] == w
+        assert abs(r["mean_pixel"] - img.sum() / img.size) < 1e-5
 
 
 def test_byte_stats_matches_python(spark, media):

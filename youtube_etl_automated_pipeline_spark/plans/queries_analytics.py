@@ -1000,7 +1000,12 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("nation")
     shares = rev.withColumn("nation_cents", F.sum("rev_cents").over(w)).withColumn(
         "share_ppm",
-        F.expr("CAST((rev_cents * 1000000) DIV nation_cents AS BIGINT)"),
+        # decimal(38,0) multiply: nation-era cents exceed ~9.2e12 well
+        # before 100 TB, where a bigint *1e6 numerator would wrap
+        F.expr(
+            "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+            " DIV nation_cents AS BIGINT)"
+        ),
     )
     return (
         shares.groupBy("nation")
@@ -1071,9 +1076,11 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n_orders * 1000000) DIV tot_orders AS BIGINT)").alias(
                 "order_share_ppm"
             ),
+            # decimal(38,0) multiply: global cents * 1e6 wraps bigint
+            # far below the advertised 100 TB scale
             F.expr(
-                "CAST((rev_cents * 1000000) DIV tot_cents"
-                " - 1000000 DIV 7 AS BIGINT)"
+                "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV tot_cents - 1000000 DIV 7 AS BIGINT)"
             ).alias("rev_dev_ppm"),
         )
         .orderBy("dow")

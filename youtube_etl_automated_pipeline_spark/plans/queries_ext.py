@@ -404,7 +404,8 @@ def corpus_mix_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             F.expr(
-                "CAST((n_docs * n_total * 1000000) DIV (n_lang * n_source)"
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * n_total * 1000000"
+                " DIV (CAST(n_lang AS DECIMAL(38,0)) * n_source)"
                 " AS BIGINT)"
             ).alias("lift_ppm"),
         )

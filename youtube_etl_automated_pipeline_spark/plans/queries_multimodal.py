@@ -20,8 +20,8 @@ from youtube_etl_automated_pipeline_spark.ext.multimodal import (
     audio_waveform_stats,
     byte_stats,
     decode_image_features,
-    fake_gray_decoder,
     frame_sample,
+    png_encode_images,
     to_media_table,
 )
 from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
@@ -46,12 +46,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL codec roundtrip: image payloads are re-encoded as genuine
+    # 8-bit grayscale PNGs (all five RFC 2083 scanline filters), then
+    # decoded by the pure-numpy PNG parser — no injected fake. The
+    # oracle is unchanged because the PNG roundtrip is lossless over
+    # the same w*w byte matrix.
     # thumb: array<double> of 6-dp block means -> '|'-joined integer
     # micro-pixels. round(x*1e6) recovers the exact integer the kernel
     # rounded to (x is the nearest double to k/1e6, so x*1e6 is within
     # an ulp of k), identically in Spark and DuckDB.
     return decode_image_features(
-        _media(spark, sf_dir), decoder=fake_gray_decoder
+        png_encode_images(_media(spark, sf_dir))
     ).withColumn(
         "thumb",
         F.concat_ws(
