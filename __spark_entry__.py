@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_curation import (
         QUERIES_CURATION,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_curation2 import (
+        QUERIES_CURATION2,
+    )
 
     return {
         **QUERIES,
@@ -97,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ENGINE4,
         **QUERIES_MINING,
         **QUERIES_CURATION,
+        **QUERIES_CURATION2,
     }
 
 
@@ -150,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_curation import (
         ORACLES_CURATION,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_curation2 import (
+        ORACLES_CURATION2,
+    )
 
     return {
         **ORACLES,
@@ -174,4 +181,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ENGINE4,
         **ORACLES_MINING,
         **ORACLES_CURATION,
+        **ORACLES_CURATION2,
     }

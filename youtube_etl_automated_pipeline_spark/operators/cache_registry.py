@@ -42,7 +42,16 @@ def memo_persist(
     full_key = (spark.sparkContext.applicationId,) + key
     if full_key in _REG:
         _REG.move_to_end(full_key)
-        return _REG[full_key]
+        df = _REG[full_key]
+        # an external spark.catalog.clearCache() (test/bench hygiene)
+        # may have unpersisted the entry; re-persist so consumers never
+        # silently recompute a supposedly-cached relation
+        try:
+            if df.storageLevel.useMemory is False and df.storageLevel.useDisk is False:
+                df.persist()
+        except Exception:
+            pass
+        return df
     df = build().persist()
     _REG[full_key] = df
     while len(_REG) > _CAP:

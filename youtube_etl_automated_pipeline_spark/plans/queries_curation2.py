@@ -1,0 +1,354 @@
+"""Round-3 curation extensions: semantic dedup (SemDeDup posture),
+hash-gated importance resampling, and n-gram novelty scoring — three
+operators a 100 TB training-data pipeline layers on top of the
+existing dedup/quality/mixing surface.
+
+All three stay in exact integer arithmetic (ppm shares, md5 buckets)
+or the 6-dp-rounded cosine contract the similarity suite already
+pins, so every query carries a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
+from youtube_etl_automated_pipeline_spark.ext.similarity import cosine_unit_cols
+from youtube_etl_automated_pipeline_spark.sources import load_wide
+
+QUERIES_CURATION2: dict = {}
+ORACLES_CURATION2: dict[str, str] = {}
+
+
+# ------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup (Abbas et al. 2023
+# posture): k-means buckets bound the pairwise-cosine candidate set
+# to within-cluster pairs, pairs above the threshold drop the higher
+# id. The planted perturbed corpus (shared with dedup_embedding_lsh)
+# provides ground-truth near-dups the synthetic vectors lack.
+
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster semantic-dedup census: members, dropped (cosine >=
+    SEMDEDUP_TAU to a lower-id member of the same cluster), kept.
+
+    Scale shape: k-means training is sample-sized (memoized per
+    sf_dir); assignment is map-only (centroids in the kernel
+    closure); the pair join shuffles on cluster_id only and the
+    quadratic term is bounded by cluster size — the whole point of
+    clustering before pruning. At 100 TB: one scan to assign, one
+    bounded self-join, one tiny census agg.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        assign_nearest,
+        train_kmeans,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        TRAIN_MOD,
+        _trained,
+        planted_corpus,
+    )
+
+    _, uall, dim = planted_corpus(spark, sf_dir)
+    u = uall.select("emb_id", F.col("u").alias("v"))
+    cents = _trained(
+        (sf_dir, "semdedup"),
+        lambda: train_kmeans(
+            u.filter(F.col("emb_id") % TRAIN_MOD == 0),
+            dim,
+            k=N_CENTROIDS,
+            iters=KMEANS_ITERS,
+        ),
+    )
+    assigned = assign_nearest(u, "emb_id", cents, nprobe=1).select(
+        "emb_id", "cluster_id"
+    )
+    m = assigned.join(u, "emb_id")
+    a = m.select(
+        "cluster_id",
+        F.col("emb_id").alias("id_a"),
+        F.col("v").alias("u_a"),
+    )
+    b = m.select(
+        "cluster_id",
+        F.col("emb_id").alias("id_b"),
+        F.col("v").alias("u_b"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_unit_cols("u_a", "u_b", dim) >= SEMDEDUP_TAU)
+        .select("cluster_id", F.col("id_b").alias("dropped_id"))
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_members") - F.coalesce("n_dropped", F.lit(0))
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES_CURATION2["semantic_dedup_prune"] = semantic_dedup_prune
+
+
+def _semdedup_oracle(dim: int = 64) -> str:
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_dist2,
+        sql_kmeans_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        DUP_EVERY,
+        DUP_OFFSET,
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        TRAIN_MOD,
+    )
+
+    dot6 = (
+        f"floor(list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> a.v[i] * b.v[i])) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+WITH rawbase AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+rawdups AS (
+  SELECT vec_id + {DUP_OFFSET} AS emb_id,
+         list_transform(generate_series(1, {dim}),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * (1.0 + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 0.01)) AS v
+  FROM embeddings WHERE vec_id % {DUP_EVERY} = 0
+),
+rawcorpus AS (SELECT * FROM rawbase UNION ALL SELECT * FROM rawdups),
+corpus AS (
+  SELECT emb_id,
+         CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+              ELSE list_transform(v, x -> 0.0) END AS v
+  FROM (SELECT emb_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        FROM rawcorpus)
+),
+sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0),
+{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS, train_src="sample", prefix="sd")},
+assigned AS (
+  SELECT emb_id, cid AS cluster_id FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN sdcent{KMEANS_ITERS} c
+  ) WHERE _rn = 1
+),
+m AS (SELECT a.cluster_id, a.emb_id, e.v
+      FROM assigned a JOIN corpus e USING (emb_id)),
+dropped AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_dropped FROM (
+    SELECT DISTINCT a.cluster_id, b.emb_id AS dropped_id
+    FROM m a JOIN m b
+      ON a.cluster_id = b.cluster_id AND a.emb_id < b.emb_id
+    WHERE ({dot6}) >= {SEMDEDUP_TAU}
+  ) GROUP BY cluster_id
+)
+SELECT g.cluster_id,
+       CAST(g.n_members AS BIGINT) AS n_members,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(g.n_members - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM (SELECT cluster_id, count(*) AS n_members
+      FROM assigned GROUP BY cluster_id) g
+LEFT JOIN dropped d USING (cluster_id)
+ORDER BY cluster_id
+"""
+
+
+ORACLES_CURATION2["semantic_dedup_prune"] = _semdedup_oracle()
+
+
+# ------------------------------------------------------------------
+# Hash-gated importance resampling: quality-weighted downsampling
+# with a deterministic md5 acceptance gate — the curation step that
+# turns a quality score into a kept subset REPRODUCIBLY (same corpus
+# -> same sample, no RNG state), and growth-stably (a doc's fate
+# never changes when the corpus grows; same md5-bucket posture as
+# train_val_test_split).
+
+RESAMPLE_BASE_PPM = 250_000  # floor: every doc keeps >= 25% chance
+RESAMPLE_SLOPE_PPM = 7_500  # + 0.75% per token up to the 100 cap
+
+
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language resampling census: documents kept when their md5
+    bucket (uniform in [0, 1e6)) falls under a token-count-derived
+    weight — weight_ppm = BASE + SLOPE * min(n_tokens, 100), i.e.
+    longer (richer) documents survive at up to 4x the floor rate.
+
+    One scan, pure projection per doc (md5 + token count), one tiny
+    per-language agg. The acceptance decision is per-row with no
+    global state, so the operator is a map-stage at any scale."""
+    docs = load_wide(spark, sf_dir, "documents")
+    n_tokens = TS.token_count(F.col("text"))
+    weight = (
+        F.lit(RESAMPLE_BASE_PPM)
+        + F.lit(RESAMPLE_SLOPE_PPM) * F.least(n_tokens, F.lit(100))
+    ).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    tagged = docs.select(
+        F.coalesce("lang", F.lit("??")).alias("lang"),
+        weight.alias("w"),
+        (bucket < weight).alias("kept"),
+    )
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum("w").alias("sum_weight_ppm"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            F.expr("CAST((n_kept * 1000000) DIV n_docs AS BIGINT)").alias(
+                "kept_share_ppm"
+            ),
+            F.expr("CAST(sum_weight_ppm DIV n_docs AS BIGINT)").alias(
+                "mean_weight_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES_CURATION2["corpus_importance_resample"] = corpus_importance_resample
+
+_TOKS_SQL = None  # filled below from the shared oracle fragments
+
+
+def _resample_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _TOKS
+
+    ntok = f"len({_TOKS})"
+    n_tokens = f"CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE {ntok} END"
+    weight = (
+        f"CAST({RESAMPLE_BASE_PPM} + {RESAMPLE_SLOPE_PPM}"
+        f" * least({n_tokens}, 100) AS BIGINT)"
+    )
+    bucket = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        " % 1000000"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT coalesce(lang, '??') AS lang,
+         {weight} AS w,
+         ({bucket}) < ({weight}) AS kept
+  FROM documents
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST((sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000) // count(*)
+       AS BIGINT) AS kept_share_ppm,
+  CAST(sum(w) // count(*) AS BIGINT) AS mean_weight_ppm
+FROM tagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+ORACLES_CURATION2["corpus_importance_resample"] = _resample_oracle()
+
+
+# ------------------------------------------------------------------
+# N-gram novelty: per-document share of shingles FIRST introduced by
+# that document (attribution by min doc_id) — the diversity/novelty
+# signal dedup doesn't capture: a document can be no one's duplicate
+# yet contribute nothing new.
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty census over distinct 3-token shingles: a
+    shingle is NOVEL for the lowest doc_id containing it. Outputs
+    (doc_id, n_shingles, n_novel, novelty_ppm).
+
+    Plan: explode distinct shingle hashes (map-side), one groupBy on
+    the shingle hash for first-doc attribution, one co-partitioned
+    join back on the hash, one groupBy doc_id. Both shuffles key on
+    a uniform 32-bit hash — skew-free at any corpus size."""
+    docs = load_wide(spark, sf_dir, "documents")
+    base = docs.filter(F.size(TS.tokens(F.col("text"))) >= 3).select(
+        "doc_id", shingle_hashes(F.col("text"), 3).alias("hs")
+    )
+    ex = base.select("doc_id", F.explode("hs").alias("sh"))
+    first = ex.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST((n_novel * 1000000) DIV n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES_CURATION2["ngram_novelty_score"] = ngram_novelty_score
+
+
+def _novelty_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import (
+        _SH_HASHES,
+        _TOKS,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents WHERE len({_TOKS}) >= 3
+),
+ex AS (SELECT doc_id, unnest(hs) AS sh FROM base),
+first AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh)
+SELECT e.doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST((sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) * 1000000)
+       // count(*) AS BIGINT) AS novelty_ppm
+FROM ex e JOIN first f USING (sh)
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+ORACLES_CURATION2["ngram_novelty_score"] = _novelty_oracle()

@@ -164,6 +164,45 @@ DUP_OFFSET = 1_000_000
 LSH_THRESH = 0.99
 
 
+def planted_corpus(spark: SparkSession, sf_dir: str):
+    """The embedding dedup working set shared by the LSH and SemDeDup
+    queries: base vectors ∪ one deterministically perturbed copy of
+    every DUP_EVERY-th vector (±3% per-element scale, a pure function
+    of vec_id and element index the oracles reproduce bit-for-bit).
+    Returns (corpus, unit_corpus, dim); both relations persist via the
+    bounded registry — the one-compute-many-reads shape a production
+    pipeline would materialize as a parquet staging table."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    base = emb.select(
+        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
+    )
+    pert = F.array(
+        *[
+            F.element_at("embedding", i).cast("double")
+            * (
+                F.lit(1.0)
+                + ((F.col("vec_id") + F.lit(i)) % 7 - 3).cast("double") * F.lit(0.01)
+            )
+            for i in range(1, dim + 1)
+        ]
+    )
+    dups = emb.filter(F.col("vec_id") % DUP_EVERY == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("emb_id"), pert.alias("v")
+    )
+    corpus = memo_persist(
+        spark, ("emb_lsh_corpus", sf_dir), lambda: base.unionByName(dups)
+    )
+    # normalize ONCE; every consumer reads the cached unit vectors
+    # (unit() is a dim-term expression — 2x cheaper computed once)
+    uall = memo_persist(
+        spark,
+        ("emb_lsh_uall", sf_dir),
+        lambda: corpus.select("emb_id", unit(F.col("v")).alias("u")),
+    )
+    return corpus, uall, dim
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH — the
     GLOBAL scale path (no label/all-pairs blocking anywhere).
@@ -185,32 +224,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.ext.embed_lsh import signatures
 
-    emb = load_wide(spark, sf_dir, "embeddings")
-    dim = embedding_dim(emb)
-    base = emb.select(
-        F.col("vec_id").alias("emb_id"), as_double(F.col("embedding")).alias("v")
-    )
-    pert = F.array(
-        *[
-            F.element_at("embedding", i).cast("double")
-            * (
-                F.lit(1.0)
-                + ((F.col("vec_id") + F.lit(i)) % 7 - 3).cast("double") * F.lit(0.01)
-            )
-            for i in range(1, dim + 1)
-        ]
-    )
-    dups = emb.filter(F.col("vec_id") % DUP_EVERY == 0).select(
-        (F.col("vec_id") + DUP_OFFSET).alias("emb_id"), pert.alias("v")
-    )
-    # persist: the perturbation projection feeds the signature kernel
-    # AND both verify sides — without it the dim-wide element_at
-    # arithmetic re-runs per consumer. Production materializes this as
-    # the dedup working set; at 100 TB swap for a parquet staging
-    # write (same one-compute-many-reads shape).
-    corpus = memo_persist(
-        spark, ("emb_lsh_corpus", sf_dir), lambda: base.unionByName(dups)
-    )
+    corpus, uall, dim = planted_corpus(spark, sf_dir)
     sig = signatures(corpus, dim)
     a = sig.select(F.col("emb_id").alias("vec_a"), "band", "key")
     b = sig.select(F.col("emb_id").alias("vec_b"), "band", "key")
@@ -219,13 +233,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
-    )
-    # normalize ONCE; both pair sides read the cached unit vectors
-    # (unit() is a dim-term expression — 2x cheaper computed once)
-    uall = memo_persist(
-        spark,
-        ("emb_lsh_uall", sf_dir),
-        lambda: corpus.select("emb_id", unit(F.col("v")).alias("u")),
     )
     ua = uall.select(F.col("emb_id").alias("vec_a"), F.col("u").alias("u_a"))
     ub = uall.select(F.col("emb_id").alias("vec_b"), F.col("u").alias("u_b"))

