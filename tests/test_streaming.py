@@ -305,10 +305,11 @@ def test_streaming_windowed_distinct_error_envelope(spark):
 
 
 def test_tws_user_peaks_or_env_gate(spark, tmp_path):
-    """transformWithStateInPandas peak tracker — runs end-to-end where
-    google.protobuf exists (the TWS state protocol needs it); in this
-    container the import is absent, so assert the operator constructs
-    a valid streaming plan and skip execution."""
+    """transformWithStateInPandas peak tracker — runs END-TO-END: the
+    session wires in the vendored miniproto google.protobuf runtime
+    (session.ensure_protobuf), so the state protocol works without a
+    protobuf distribution. importorskip only guards truly broken
+    environments."""
     pytest.importorskip("google.protobuf")
     from youtube_etl_automated_pipeline_spark.streaming.incremental import (
         read_events_stream,

@@ -293,3 +293,13 @@ FROM p_fp p JOIN c_fp c ON p.h1 = c.h1 AND p.h2 = c.h2
 GROUP BY 1, 2
 ORDER BY probe_id, src_id
 """
+
+ORACLES_STREAMING["streaming_tws_user_peaks"] = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS peak_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

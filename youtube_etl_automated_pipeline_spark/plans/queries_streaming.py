@@ -713,3 +713,45 @@ def streaming_dedup_fingerprint_probe(spark: SparkSession, sf_dir: str) -> DataF
 QUERIES_STREAMING["streaming_dedup_fingerprint_probe"] = (
     streaming_dedup_fingerprint_probe
 )
+
+
+def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas — Spark 4's second-generation
+    arbitrary-state API (named ValueState, lifecycle hooks, timers) —
+    run END-TO-END by the real streaming engine against the RocksDB
+    state store: per-user running event count + peak value in exact
+    integer cents (streaming/stateful.py::UserPeakProcessor).
+
+    The state-server protocol is protobuf-based; this container has no
+    protobuf distribution, so the session wires in the vendored
+    miniproto runtime (vendor/google/protobuf — a minimal pure-Python
+    implementation of the public wire format). Update-mode emissions
+    are collapsed keep-max like streaming_stateful_user_stats, making
+    the result batch-split-invariant; the oracle is the plain batch
+    aggregate."""
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_user_peaks,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        updates = run_stream_to_memory(
+            tws_user_peaks(stream), "tws_peaks", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = keep_first(updates, ["user_id"], [F.col("n_events").desc()])
+    return final.select("user_id", "n_events", "peak_cents").orderBy("user_id")
+
+
+QUERIES_STREAMING["streaming_tws_user_peaks"] = streaming_tws_user_peaks

@@ -20,6 +20,33 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def ensure_protobuf() -> None:
+    """Make ``google.protobuf`` importable. If the real distribution
+    is installed, do nothing. Otherwise add the vendored miniproto
+    shim (vendor/google/protobuf — a minimal pure-Python protobuf
+    runtime) to sys.path AND to PYTHONPATH, because pyspark's
+    transformWithStateInPandas state-protocol client imports it from
+    inside Python WORKER processes, which resolve only PYTHONPATH."""
+    import importlib.util
+    import sys
+
+    try:
+        real = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        real = False  # no `google` namespace at all
+    if real:
+        return
+    vendor = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "vendor"
+    )
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    pp = os.environ.get("PYTHONPATH", "")
+    if vendor not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = vendor + (os.pathsep + pp if pp else "")
+    importlib.invalidate_caches()
+
+
 def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | None = None) -> SparkSession:
     # Python workers resolve imports from the driver's PYTHONPATH, not
     # its sys.path: a caller running from another cwd would otherwise
@@ -31,6 +58,7 @@ def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | Non
         os.environ["PYTHONPATH"] = (
             repo_root + (os.pathsep + pp if pp else "")
         )
+    ensure_protobuf()
     cpus = default_parallelism()
     if shuffle_partitions is None:
         shuffle_partitions = cpus

@@ -72,11 +72,13 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
 # processor owns NAMED state variables with schemas (ValueState /
 # ListState / MapState), gets lifecycle hooks (init/close), timers,
 # and TTL — the API Spark positions as the successor. Requires the
-# RocksDB state store provider AND a working `google.protobuf`
-# (the state-server protocol is protobuf-based); this container has
-# no protobuf, so the operator is exercised by a pytest that SKIPS
-# when the import is unavailable (tests/test_streaming.py) instead of
-# a driver gate query that could never run here.
+# RocksDB state store provider AND `google.protobuf` (the
+# state-server protocol is protobuf-based); this container ships no
+# protobuf distribution, so session.ensure_protobuf() wires in the
+# vendored miniproto runtime (vendor/google/protobuf — a minimal
+# pure-Python implementation of the public wire format), and the
+# operator runs END-TO-END: tests/test_streaming.py executes it and
+# `streaming_tws_user_peaks` is a full oracle-gated driver query.
 
 TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, peak_cents bigint"
 
