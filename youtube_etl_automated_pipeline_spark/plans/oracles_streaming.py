@@ -303,3 +303,29 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+ORACLES_STREAMING["streaming_tws_user_topk"] = """
+WITH c AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT user_id,
+       CAST(max(cnt) AS BIGINT) AS n_seen,
+       string_agg(CAST(cents AS VARCHAR), '|' ORDER BY cents DESC)
+         FILTER (rn <= 3) AS top_cents
+FROM c
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES_STREAMING["streaming_tws_type_counts"] = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""

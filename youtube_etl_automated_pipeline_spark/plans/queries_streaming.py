@@ -755,3 +755,78 @@ def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["streaming_tws_user_peaks"] = streaming_tws_user_peaks
+
+
+def streaming_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with LIST state: per-user top-3
+    event values in exact cents, held as a ListState of (cents, seen)
+    entries (streaming/stateful.py::UserTopKProcessor) — the second
+    TWS state flavor next to the peak tracker's ValueState, run
+    end-to-end against RocksDB through the vendored miniproto
+    protocol runtime. Top-K is an associative order-insensitive fold,
+    so the batch top-3 is an exact oracle."""
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_user_topk,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        updates = run_stream_to_memory(
+            tws_user_topk(stream), "tws_topk", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = keep_first(updates, ["user_id"], [F.col("n_seen").desc()])
+    return final.select("user_id", "n_seen", "top_cents").orderBy("user_id")
+
+
+QUERIES_STREAMING["streaming_tws_user_topk"] = streaming_tws_user_topk
+
+
+def streaming_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with MAP state: per-user per-type
+    running counts in a MapState keyed by event_type
+    (streaming/stateful.py::UserTypeCountProcessor) — completing the
+    three TWS state flavors (ValueState / ListState / MapState), all
+    end-to-end on RocksDB via the vendored miniproto runtime. Counts
+    are additive, so the plain batch rollup is an exact oracle."""
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_user_type_counts,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        updates = run_stream_to_memory(
+            tws_user_type_counts(stream), "tws_typemap", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = keep_first(
+        updates, ["user_id", "event_type"], [F.col("n").desc()]
+    )
+    return final.select("user_id", "event_type", "n").orderBy(
+        "user_id", "event_type"
+    )
+
+
+QUERIES_STREAMING["streaming_tws_type_counts"] = streaming_tws_type_counts

@@ -135,3 +135,125 @@ def tws_user_peaks(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TWS_TOPK = 3
+TWS_TOPK_SCHEMA = "user_id bigint, n_seen bigint, top_cents string"
+
+
+class UserTopKProcessor:
+    """Per-user top-K event values (exact integer cents) held in
+    ListState — the second TWS state flavor next to the peak
+    tracker's ValueState. The list stores the current top-K sorted
+    DESCENDING, one row per entry (the natural ListState shape);
+    merging a batch re-ranks (old entries ∪ batch values) and puts
+    back the new top-K. Top-K is an associative, order-insensitive
+    fold, so the result is deterministic under any batch split or
+    arrival order. The n_seen counter rides in the same list's first
+    entry slot (entry schema: (cents, seen_delta)) — no second state
+    variable needed, and it gives the update-collapse a monotone
+    pick column."""
+
+    def init(self, handle) -> None:
+        self._top = handle.getListState("topk", "cents bigint, seen bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        old: list[tuple[int, int]] = []
+        if self._top.exists():
+            old = [(int(r[0]), int(r[1])) for r in self._top.get()]
+        n_seen = sum(s for _, s in old)
+        cents: list[int] = [c for c, _ in old]
+        for pdf in rows:
+            v = pdf["value"].to_numpy(dtype="float64")
+            batch = np.floor(v * 100.0 + 0.5).astype("int64")
+            n_seen += len(batch)
+            cents.extend(int(c) for c in batch)
+        top = sorted(cents, reverse=True)[:TWS_TOPK]
+        # seen-counter lives on the first entry; the rest carry 0
+        entries = [
+            (c, n_seen if i == 0 else 0) for i, c in enumerate(top)
+        ]
+        self._top.put(entries)
+        yield pd.DataFrame(
+            [(key[0], n_seen, "|".join(str(c) for c in top))],
+            columns=["user_id", "n_seen", "top_cents"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_topk_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "UserTopKStatefulProcessor", (UserTopKProcessor, StatefulProcessor), {}
+    )()
+
+
+def tws_user_topk(events: DataFrame) -> DataFrame:
+    """Apply the ListState top-K tracker to a STREAMING events
+    DataFrame (update mode)."""
+    keyed = events.select("user_id", "value")
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_topk_processor(),
+        outputStructType=TWS_TOPK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+TWS_TYPEMAP_SCHEMA = "user_id bigint, event_type string, n bigint"
+
+
+class UserTypeCountProcessor:
+    """Per-user per-event-type running counts in MapState — the third
+    TWS state flavor (ValueState: peak; ListState: top-K; MapState:
+    keyed sub-counters). Each batch increments the touched types'
+    entries and emits the refreshed (user, type, n) rows. Counts are
+    additive, so any batch split yields the same final map."""
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        delta: dict[str, int] = {}
+        for pdf in rows:
+            for t, c in pdf["event_type"].value_counts().items():
+                delta[str(t)] = delta.get(str(t), 0) + int(c)
+        out = []
+        for t, c in delta.items():
+            prev = 0
+            if self._counts.containsKey((t,)):
+                prev = int(self._counts.getValue((t,))[0])
+            n = prev + c
+            self._counts.updateValue((t,), (n,))
+            out.append((key[0], t, n))
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "n"])
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_typemap_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "UserTypeCountStatefulProcessor",
+        (UserTypeCountProcessor, StatefulProcessor),
+        {},
+    )()
+
+
+def tws_user_type_counts(events: DataFrame) -> DataFrame:
+    """Apply the MapState per-type counter to a STREAMING events
+    DataFrame (update mode)."""
+    keyed = events.select("user_id", "event_type")
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_typemap_processor(),
+        outputStructType=TWS_TYPEMAP_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
