@@ -329,3 +329,17 @@ FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """
+
+ORACLES_STREAMING["streaming_tws_inactive_users"] = """
+WITH s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+  FROM events GROUP BY user_id
+),
+g AS (SELECT max(epoch_ms(ts)) AS gmax FROM events)
+SELECT user_id, n_events, last_ms
+FROM s CROSS JOIN g
+WHERE last_ms + 7200000 <= gmax - 3600000
+ORDER BY user_id
+"""

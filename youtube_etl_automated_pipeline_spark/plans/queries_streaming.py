@@ -830,3 +830,40 @@ def streaming_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["streaming_tws_type_counts"] = streaming_tws_type_counts
+
+
+def streaming_tws_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with EVENT-TIME TIMERS — the last
+    TWS feature next to the three state flavors: each batch re-arms a
+    per-user timer at last_event + 2h; the engine fires
+    handleExpiredTimer once the watermark passes it, emitting the
+    inactivity record (streaming/stateful.py::InactiveUserProcessor).
+    Under availableNow the final watermark is max(event time) - 1h,
+    so exactly the users whose 2h horizon closed inside the stream's
+    span fire — the oracle applies the same cutoff (no user sits on
+    the boundary at any shipped sf, so <=/< agree)."""
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_inactive_users,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_stream_to_memory(
+            tws_inactive_users(stream), "tws_inactive", output_mode="append"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out.select("user_id", "n_events", "last_ms").orderBy("user_id")
+
+
+QUERIES_STREAMING["streaming_tws_inactive_users"] = streaming_tws_inactive_users

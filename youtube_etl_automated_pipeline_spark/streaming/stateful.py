@@ -257,3 +257,72 @@ def tws_user_type_counts(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TWS_INACTIVE_AFTER_MS = 2 * 3600 * 1000  # inactivity horizon: 2h
+TWS_INACTIVE_SCHEMA = "user_id bigint, n_events bigint, last_ms bigint"
+
+
+class InactiveUserProcessor:
+    """EVENT-TIME TIMERS: flag users inactive for TWS_INACTIVE_AFTER
+    after their last event. Each batch advances the per-user
+    (last_ms, n) ValueState and re-arms one timer at
+    last_ms + horizon (deleting the stale one); the engine fires
+    `handleExpiredTimer` once the event-time watermark passes the
+    expiry, emitting the inactivity record. Deterministic under
+    availableNow: the final watermark is max(event time) - delay, so
+    exactly the users whose horizon falls inside the stream's span
+    fire — the oracle applies the same cutoff."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("last_seen", "last_ms bigint, n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        last_ms, n = (-1, 0)
+        if self._state.exists():
+            last_ms, n = (int(x) for x in self._state.get())
+        for pdf in rows:
+            n += len(pdf)
+            ms = (pdf["us"].to_numpy(dtype="int64") // 1000)
+            if len(ms):
+                last_ms = max(last_ms, int(ms.max()))
+        self._state.update((last_ms, n))
+        for expiry in list(self._handle.listTimers()):
+            self._handle.deleteTimer(expiry)
+        self._handle.registerTimer(last_ms + TWS_INACTIVE_AFTER_MS)
+        return iter(())  # timers produce the output, not data batches
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        last_ms, n = (int(x) for x in self._state.get())
+        yield pd.DataFrame(
+            [(key[0], n, last_ms)],
+            columns=["user_id", "n_events", "last_ms"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_inactive_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "InactiveUserStatefulProcessor",
+        (InactiveUserProcessor, StatefulProcessor),
+        {},
+    )()
+
+
+def tws_inactive_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Apply the event-time-timer inactivity flagger to a STREAMING
+    events DataFrame (append mode — rows come from timer firings)."""
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id", F.unix_micros("ts").alias("us"), "ts"
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_inactive_processor(),
+        outputStructType=TWS_INACTIVE_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
