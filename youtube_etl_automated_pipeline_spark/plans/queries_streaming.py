@@ -733,6 +733,11 @@ def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         tws_user_peaks,
     )
 
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+
+    ensure_protobuf_on_session(spark)  # caller-provided sessions too
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -769,6 +774,11 @@ def streaming_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tws_user_topk,
     )
 
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+
+    ensure_protobuf_on_session(spark)  # caller-provided sessions too
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -804,6 +814,11 @@ def streaming_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tws_user_type_counts,
     )
 
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+
+    ensure_protobuf_on_session(spark)  # caller-provided sessions too
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -846,6 +861,11 @@ def streaming_tws_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         tws_inactive_users,
     )
 
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+
+    ensure_protobuf_on_session(spark)  # caller-provided sessions too
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(

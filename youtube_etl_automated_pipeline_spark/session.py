@@ -47,6 +47,53 @@ def ensure_protobuf() -> None:
     importlib.invalidate_caches()
 
 
+def ensure_protobuf_on_session(spark: SparkSession) -> None:
+    """Worker-side protobuf for a CALLER-PROVIDED session (the driver
+    builds its own SparkSession, so the PYTHONPATH-at-JVM-start path
+    in ``ensure_protobuf`` never ran for it): ship the vendored
+    miniproto package to workers via ``addPyFile`` — SparkContext
+    distributes the zip and every Python worker appends it to
+    sys.path. Idempotent per session; no-op when the real protobuf
+    distribution exists."""
+    import importlib.util
+    import zipfile
+
+    ensure_protobuf()  # driver-side import path
+    spec = importlib.util.find_spec("google.protobuf")
+    if spec is not None and "vendor" not in (spec.origin or ""):
+        return  # a real distribution resolves first; workers have it
+    sc = spark.sparkContext
+    marker = "_graft_miniproto_shipped"
+    if getattr(sc, marker, False):
+        return
+    vendor = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor")
+    zip_path = "/tmp/spark_graft_miniproto.zip"
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(os.path.join(vendor, "google")):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, vendor))
+        os.replace(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)  # ordinary Python workers (task includes)
+    except Exception:
+        pass  # already added in this context: workers have it
+    # The TWS companion process (StreamingPythonRunner ->
+    # transform_with_state_driver_worker) never applies task includes;
+    # its PYTHONPATH comes from the PythonFunction's envVars, which
+    # PySpark populates from sc.environment — so route the vendor dir
+    # through there for sessions whose JVM started without it.
+    env_pp = sc.environment.get("PYTHONPATH", "")
+    if vendor not in env_pp.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = vendor + (
+            os.pathsep + env_pp if env_pp else ""
+        )
+    setattr(sc, marker, True)
+
+
 def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | None = None) -> SparkSession:
     # Python workers resolve imports from the driver's PYTHONPATH, not
     # its sys.path: a caller running from another cwd would otherwise
