@@ -261,3 +261,28 @@ def test_global_sequence_never_single_partition(spark):
                     f"SinglePartition feeds non-aggregate: {lines[j]}"
                 )
                 break
+
+
+def test_global_sequence_build_is_lazy(spark):
+    """Round-2 advice: building global_sequence_events must trigger
+    NO Spark jobs (max boundary and prefix-sum offsets derive
+    in-plan). Enumerating queries()/inspecting plans stays free."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
+        global_sequence_events,
+    )
+
+    sc = spark.sparkContext
+    # prime the parquet FileIndex/schema (the session's FIRST read of
+    # a path may run a listing job — that's scan setup, not the eager
+    # aggregation this test guards against)
+    global_sequence_events(spark, SF_SMOKE)
+    sc.setJobGroup("lazy_build_probe", "global_sequence build")
+    try:
+        global_sequence_events(spark, SF_SMOKE)
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy_build_probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not jobs, (
+        f"DataFrame build ran Spark jobs {jobs} (eager driver action "
+        "leaked back in)"
+    )

@@ -81,14 +81,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.sparkContext.applicationId,
         os.path.join(sf_dir, f"{name}.parquet"),
     )
-    if shared and key in _SCAN_CACHE:
+    if key in _SCAN_CACHE:
         return _SCAN_CACHE[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if shared:
         df = df.cache()
-        _SCAN_CACHE[key] = df
+    # ALWAYS memoize the analyzed DataFrame object (not just in shared
+    # mode): every fresh spark.read.parquet pays a one-task schema-
+    # inference job, ~190x per suite sweep. The testdata tables are
+    # immutable, DataFrames are immutable plans, and the key carries
+    # the owning session's applicationId — reuse is always safe. Only
+    # the .cache() materialization stays gated on shared mode.
+    _SCAN_CACHE[key] = df
     return df
 
 
