@@ -100,6 +100,81 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def connected_components_two_phase(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contractions (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"). Input ``edges`` needs (src, dst);
+    returns (node, component) with component = min node id.
+
+    Why a SECOND CC kernel: min-label propagation
+    (``connected_components``) needs O(component diameter) rounds —
+    fine for dense near-dup clusters, fatal for a 100 TB web/citation
+    graph whose giant component can have diameter in the hundreds.
+    Star operations contract whole paths each round and converge in
+    O(log^2 n) rounds REGARDLESS of diameter, with the same per-round
+    cost shape (one groupBy + one join, both shuffling on node id).
+
+    Invariants per round (the paper's): large-star attaches every
+    neighbor v > u to m = min(N(u) + {u}); small-star attaches u and
+    all its smaller neighbors to their minimum. Both preserve
+    connectivity and never raise a node's reachable minimum; the
+    fixpoint is a star per component rooted at its minimum. Lineage
+    is truncated per round with localCheckpoint (HDFS checkpoint on
+    a real cluster) so the plan stays O(1) deep.
+    """
+    nodes = (
+        edges.selectExpr("src AS node")
+        .union(edges.selectExpr("dst AS node"))
+        .distinct()
+    )
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # LARGE-STAR over the full neighborhood: edge (u,v), v > u
+        # re-targets to (v, m(u)). m <= u < v so no self-edges appear.
+        und = e.selectExpr("a AS u", "b AS v").union(e.selectExpr("b AS u", "a AS v"))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # SMALL-STAR over smaller neighbors only: in canonical (a,b)
+        # a<b form, the smaller-neighborhood of b is exactly its `a`
+        # set; attach b and every non-min smaller neighbor to the min.
+        sm = large.groupBy("b").agg(F.min("a").alias("m"))
+        small = large.join(sm, "b")
+        new_e = (
+            small.select(F.col("m").alias("a"), F.col("b"))
+            .union(
+                small.filter(F.col("a") != F.col("m")).select(
+                    F.col("m").alias("a"), F.col("a").alias("b")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    children = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    roots = e.select(F.col("a").alias("node"), F.col("a").alias("component")).distinct()
+    labels = children.union(roots).distinct()
+    # self-loop-only nodes never enter the canonical edge set: label
+    # them with themselves so the node universe matches the input
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation: each
     node's label becomes min(own, neighbors') until fixpoint. Input
@@ -112,7 +187,10 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     lineage truncated per iteration with localCheckpoint so the plan
     stays O(1) deep (on a cluster: checkpoint to HDFS instead).
     Convergence in O(component diameter) rounds — near-dup clusters
-    are dense, so typically 2-3.
+    are dense, so typically 2-3. RAISES if max_iters is reached
+    without a fixpoint (diameter > max_iters): wrong labels must
+    never be returned silently — a high-diameter graph should use
+    ``connected_components_two_phase`` (O(log^2 n) rounds) instead.
     """
     from pyspark.sql import functions as F
 
@@ -126,6 +204,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iters):
         nbr_min = (
             und.join(labels, und.dst == labels.node)
@@ -153,4 +232,10 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     und.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); use "
+            "connected_components_two_phase for high-diameter graphs"
+        )
     return labels

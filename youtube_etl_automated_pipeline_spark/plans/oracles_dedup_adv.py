@@ -17,6 +17,8 @@ from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
 from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
 from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
     HAMMING_THRESHOLD,
+    INCREMENTAL_BATCH_MOD,
+    JACCARD_PPM_THRESHOLD,
     JACCARD_THRESHOLD,
 )
 
@@ -182,4 +184,98 @@ ranked AS (
 SELECT cluster_id, doc_id, n_chars, n_members
 FROM ranked WHERE rn = 1
 ORDER BY cluster_id
+"""
+
+
+# two-phase (large-star/small-star) CC computes the SAME clustering as
+# min-label propagation — one oracle pins both kernels
+ORACLES_DEDUP_ADV["dedup_clusters_two_phase"] = ORACLES_DEDUP_ADV[
+    "dedup_minhash_clusters"
+]
+
+
+# incremental-ingest dedup census: batch = doc_id % MOD = 0 vs corpus
+_JPPM = (
+    "(len(list_intersect(a.hs, b.hs)) * 1000000)"
+    " // len(list_distinct(list_concat(a.hs, b.hs)))"
+)
+ORACLES_DEDUP_ADV["dedup_incremental_batch"] = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(lang, '??') AS lang, text,
+         md5(coalesce(text, '')) AS th
+  FROM documents
+),
+batch AS (SELECT * FROM d WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0),
+corpus AS (SELECT * FROM d WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0),
+exact AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN (SELECT DISTINCT th FROM corpus) c USING (th)
+),
+base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+bsig AS (SELECT * FROM sigs WHERE doc_id % {INCREMENTAL_BATCH_MOD} = 0),
+csig AS (SELECT * FROM sigs WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0),
+near AS (
+  SELECT DISTINCT a.doc_id
+  FROM bsig a JOIN csig b
+    ON ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})
+  WHERE ({_JPPM}) >= {JACCARD_PPM_THRESHOLD}
+    AND a.doc_id NOT IN (SELECT doc_id FROM exact)
+)
+SELECT b.lang,
+  CAST(count(*) AS BIGINT) AS n_batch,
+  CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_dup,
+  CAST(sum(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_dup,
+  CAST(count(*)
+       - sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       - sum(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_accepted
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near nr ON b.doc_id = nr.doc_id
+GROUP BY b.lang
+ORDER BY b.lang
+"""
+
+
+# sketch-quality QA: signature-agreement estimate vs exact Jaccard
+_N_MATCH = " + ".join(
+    f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)" for j in range(N_PERM)
+)
+ORACLES_DEDUP_ADV["dedup_minhash_precision"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+pairs AS (
+  SELECT ({_N_MATCH}) AS n_sig_match,
+         ({_JPPM}) AS jacc_ppm
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})
+)
+SELECT CAST(n_sig_match AS INT) AS n_sig_match,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN jacc_ppm >= {JACCARD_PPM_THRESHOLD} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_verified,
+  CAST(sum(jacc_ppm) // count(*) AS BIGINT) AS mean_jaccard_ppm
+FROM pairs
+GROUP BY n_sig_match
+ORDER BY n_sig_match
 """

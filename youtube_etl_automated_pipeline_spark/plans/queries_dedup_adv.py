@@ -9,6 +9,7 @@ from youtube_etl_automated_pipeline_spark.ext.dedup import (
     N_PERM,
     SIMHASH_BANDS,
     connected_components,
+    connected_components_two_phase,
     hamming64,
     simhash,
     simhash_band,
@@ -229,3 +230,251 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_DEDUP_ADV["dedup_keep_canonical"] = dedup_keep_canonical
+
+
+def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as dedup_minhash_clusters, computed by
+    the large-star/small-star kernel instead of min-label propagation
+    — the O(log^2 n)-round algorithm a 100 TB high-diameter graph
+    needs (propagation pays O(diameter) rounds). Two independent
+    kernels agreeing on the same oracle pins both."""
+    pairs = memo_persist(
+        spark,
+        ("lsh_pairs", sf_dir),
+        lambda: dedup_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+    comp = connected_components_two_phase(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+QUERIES_DEDUP_ADV["dedup_clusters_two_phase"] = dedup_clusters_two_phase
+
+
+# jaccard >= 0.2 in exact integer arithmetic: ppm = (inter * 1e6) DIV union
+JACCARD_PPM_THRESHOLD = int(JACCARD_THRESHOLD * 1_000_000)
+INCREMENTAL_BATCH_MOD = 10  # doc_id % 10 == 0 -> the "new batch"
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup census: treat doc_id % 10 == 0 as the
+    newly arriving batch and the rest as the existing corpus; a batch
+    doc is EXACT-dropped when its text hash already exists in the
+    corpus, NEAR-dropped (if not exact) when MinHash banding finds a
+    corpus partner with exact Jaccard >= threshold. Output per-lang:
+    n_batch, n_exact_dup, n_near_dup, n_accepted.
+
+    Scale shape — the recurring-ETL posture the reference's cron runs
+    imply: the corpus signature index is the already-materialized
+    table (memoized here, parquet in production); the batch side is
+    small, so the exact check is a hash semi-join and the near check
+    is a DIRECTIONAL batch-band x corpus-band equi-join — never a
+    corpus self-join, never all-pairs. Batch-internal duplicates are
+    deliberately out of scope (they arrive again next run)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    th = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    tagged = docs.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("??")).alias("lang"),
+        th.alias("th"),
+        is_batch.alias("is_batch"),
+    )
+    batch = tagged.filter("is_batch")
+    corpus_hashes = tagged.filter(~F.col("is_batch")).select("th").distinct()
+    exact_ids = (
+        batch.join(corpus_hashes, "th", "left_semi").select("doc_id").distinct()
+    )
+
+    sigs = memo_persist(
+        spark,
+        ("minhash_base", sf_dir),
+        lambda: with_minhash(docs.select("doc_id", "text"))
+        .filter(F.size("_sh_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.col("_sh_hashes").alias("hash_set"),
+            *[f"sig_{j}" for j in range(N_PERM)],
+        ),
+    )
+
+    def _bands(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.col(f"sig_{j}").alias("sig"),
+                        )
+                        for j in range(N_PERM)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.sig")
+
+    batch_sigs = sigs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+    corpus_sigs = sigs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
+    cand = (
+        _bands(batch_sigs)
+        .alias("a")
+        .join(
+            _bands(corpus_sigs).alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_id"), F.col("b.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            batch_sigs.select(
+                F.col("doc_id").alias("batch_id"), F.col("hash_set").alias("set_a")
+            ),
+            "batch_id",
+        )
+        .join(
+            corpus_sigs.select(
+                F.col("doc_id").alias("corpus_id"), F.col("hash_set").alias("set_b")
+            ),
+            "corpus_id",
+        )
+        .filter(
+            F.expr(
+                "(CAST(size(array_intersect(set_a, set_b)) AS BIGINT) * 1000000)"
+                " DIV size(array_union(set_a, set_b))"
+            )
+            >= JACCARD_PPM_THRESHOLD
+        )
+        .select("batch_id")
+        .distinct()
+    )
+    near_ids = verified.join(
+        exact_ids.select(F.col("doc_id").alias("batch_id")), "batch_id", "left_anti"
+    )
+    flagged = (
+        batch.select("doc_id", "lang")
+        .join(exact_ids.withColumn("_exact", F.lit(1)), "doc_id", "left")
+        .join(
+            near_ids.select(F.col("batch_id").alias("doc_id")).withColumn(
+                "_near", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.coalesce("_exact", F.lit(0))).alias("n_exact_dup"),
+            F.sum(F.coalesce("_near", F.lit(0))).alias("n_near_dup"),
+        )
+        .select(
+            "lang",
+            "n_batch",
+            "n_exact_dup",
+            "n_near_dup",
+            (
+                F.col("n_batch") - F.col("n_exact_dup") - F.col("n_near_dup")
+            ).alias("n_accepted"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES_DEDUP_ADV["dedup_incremental_batch"] = dedup_incremental_batch
+
+
+def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality QA census: for every LSH candidate pair, compare
+    the signature-agreement estimate (matching sigs / 8 — the only
+    signal a pure sketch index has) against exact Jaccard, grouped by
+    agreement count. Columns: n_sig_match, n_pairs, n_verified (exact
+    Jaccard >= threshold), mean_jaccard_ppm. The operator a curation
+    team runs before trusting banding parameters at 100 TB: it reads
+    only the candidate set (never all-pairs) and reports how estimate
+    bands map to true similarity. All-integer arithmetic (exact ppm
+    ratios) keeps it bit-exact across engines."""
+    base = memo_persist(
+        spark,
+        ("minhash_base", sf_dir),
+        lambda: with_minhash(
+            load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .filter(F.size("_sh_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.col("_sh_hashes").alias("hash_set"),
+            *[f"sig_{j}" for j in range(N_PERM)],
+        ),
+    )
+    bands = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band_id"), F.col(f"sig_{j}").alias("sig"))
+                    for j in range(N_PERM)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a_side = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_set").alias("set_a"),
+        *[F.col(f"sig_{j}").alias(f"sa_{j}") for j in range(N_PERM)],
+    )
+    b_side = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_set").alias("set_b"),
+        *[F.col(f"sig_{j}").alias(f"sb_{j}") for j in range(N_PERM)],
+    )
+    n_match = sum(
+        F.when(F.col(f"sa_{j}") == F.col(f"sb_{j}"), 1).otherwise(0)
+        for j in range(N_PERM)
+    )
+    scored = (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .select(
+            n_match.alias("n_sig_match"),
+            F.expr(
+                "(CAST(size(array_intersect(set_a, set_b)) AS BIGINT) * 1000000)"
+                " DIV size(array_union(set_a, set_b))"
+            ).alias("jacc_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("n_sig_match")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("jacc_ppm") >= JACCARD_PPM_THRESHOLD, 1).otherwise(0)
+            ).alias("n_verified"),
+            F.expr("CAST(sum(jacc_ppm) DIV count(1) AS BIGINT)").alias(
+                "mean_jaccard_ppm"
+            ),
+        )
+        .orderBy("n_sig_match")
+    )
+
+
+QUERIES_DEDUP_ADV["dedup_minhash_precision"] = dedup_minhash_precision
