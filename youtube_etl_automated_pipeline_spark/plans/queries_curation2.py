@@ -483,3 +483,216 @@ ORDER BY step
 
 
 ORACLES_CURATION2["bpe_merge_steps"] = _bpe_oracle()
+
+
+def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving the trained BPE artifact: apply the learned merge table
+    to the word-type table and report corpus-level compression —
+    (n_word_types, n_occurrences, chars_total, symbols_total,
+    saved_ppm), all frequency-weighted exact integers.
+
+    Scale shape: training is memoized (shared with bpe_merge_steps);
+    application is a map-only chain of K greedy-fold projections over
+    the word-type table — the corpus itself is never re-read, and at
+    serving time the merge table ships in the task closure exactly
+    like k-means centroids."""
+    from youtube_etl_automated_pipeline_spark.ext.bpe import (
+        BPE_MAX_LEN,
+        BPE_MIN_LEN,
+        BPE_WORD_RE,
+        _SYMS,
+        merge_fold_sql,
+    )
+
+    bpe_merge_steps(spark, sf_dir)  # ensure trained + memoized
+    merges = _BPE_MEMO[("bpe", sf_dir)]
+    docs = load_wide(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(TS.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike(BPE_WORD_RE))
+        .filter(F.length("word").between(BPE_MIN_LEN, BPE_MAX_LEN))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .selectExpr(
+            "word",
+            "freq",
+            "concat('|', array_join(transform(sequence(1, length(word)),"
+            " i -> substr(word, i, 1)), '|'), '|') AS syms",
+        )
+    )
+    for m in merges:
+        words = words.selectExpr(
+            "word",
+            "freq",
+            f"{merge_fold_sql(m['left_sym'], m['right_sym'])} AS syms",
+        )
+    return words.selectExpr(
+        "CAST(count(1) AS BIGINT) AS n_word_types",
+        "CAST(sum(freq) AS BIGINT) AS n_occurrences",
+        "CAST(sum(freq * length(word)) AS BIGINT) AS chars_total",
+        f"CAST(sum(freq * size({_SYMS})) AS BIGINT) AS symbols_total",
+        # decimal(38,0) multiply: corpus char totals exceed ~9.2e12
+        # well before 100 TB, where a bigint *1e6 numerator would wrap
+        "CAST(CAST(sum(freq * length(word)) - sum(freq * size("
+        f"{_SYMS})) AS DECIMAL(38,0)) * 1000000"
+        " DIV sum(freq * length(word)) AS BIGINT) AS saved_ppm",
+    )
+
+
+QUERIES_CURATION2["bpe_token_compression"] = bpe_token_compression
+
+
+def _bpe_compression_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.bpe import (
+        BPE_MAX_LEN,
+        BPE_MERGES,
+        BPE_MIN_LEN,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _TOKS
+
+    sy = "list_filter(string_split(syms, '|'), s -> s <> '')"
+    fold = (
+        "list_reduce(list_prepend('|', {sy}), (acc, c) -> "
+        "CASE WHEN c = t.y AND ends_with(acc, '|' || t.x || '|') "
+        "THEN substr(acc, 1, length(acc) - length(t.x) - 1) || t.x || t.y || '|' "
+        "ELSE acc || c || '|' END)"
+    )
+    parts = [
+        f"""words0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         '|' || array_to_string(list_transform(generate_series(1, len(word)),
+                i -> substr(word, i, 1)), '|') || '|' AS syms
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  WHERE regexp_full_match(word, '[a-z]+')
+    AND len(word) BETWEEN {BPE_MIN_LEN} AND {BPE_MAX_LEN}
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        prev = f"words{i - 1}"
+        parts.append(
+            f"""pairs{i} AS MATERIALIZED (
+  SELECT sy[i] AS x, sy[i + 1] AS y, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT {sy} AS sy, freq FROM {prev}) w,
+       UNNEST(generate_series(1, len(sy) - 1)) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""top{i} AS MATERIALIZED (
+  SELECT x, y, cnt FROM pairs{i} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""words{i} AS MATERIALIZED (
+  SELECT w.word, w.freq, {fold.format(sy=sy.replace('syms', 'w.syms'))} AS syms
+  FROM {prev} w CROSS JOIN top{i} t
+)"""
+        )
+    return f"""
+WITH {", ".join(parts)}
+SELECT CAST(count(*) AS BIGINT) AS n_word_types,
+  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+  CAST(sum(freq * len(word)) AS BIGINT) AS chars_total,
+  CAST(sum(freq * len({sy})) AS BIGINT) AS symbols_total,
+  CAST(((sum(freq * len(word)) - sum(freq * len({sy}))) * 1000000)
+       // sum(freq * len(word)) AS BIGINT) AS saved_ppm
+FROM words{BPE_MERGES}
+"""
+
+
+ORACLES_CURATION2["bpe_token_compression"] = _bpe_compression_oracle()
+
+
+# ------------------------------------------------------------------
+# Robust outlier census: median/MAD per language over document length.
+# Percentile interpolation is bit-exact cross-engine here because the
+# inputs are integers: medians land on k or k.5, absolute deviations
+# step by 0.5, their median steps by 0.25 — all exactly representable
+# binary fractions, so Spark percentile() and DuckDB quantile_cont()
+# (both type-7 linear interpolation) agree to the last bit.
+
+MAD_K = 3  # |x - median| > K * MAD flags an outlier
+
+
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust length-outlier census: median n_chars, MAD,
+    and the count/share of documents beyond K*MAD — the
+    mean/stddev-free screen a curation pipeline runs where a few
+    giant documents would wreck moment-based thresholds.
+
+    Plan: two tiny per-lang aggregations (median, then MAD over
+    re-joined deviations) + one final census agg; the per-lang stat
+    table stays broadcast-sized, so the corpus is scanned, never
+    shuffled on doc identity."""
+    docs = load_wide(spark, sf_dir, "documents").select(
+        F.coalesce("lang", F.lit("??")).alias("lang"), "n_chars"
+    )
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", "n_chars", "med_chars",
+        F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_chars")
+    )
+    flagged = dev.join(F.broadcast(mad), "lang")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("med_chars").alias("med_chars"),
+            F.first("mad_chars").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.col("adev") > MAD_K * F.col("mad_chars"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "med_chars",
+            "mad_chars",
+            "n_outliers",
+            F.expr("CAST((n_outliers * 1000000) DIV n_docs AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES_CURATION2["quality_outlier_mad"] = quality_outlier_mad
+
+ORACLES_CURATION2["quality_outlier_mad"] = f"""
+WITH d AS (
+  SELECT coalesce(lang, '??') AS lang, n_chars FROM documents
+),
+med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med_chars
+  FROM d GROUP BY lang
+),
+dev AS (
+  SELECT d.lang, d.n_chars, m.med_chars,
+         abs(d.n_chars - m.med_chars) AS adev
+  FROM d JOIN med m USING (lang)
+),
+mad AS (
+  SELECT lang, quantile_cont(adev, 0.5) AS mad_chars
+  FROM dev GROUP BY lang
+)
+SELECT v.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  any_value(v.med_chars) AS med_chars,
+  any_value(m.mad_chars) AS mad_chars,
+  CAST(sum(CASE WHEN v.adev > {MAD_K} * m.mad_chars THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_outliers,
+  CAST((sum(CASE WHEN v.adev > {MAD_K} * m.mad_chars THEN 1 ELSE 0 END)
+        * 1000000) // count(*) AS BIGINT) AS outlier_ppm
+FROM dev v JOIN mad m USING (lang)
+GROUP BY v.lang
+ORDER BY v.lang
+"""
