@@ -126,11 +126,21 @@ def train_kmeans(
 
 
 def assign_nearest(
-    df: DataFrame, id_col: str, cents: list[list[float]], nprobe: int = 1
+    df: DataFrame,
+    id_col: str,
+    cents: list[list[float]],
+    nprobe: int = 1,
+    carry_v: bool = False,
 ) -> DataFrame:
     """(id_col, v) → (id_col, cluster_id, probe): the nprobe nearest
     centroids per vector (probe 0 = nearest; ties → lowest cid via
-    numpy stable argsort). Map-only, no shuffle."""
+    numpy stable argsort). Map-only, no shuffle.
+
+    ``carry_v=True`` keeps the vector column in the output so callers
+    that need (cluster_id, v) downstream (e.g. the SemDeDup per-cluster
+    gram prune) avoid an id-hash shuffle join back to the corpus —
+    at 100 TB that join is a full second wide-row shuffle the map-only
+    pass-through makes unnecessary."""
     import numpy as np
     import pandas as pd
 
@@ -145,17 +155,19 @@ def assign_nearest(
                 _dist2_matrix(mat, cent_mat), axis=1, kind="stable"
             )[:, :nprobe]
             n = len(mat)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
-                    "cluster_id": order.reshape(-1).astype(np.int32),
-                    "probe": np.tile(np.arange(nprobe, dtype=np.int32), n),
-                }
-            )
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                "cluster_id": order.reshape(-1).astype(np.int32),
+                "probe": np.tile(np.arange(nprobe, dtype=np.int32), n),
+            }
+            if carry_v:
+                out["v"] = pdf["v"].to_numpy().repeat(nprobe)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, "v").mapInPandas(
-        kernel, f"{id_col} long, cluster_id int, probe int"
-    )
+    schema = f"{id_col} long, cluster_id int, probe int"
+    if carry_v:
+        schema += ", v array<double>"
+    return df.select(id_col, "v").mapInPandas(kernel, schema)
 
 
 # --- DuckDB oracle twins ---

@@ -65,10 +65,12 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             iters=KMEANS_ITERS,
         ),
     )
-    assigned = assign_nearest(u, "emb_id", cents, nprobe=1).select(
-        "emb_id", "cluster_id"
+    # carry_v: the prune kernel needs (cluster_id, v); threading the
+    # vector through the map-only assignment pass avoids re-joining
+    # the corpus on emb_id (a second wide shuffle of every vector).
+    m = assign_nearest(u, "emb_id", cents, nprobe=1, carry_v=True).select(
+        "emb_id", "cluster_id", "v"
     )
-    m = assigned.join(u, "emb_id")
 
     # Per-cluster prune as ONE numpy matmul (applyInPandas): the
     # unit-vector gram matrix M @ M.T scores every within-cluster
