@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_curation2 import (
         QUERIES_CURATION2,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        QUERIES_ALGO,
+    )
 
     return {
         **QUERIES,
@@ -101,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_MINING,
         **QUERIES_CURATION,
         **QUERIES_CURATION2,
+        **QUERIES_ALGO,
     }
 
 
@@ -157,6 +161,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_curation2 import (
         ORACLES_CURATION2,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        ORACLES_ALGO,
+    )
 
     return {
         **ORACLES,
@@ -182,4 +189,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_MINING,
         **ORACLES_CURATION,
         **ORACLES_CURATION2,
+        **ORACLES_ALGO,
     }

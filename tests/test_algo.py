@@ -1,0 +1,142 @@
+"""Semantic tests for the round-3 algorithmic operators
+(plans/queries_algo.py) beyond the oracle-parity gate: dominance
+properties for the skyline, ground-truth BFS distances, SNM precision,
+and feature-hash conservation."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        pareto_frontier_orders,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    got = {
+        (r.price_cents, r.o_orderdate)
+        for r in pareto_frontier_orders(spark, SF_MID).collect()
+    }
+    pts = {
+        (r.pc, r.o_orderdate)
+        for r in load_table(spark, SF_MID, "orders")
+        .select(
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("pc"),
+            "o_orderdate",
+        )
+        .distinct()
+        .collect()
+    }
+
+    def dominated(p, others):
+        return any(
+            (q[0] >= p[0] and q[1] >= p[1] and q != p) for q in others
+        )
+
+    brute = {p for p in pts if not dominated(p, pts)}
+    assert got == brute and len(got) > 0
+
+
+def test_bfs_hops_match_python_bfs(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        BFS_HOPS,
+        graph_bfs_hops,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_graph import _edges
+
+    adj: dict[int, list[int]] = {}
+    for r in _edges(spark, SF).collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    src = min(adj)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= BFS_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    expected: dict[int, tuple] = {}
+    for h in range(BFS_HOPS + 1):
+        nodes = [n for n, d in dist.items() if d == h]
+        if nodes:
+            expected[h] = (len(nodes), min(nodes), max(nodes), sum(nodes))
+    got = {
+        r.hops: (r.n_nodes, r.min_node, r.max_node, r.sum_node)
+        for r in graph_bfs_hops(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_snm_pairs_are_true_jaccard_pairs_and_nonempty(spark):
+    """Precision = 1 by construction (exact verify); check it, and
+    that the sorted order actually surfaces candidate pairs."""
+    from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        SNM_THRESHOLD,
+        dedup_sorted_neighborhood,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    pairs = dedup_sorted_neighborhood(spark, SF_MID).collect()
+    assert len(pairs) > 0
+    sets = {
+        r.doc_id: set(r.hs)
+        for r in load_table(spark, SF_MID, "documents")
+        .select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+        .collect()
+    }
+    for r in pairs:
+        a, b = sets[r.doc_a], sets[r.doc_b]
+        jac = len(a & b) / len(a | b)
+        assert r.jaccard >= SNM_THRESHOLD
+        assert abs(jac - r.jaccard) < 1e-3
+
+
+def test_feature_hash_census_conserves_tokens(spark):
+    from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        FH_DIM,
+        feature_hashing_census,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    census = feature_hashing_census(spark, SF_MID).collect()
+    total = sum(r.n_occurrences for r in census)
+    direct = (
+        load_table(spark, SF_MID, "documents")
+        .select(F.explode(TS.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert total == direct
+    assert all(0 <= r.bucket < FH_DIM for r in census)
+    # buckets are distinct rows
+    assert len({r.bucket for r in census}) == len(census)
+
+
+def test_snm_plan_has_no_global_sort_over_corpus(spark):
+    """The SNM window partitions by (lang, c1) — the plan must not
+    contain a single-partition Window over the whole corpus."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        dedup_sorted_neighborhood,
+    )
+
+    plan = (
+        dedup_sorted_neighborhood(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partitionBy=[lang" in plan.replace("#", "").lower() or (
+        "hashpartitioning(lang" in plan.lower()
+    )

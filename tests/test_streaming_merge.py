@@ -65,7 +65,11 @@ def test_cdc_gate_runs_three_batches_and_is_rerunnable(spark):
 
     first = _rows(streaming_merge_cdc(spark, SF_SMOKE))
     sf_tag = os.path.basename(os.path.normpath(SF_SMOKE))
-    commits = os.path.join("/tmp/spark_graft_cdc", sf_tag, "ckpt", "commits")
+    # run/ is the per-invocation dir (fixture/ is the memoized source
+    # files + base snapshot shared across runs)
+    commits = os.path.join(
+        "/tmp/spark_graft_cdc", sf_tag, "run", "ckpt", "commits"
+    )
     done = [f for f in os.listdir(commits) if not f.startswith(".")]
     assert sorted(done) == ["0", "1", "2"]
     assert len(first) > 0
