@@ -402,3 +402,274 @@ ORDER BY bucket
 
 
 ORACLES_ALGO["feature_hashing_census"] = _fh_oracle()
+
+
+# ------------------------------------------------------------------
+# Retrieval primitives over a positional inverted index: conjunctive
+# (AND) term search and exact phrase search. The posting lists are
+# (term, doc_id[, pos]) relations — the explode/groupBy shape every
+# distributed search indexer (Lucene sharding, warc-indexing jobs)
+# runs at corpus scale.
+
+SEARCH_TERMS = ("data", "table", "join")  # conjunctive query
+PHRASE = ("data", "table")  # exact-adjacency phrase query
+
+
+def boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing ALL of SEARCH_TERMS, with per-term
+    occurrence counts — the conjunctive boolean-retrieval primitive.
+
+    Plan: one scan, explode filtered to the query terms ONLY (the
+    predicate lands before the shuffle, so posting-list size is the
+    query's selectivity, not the corpus), one (doc_id)-keyed agg with
+    conditional counts, then the all-terms filter. No joins at all —
+    at 100 TB this is a scan + one small shuffle."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TS.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*SEARCH_TERMS))
+    aggs = [
+        F.count_if(F.col("term") == t).alias(f"occ_{t}") for t in SEARCH_TERMS
+    ]
+    out = toks.groupBy("doc_id").agg(*aggs)
+    cond = None
+    for t in SEARCH_TERMS:
+        c = F.col(f"occ_{t}") > 0
+        cond = c if cond is None else (cond & c)
+    return out.filter(cond).orderBy("doc_id")
+
+
+QUERIES_ALGO["boolean_search_docs"] = boolean_search_docs
+
+
+def _bool_search_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _TOKS
+
+    in_list = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    occs = ",\n  ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS occ_{t}"
+        for t in SEARCH_TERMS
+    )
+    having = " AND ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) > 0"
+        for t in SEARCH_TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT doc_id,
+  {occs}
+FROM toks
+WHERE term IN ({in_list})
+GROUP BY doc_id
+HAVING {having}
+ORDER BY doc_id
+"""
+
+
+ORACLES_ALGO["boolean_search_docs"] = _bool_search_oracle()
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the exact phrase PHRASE (adjacent tokens),
+    with hit counts — positional-index retrieval: posting lists carry
+    (doc_id, pos), and a phrase hit is an equi-join of term A's
+    positions with term B's at pos+1.
+
+    Plan: posexplode filtered to the two phrase terms before any
+    shuffle, then ONE equi-join on (doc_id, adjacent position) — the
+    join keys are exact, so no post-filter quadratic term. Cost is
+    bounded by the phrase terms' posting sizes, not the corpus."""
+    docs = load_wide(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(TS.tokens(F.col("text"))).alias("pos", "term")
+    ).filter(F.col("term").isin(*PHRASE))
+    a = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos_a")
+    )
+    return (
+        a.join(b, ["doc_id", "pos_a"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_phrase_hits"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES_ALGO["phrase_search_docs"] = phrase_search_docs
+
+
+def _phrase_search_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _TOKS
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+pos AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM tok, UNNEST(generate_series(1, len(toks))) AS t(i)
+  WHERE toks[i] IN ('{PHRASE[0]}', '{PHRASE[1]}')
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_phrase_hits
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
+ORACLES_ALGO["phrase_search_docs"] = _phrase_search_oracle()
+
+
+# ------------------------------------------------------------------
+# Equi-depth histogram: per-nation order-value quartiles. Exact
+# cross-engine because the inputs are integer cents: type-7 linear
+# interpolation at q in {.25, .5, .75} lands on k/4 steps — exactly
+# representable binary fractions in both engines (same argument as
+# quality_outlier_mad).
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation quartile boundaries of order value (cents): the
+    equi-DEPTH complement to revenue_histogram's equi-width buckets —
+    the boundary table a query optimizer or drift monitor derives.
+
+    Plan: broadcast the customer->nation dim chain onto the orders
+    scan, one per-nation percentile agg (Spark's percentile is a
+    single-pass partial aggregate — no sort, no per-row window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    base = (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        base.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("percentile(cents, 0.25)").alias("q1_cents"),
+            F.expr("percentile(cents, 0.5)").alias("med_cents"),
+            F.expr("percentile(cents, 0.75)").alias("q3_cents"),
+        )
+        .select(
+            "n_name",
+            "n_orders",
+            "q1_cents",
+            "med_cents",
+            "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES_ALGO["equi_depth_histogram"] = equi_depth_histogram
+
+ORACLES_ALGO["equi_depth_histogram"] = """
+WITH base AS (
+  SELECT n.n_name, CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  quantile_cont(cents, 0.25) AS q1_cents,
+  quantile_cont(cents, 0.5) AS med_cents,
+  quantile_cont(cents, 0.75) AS q3_cents,
+  quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25) AS iqr_cents
+FROM base
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ------------------------------------------------------------------
+# Fixed-size weighted sample: exactly-K documents drawn with
+# weight-biased priorities — the "give me a 10k-doc quality-weighted
+# eval slice" curation request. Deterministic (md5 priorities), unlike
+# corpus_importance_resample's Bernoulli gate the output size is
+# EXACTLY K.
+
+SAMPLE_K = 200
+
+
+def weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K weight-biased sample of documents: priority_ppb =
+    (md5_bucket * 1_000_000) DIV weight with weight = n_tokens + 1
+    (longer docs -> smaller expected priority -> higher selection
+    odds); keep the K smallest priorities. Fully deterministic and
+    growth-stable per doc (the md5 draw never changes when the corpus
+    grows — only the cutoff moves), the Efraimidis-Spirakis posture in
+    exact integer arithmetic.
+
+    Plan: one scan + TakeOrderedAndProject(K) — per-partition top-K
+    then a K-row merge, never a global sort."""
+    docs = load_wide(spark, sf_dir, "documents")
+    n_tokens = TS.token_count(F.col("text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    pri = F.expr("CAST((bucket * 1000000) DIV w AS BIGINT)")
+    return (
+        docs.select(
+            "doc_id",
+            F.coalesce("lang", F.lit("??")).alias("lang"),
+            (n_tokens + 1).cast("long").alias("w"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("priority_ppb", pri)
+        .select("doc_id", "lang", "w", "priority_ppb")
+        .orderBy("priority_ppb", "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
+QUERIES_ALGO["weighted_topk_sample"] = weighted_topk_sample
+
+
+def _wsample_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.oracles_ext import _TOKS
+
+    ntok = f"CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len({_TOKS}) END"
+    bucket = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        " % 1000000"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(lang, '??') AS lang,
+         CAST({ntok} + 1 AS BIGINT) AS w,
+         {bucket} AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, w,
+       CAST((bucket * 1000000) // w AS BIGINT) AS priority_ppb
+FROM base
+ORDER BY priority_ppb, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+ORACLES_ALGO["weighted_topk_sample"] = _wsample_oracle()

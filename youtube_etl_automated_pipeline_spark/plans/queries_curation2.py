@@ -308,11 +308,22 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-sized novel-count table, which joins the doc-sized
     total-count table. Both heavy shuffles key on a uniform 32-bit
     hash; the only join carries one row per document."""
-    docs = load_wide(spark, sf_dir, "documents")
-    base = docs.filter(F.size(TS.tokens(F.col("text"))) >= 3).select(
-        "doc_id", shingle_hashes(F.col("text"), 3).alias("hs")
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
     )
-    ex = base.select("doc_id", F.explode("hs").alias("sh"))
+
+    docs = load_wide(spark, sf_dir, "documents")
+    # persist the exploded (doc_id, shingle-hash) relation: it feeds
+    # BOTH grouped branches (per-doc totals AND per-shingle first-doc
+    # attribution) — without it the md5 shingle projection + explode
+    # runs twice. Production materializes this as the shingle index.
+    ex = memo_persist(
+        spark,
+        ("novelty_ex", sf_dir),
+        lambda: docs.filter(F.size(TS.tokens(F.col("text"))) >= 3)
+        .select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+        .select("doc_id", F.explode("hs").alias("sh")),
+    )
     totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     novel = (
         ex.groupBy("sh")
