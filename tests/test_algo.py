@@ -140,3 +140,108 @@ def test_snm_plan_has_no_global_sort_over_corpus(spark):
     assert "partitionBy=[lang" in plan.replace("#", "").lower() or (
         "hashpartitioning(lang" in plan.lower()
     )
+
+
+def test_phrase_search_matches_python_scan(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        PHRASE,
+        phrase_search_docs,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    expected = {}
+    for r in load_table(spark, SF_MID, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        t = (r.text or "").strip(" ")
+        toks = ws.split(t) if t else []
+        hits = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == PHRASE[0] and toks[i + 1] == PHRASE[1]
+        )
+        if hits:
+            expected[r.doc_id] = hits
+    got = {
+        r.doc_id: r.n_phrase_hits
+        for r in phrase_search_docs(spark, SF_MID).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_boolean_search_docs_contain_all_terms(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        SEARCH_TERMS,
+        boolean_search_docs,
+    )
+
+    rows = boolean_search_docs(spark, SF_MID).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for t in SEARCH_TERMS:
+            assert getattr(r, f"occ_{t}") > 0
+
+
+def test_weighted_sample_exact_k_deterministic_growth_stable(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        SAMPLE_K,
+        weighted_topk_sample,
+    )
+
+    from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    s1 = weighted_topk_sample(spark, SF_MID).collect()
+    s2 = weighted_topk_sample(spark, SF_MID).collect()
+    assert len(s1) == SAMPLE_K and s1 == s2
+    # weight bias: longer docs get smaller expected priority, so the
+    # sample's mean weight must exceed the corpus mean (the point of
+    # weighting; deterministic given the fixed md5 draws)
+    mean_w_sample = sum(r.w for r in s1) / len(s1)
+    corpus = (
+        load_table(spark, SF_MID, "documents")
+        .select((TS.token_count(F.col("text")) + 1).alias("w"))
+        .agg(F.avg("w"))
+        .collect()[0][0]
+    )
+    assert mean_w_sample > corpus
+
+
+def test_equi_depth_quartiles_bound_half_the_group(spark):
+    """Depth property: within each nation, [q1, q3] covers >= half of
+    the orders (exactly the IQR contract)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        equi_depth_histogram,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    hist = {r.n_name: r for r in equi_depth_histogram(spark, SF_MID).collect()}
+    orders = (
+        load_table(spark, SF_MID, "orders")
+        .join(
+            load_table(spark, SF_MID, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load_table(spark, SF_MID, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    )
+    by_nation: dict[str, list[int]] = {}
+    for r in orders:
+        by_nation.setdefault(r.n_name, []).append(r.cents)
+    for name, vals in by_nation.items():
+        h = hist[name]
+        assert h.n_orders == len(vals)
+        inside = sum(1 for v in vals if h.q1_cents <= v <= h.q3_cents)
+        # type-7 interpolated boundaries can exclude one sample on
+        # each side vs the idealized n/2 depth
+        assert inside >= len(vals) / 2 - 1
+        assert h.q1_cents <= h.med_cents <= h.q3_cents
