@@ -182,7 +182,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.plans.queries_graph import _edges
 
-    edges = memo_persist(spark, ("bfs_edges", sf_dir), lambda: _edges(spark, sf_dir))
+    edges = _edges(spark, sf_dir)  # memo_persist'd inside (shared w/ PageRank)
     src0 = edges.agg(F.min("src").alias("node"))
     reached = src0.select("node", F.lit(0).alias("hops"))
     frontier = reached

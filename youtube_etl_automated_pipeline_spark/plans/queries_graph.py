@@ -35,25 +35,39 @@ SUPP_NODE_BASE = 1_000_000  # supplier node id offset (keyspaces overlap)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + SUPP_NODE_BASE).alias("s"),
-        )
-        .distinct()
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    # localCheckpoint: every iteration joins the edge set; without it
-    # the orders x lineitem build re-executes PR_ITERS+1 times and the
-    # growing plan re-optimizes per action (noisy 4-13s at sf0.1;
-    # ~2.5s checkpointed). Lazy so materialization stays inside the
-    # first action. On a real cluster use reliable checkpoint / a
-    # pre-bucketed edges table (same note as ext.dedup clustering).
-    return fwd.unionByName(rev).localCheckpoint(eager=False)
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        pairs = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"),
+                (F.col("l_suppkey") + SUPP_NODE_BASE).alias("s"),
+            )
+            .distinct()
+        )
+        fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        # localCheckpoint: every iteration joins the edge set; without
+        # it the orders x lineitem build re-executes PR_ITERS+1 times
+        # and the growing plan re-optimizes per action (noisy 4-13s at
+        # sf0.1; ~2.5s checkpointed). Lazy so materialization stays
+        # inside the first action. On a real cluster use reliable
+        # checkpoint / a pre-bucketed edges table (same note as
+        # ext.dedup clustering).
+        return fwd.unionByName(rev).localCheckpoint(eager=False)
+
+    # memo_persist: PageRank and BFS share one edge relation per
+    # sf_dir — the "materialize the graph staging table once" posture.
+    return memo_persist(spark, ("trade_edges", sf_dir), build)
 
 
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
