@@ -245,3 +245,38 @@ def test_equi_depth_quartiles_bound_half_the_group(spark):
         # each side vs the idealized n/2 depth
         assert inside >= len(vals) / 2 - 1
         assert h.q1_cents <= h.med_cents <= h.q3_cents
+
+
+def test_gdpr_cascade_counts_match_anti_join_rewrite(spark):
+    """The audit census must agree with the actual anti-join rewrite
+    it precedes: surviving counts equal the rewritten tables' sizes,
+    and no surviving order references a forgotten customer."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        FORGET_MOD,
+        gdpr_delete_cascade,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    census = {r.table_name: r for r in gdpr_delete_cascade(spark, SF_MID).collect()}
+    cust = load_table(spark, SF_MID, "customer")
+    orders = load_table(spark, SF_MID, "orders")
+    li = load_table(spark, SF_MID, "lineitem")
+    forget = cust.filter(F.col("c_custkey") % FORGET_MOD == 0).select("c_custkey")
+    surv_orders = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "left_anti"
+    )
+    surv_li = li.join(
+        orders.join(forget, orders.o_custkey == forget.c_custkey, "left_semi")
+        .select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    assert census["customer"].n_surviving == cust.count() - forget.count()
+    assert census["orders"].n_surviving == surv_orders.count()
+    assert census["lineitem"].n_surviving == surv_li.count()
+    # referential integrity of the surviving set
+    assert (
+        surv_orders.join(forget, surv_orders.o_custkey == forget.c_custkey)
+        .count()
+        == 0
+    )

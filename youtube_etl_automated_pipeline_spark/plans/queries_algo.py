@@ -673,3 +673,107 @@ LIMIT {SAMPLE_K}
 
 
 ORACLES_ALGO["weighted_topk_sample"] = _wsample_oracle()
+
+
+# ------------------------------------------------------------------
+# GDPR / right-to-be-forgotten cascade: given a deterministic set of
+# customers to forget, propagate the delete through the FK chain
+# (customer -> orders -> lineitem) and report the per-table audit
+# census a compliance pipeline must produce.
+
+FORGET_MOD = 97  # customers with c_custkey % 97 == 0 request deletion
+
+
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table delete-cascade audit: (table_name, n_total,
+    n_deleted, n_surviving) for customer/orders/lineitem when every
+    c_custkey % FORGET_MOD == 0 requests erasure.
+
+    Plan: the forget-set is a filter on the customer scan (broadcast-
+    sized); orders deletes resolve by one broadcast semi-join on
+    o_custkey; lineitem deletes resolve by a semi-join on l_orderkey
+    against the deleted-orders key set. Each fact table is scanned
+    ONCE with conditional counts — no row is rewritten here; the
+    census is the dry-run audit that precedes the actual anti-join
+    rewrite (`sinks.dedup_table_swap` shows the swap mechanics).
+    At 100 TB the deleted-orders key set is the only intermediate and
+    it is proportional to the forget-set, not the corpus."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    forget = cust.filter(F.col("c_custkey") % FORGET_MOD == 0)
+    del_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    cust_census = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("c_custkey") % FORGET_MOD == 0).alias("n_deleted"),
+    )
+    ord_census = orders.join(
+        F.broadcast(forget.select(F.col("c_custkey").alias("fk"))),
+        orders.o_custkey == F.col("fk"),
+        "left",
+    ).agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("fk").isNotNull()).alias("n_deleted"),
+    )
+    li_census = li.join(
+        F.broadcast(del_orders.select(F.col("o_orderkey").alias("dk"))),
+        li.l_orderkey == F.col("dk"),
+        "left",
+    ).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("dk").isNotNull()).alias("n_deleted"),
+    )
+    return (
+        cust_census.unionByName(ord_census)
+        .unionByName(li_census)
+        .select(
+            "table_name",
+            "n_total",
+            "n_deleted",
+            (F.col("n_total") - F.col("n_deleted")).alias("n_surviving"),
+        )
+        .orderBy("table_name")
+    )
+
+
+QUERIES_ALGO["gdpr_delete_cascade"] = gdpr_delete_cascade
+
+ORACLES_ALGO["gdpr_delete_cascade"] = f"""
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM forget)
+),
+census AS (
+  SELECT 'customer' AS table_name,
+    CAST(count(*) AS BIGINT) AS n_total,
+    CAST(sum(CASE WHEN c_custkey % {FORGET_MOD} = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_deleted
+  FROM customer
+  UNION ALL
+  SELECT 'orders',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM forget)
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+             THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+)
+SELECT table_name, n_total, n_deleted,
+       CAST(n_total - n_deleted AS BIGINT) AS n_surviving
+FROM census
+ORDER BY table_name
+"""
