@@ -59,7 +59,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stream = read_events_stream(spark, sf_dir)
     updates = run_stream_to_memory(
-        stateful_user_stats(stream), "stateful_user_stats", output_mode="update"
+        stateful_user_stats(stream), "stateful_user_stats", output_mode="update", skip_nodata=True
     )
     final = keep_first(updates, ["user_id"], [F.col("n_events").desc()])
     return final.select(
@@ -748,7 +748,7 @@ def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         updates = run_stream_to_memory(
-            tws_user_peaks(stream), "tws_peaks", output_mode="update"
+            tws_user_peaks(stream), "tws_peaks", output_mode="update", skip_nodata=True
         )
     finally:
         if prev is None:
@@ -789,7 +789,7 @@ def streaming_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         updates = run_stream_to_memory(
-            tws_user_topk(stream), "tws_topk", output_mode="update"
+            tws_user_topk(stream), "tws_topk", output_mode="update", skip_nodata=True
         )
     finally:
         if prev is None:
@@ -829,7 +829,7 @@ def streaming_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         updates = run_stream_to_memory(
-            tws_user_type_counts(stream), "tws_typemap", output_mode="update"
+            tws_user_type_counts(stream), "tws_typemap", output_mode="update", skip_nodata=True
         )
     finally:
         if prev is None:

@@ -156,6 +156,7 @@ def run_stream_to_memory(
     result: DataFrame,
     name: str = "stream_result",
     output_mode: str = "complete",
+    skip_nodata: bool = False,
 ) -> DataFrame:
     """Run a streaming plan to completion with trigger(availableNow)
     into a memory sink; returns the sink table. availableNow processes
@@ -166,13 +167,17 @@ def run_stream_to_memory(
     data batch already emitted the full result, so the extra batch is
     pure fixed cost. Append/update modes KEEP it — that final batch is
     where the advanced watermark flushes closed windows / evicted
-    join state, and dropping it withholds rows."""
+    join state, and dropping it withholds rows. ``skip_nodata=True``
+    opts an update-mode query out too, valid ONLY when the operator
+    emits everything in its data batches (timer-free TWS processors:
+    no watermark-driven flush exists, so the extra batch is a pure
+    state-store commit cycle)."""
     qname = f"{name}_{next(_memsink_seq)}"
     spark = result.sparkSession
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     nodata_prev = spark.conf.get(nodata_key, "true")
     with stream_state_partitions(spark):
-        if output_mode == "complete":
+        if output_mode == "complete" or skip_nodata:
             spark.conf.set(nodata_key, "false")
         try:
             query = (
