@@ -280,3 +280,29 @@ def test_gdpr_cascade_counts_match_anti_join_rewrite(spark):
         .count()
         == 0
     )
+
+
+def test_retrieval_plan_shapes(spark):
+    """Boolean search must be join-free (scan + one agg); phrase
+    search must join on exact (doc, position) keys — no cartesian,
+    and the term filter must sit below the shuffle."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        boolean_search_docs,
+        phrase_search_docs,
+    )
+
+    bool_plan = (
+        boolean_search_docs(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in bool_plan
+    phrase_plan = (
+        phrase_search_docs(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in phrase_plan
+    assert "BroadcastNestedLoopJoin" not in phrase_plan
