@@ -306,3 +306,53 @@ def test_retrieval_plan_shapes(spark):
     )
     assert "CartesianProduct" not in phrase_plan
     assert "BroadcastNestedLoopJoin" not in phrase_plan
+
+
+def test_cusum_matches_python_recursion(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        CUSUM_EPOCH,
+        cusum_weekly_revenue,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    weekly: dict[str, dict[int, int]] = {}
+    for r in (
+        load_table(spark, SF_MID, "orders")
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            (
+                F.datediff("o_orderdate", F.lit(CUSUM_EPOCH)).cast("long")
+                / F.lit(7)
+            ).cast("long").alias("week"),
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    ):
+        weekly.setdefault(r.p, {}).setdefault(r.week, 0)
+        weekly[r.p][r.week] += r.c
+    expected = {}
+    for p, series in weekly.items():
+        xs = sorted(series.items())
+        tgt = sum(v for _, v in xs) // len(xs)
+        s = mx = alarms = 0
+        first = -1
+        for w, x in xs:
+            s = max(0, s + x - tgt - tgt // 20)
+            mx = max(mx, s)
+            if s > tgt:
+                alarms += 1
+                if first < 0:
+                    first = w
+        expected[p] = (len(xs), tgt, alarms, mx, first)
+    got = {
+        r.priority: (
+            r.n_weeks,
+            r.target_cents,
+            r.n_alarms,
+            r.max_s_cents,
+            r.first_alarm_week,
+        )
+        for r in cusum_weekly_revenue(spark, SF_MID).collect()
+    }
+    assert got == expected
+    assert any(v[2] > 0 for v in got.values())  # real alarms exist

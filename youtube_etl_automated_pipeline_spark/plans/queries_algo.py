@@ -777,3 +777,245 @@ SELECT table_name, n_total, n_deleted,
 FROM census
 ORDER BY table_name
 """
+
+
+# ------------------------------------------------------------------
+# CUSUM change detection: the sequential-recursion monitor (S_t =
+# max(0, S_{t-1} + x_t - target - k)) no window function expresses —
+# same mapInPandas-recursion + recursive-CTE-oracle pattern as
+# ewma_user_value, applied to drift monitoring.
+
+CUSUM_EPOCH = "1990-01-01"
+
+
+def cusum_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority upward-shift CUSUM over weekly revenue: target =
+    mean weekly cents (integer div), allowance k = target DIV 20,
+    alarm threshold h = target. Output: (priority, n_weeks,
+    target_cents, n_alarms, max_s_cents, first_alarm_week).
+
+    Scale shape: the corpus collapses to a (priority, week) series in
+    one agg (the only corpus-sized shuffle); the recursion sweeps
+    each priority's series in arrival order inside one mapInPandas
+    pass over a priority-partitioned sort — series length grows with
+    the CALENDAR, not the corpus. All-integer recursion (cents,
+    floor-div target) makes the sweep bit-identical to the oracle's
+    recursive CTE."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                F.datediff("o_orderdate", F.lit(CUSUM_EPOCH))
+                .cast("long")
+                / F.lit(7)
+            ).cast("long").alias("week"),
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("priority", "week")
+        .agg(F.sum("cents").alias("x"))
+    )
+    target = weekly.groupBy("priority").agg(
+        F.expr("CAST(sum(x) DIV count(1) AS BIGINT)").alias("target")
+    )
+    series = weekly.join(F.broadcast(target), "priority")
+    parted = series.repartition(
+        spark.sparkContext.defaultParallelism, "priority"
+    ).sortWithinPartitions("priority", "week")
+
+    def kernel(batches):
+        rows = []
+        cur = None
+        s = nw = alarms = max_s = 0
+        first_alarm = -1
+        tgt = 0
+
+        def flush():
+            if cur is not None:
+                rows.append((cur, nw, tgt, alarms, max_s, first_alarm))
+
+        for pdf in batches:
+            for p, w, x, t in zip(
+                pdf["priority"], pdf["week"], pdf["x"], pdf["target"]
+            ):
+                if p != cur:
+                    flush()
+                    cur, tgt = p, int(t)
+                    s = nw = alarms = max_s = 0
+                    first_alarm = -1
+                nw += 1
+                s = max(0, s + int(x) - tgt - tgt // 20)
+                if s > max_s:
+                    max_s = s
+                if s > tgt:
+                    alarms += 1
+                    if first_alarm < 0:
+                        first_alarm = int(w)
+        flush()
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "priority",
+                "n_weeks",
+                "target_cents",
+                "n_alarms",
+                "max_s_cents",
+                "first_alarm_week",
+            ],
+        )
+
+    return parted.mapInPandas(
+        kernel,
+        "priority string, n_weeks bigint, target_cents bigint,"
+        " n_alarms bigint, max_s_cents bigint, first_alarm_week bigint",
+    ).orderBy("priority")
+
+
+QUERIES_ALGO["cusum_weekly_revenue"] = cusum_weekly_revenue
+
+ORACLES_ALGO["cusum_weekly_revenue"] = f"""
+WITH RECURSIVE weekly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(datediff('day', DATE '{CUSUM_EPOCH}', o_orderdate) // 7
+              AS BIGINT) AS week,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS x
+  FROM orders
+  GROUP BY 1, 2
+),
+tgt AS (
+  SELECT priority, CAST(sum(x) // count(*) AS BIGINT) AS target
+  FROM weekly GROUP BY priority
+),
+seq AS (
+  SELECT w.priority, w.week, w.x, t.target,
+         row_number() OVER (PARTITION BY w.priority ORDER BY w.week) AS rn
+  FROM weekly w JOIN tgt t USING (priority)
+),
+r AS (
+  SELECT priority, rn, week, target,
+         greatest(CAST(0 AS BIGINT),
+                  x - target - target // 20) AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.priority, seq.rn, seq.week, seq.target,
+         greatest(CAST(0 AS BIGINT),
+                  r.s + seq.x - seq.target - seq.target // 20)
+  FROM r JOIN seq ON seq.priority = r.priority AND seq.rn = r.rn + 1
+)
+SELECT priority,
+  CAST(count(*) AS BIGINT) AS n_weeks,
+  any_value(target) AS target_cents,
+  CAST(sum(CASE WHEN s > target THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+  CAST(max(s) AS BIGINT) AS max_s_cents,
+  CAST(coalesce(min(CASE WHEN s > target THEN week END), -1) AS BIGINT)
+    AS first_alarm_week
+FROM r
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+# ------------------------------------------------------------------
+# Winsorized statistics: clip at the p05/p95 boundaries, then exact
+# integer means over the clipped values — the robust-mean transform a
+# metrics pipeline applies before trend detection. Boundaries are
+# .25-step exact doubles (type-7 on integers); clipped values scale
+# by 4 into exact integers so the mean is one bigint division.
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation winsorized order-value stats: p05/p95 boundaries,
+    counts clipped low/high, and the winsorized mean in exact cents.
+
+    Plan: the same broadcast dim chain as equi_depth_histogram, ONE
+    percentile agg for the boundaries (tiny, broadcast back), one
+    conditional-agg scan for the clipped sums. Everything integer /
+    quarter-integer exact; no float accumulation order anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    base = (
+        orders.select(
+            "o_custkey",
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "cents")
+    )
+    bounds = base.groupBy("n_name").agg(
+        F.expr("percentile(cents, 0.05)").alias("p05"),
+        F.expr("percentile(cents, 0.95)").alias("p95"),
+    )
+    clipped = base.join(F.broadcast(bounds), "n_name").select(
+        "n_name",
+        "p05",
+        "p95",
+        # x4: the .25-step boundaries become exact integers, so the
+        # clipped sum accumulates as bigint (order-free)
+        F.expr(
+            "CAST(least(greatest(cents * 4.0, p05 * 4), p95 * 4) AS BIGINT)"
+        ).alias("c4"),
+        (F.col("cents") < F.col("p05")).alias("lo"),
+        (F.col("cents") > F.col("p95")).alias("hi"),
+    )
+    return (
+        clipped.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.first("p05").alias("p05_cents"),
+            F.first("p95").alias("p95_cents"),
+            F.count_if(F.col("lo")).alias("n_clipped_low"),
+            F.count_if(F.col("hi")).alias("n_clipped_high"),
+            F.expr("CAST(sum(c4) DIV (4 * count(1)) AS BIGINT)").alias(
+                "winsorized_mean_cents"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES_ALGO["winsorized_stats"] = winsorized_stats
+
+ORACLES_ALGO["winsorized_stats"] = """
+WITH base AS (
+  SELECT n.n_name, CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+bounds AS (
+  SELECT n_name,
+         quantile_cont(cents, 0.05) AS p05,
+         quantile_cont(cents, 0.95) AS p95
+  FROM base GROUP BY n_name
+),
+clipped AS (
+  SELECT b.n_name, bo.p05, bo.p95,
+         CAST(least(greatest(b.cents * 4.0, bo.p05 * 4), bo.p95 * 4)
+              AS BIGINT) AS c4,
+         b.cents < bo.p05 AS lo,
+         b.cents > bo.p95 AS hi
+  FROM base b JOIN bounds bo USING (n_name)
+)
+SELECT n_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  any_value(p05) AS p05_cents,
+  any_value(p95) AS p95_cents,
+  CAST(sum(CASE WHEN lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+  CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+  CAST(sum(c4) // (4 * count(*)) AS BIGINT) AS winsorized_mean_cents
+FROM clipped
+GROUP BY n_name
+ORDER BY n_name
+"""
