@@ -197,3 +197,47 @@ def test_prefix_filter_is_exact_at_threshold(spark):
                               - len(list_intersect(a.hs, b.hs)))
     """).fetchall()
     assert got == set(brute)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_pareto_of_paretos_equals_global_skyline(points, n_parts):
+    """Soundness of the two-phase skyline: the final prune over the
+    union of per-partition prunes equals the brute-force undominated
+    set, for ANY partitioning of the input (hypothesis-random points
+    and splits) — the invariant pareto_frontier_orders relies on."""
+    import pandas as pd
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        skyline_prune,
+    )
+
+    pts = sorted(set(points))
+    brute = {
+        p
+        for p in pts
+        if not any(
+            q != p and q[0] >= p[0] and q[1] >= p[1] for q in pts
+        )
+    }
+    parts = [pts[i::n_parts] for i in range(n_parts)]
+    survivors = pd.concat(
+        [
+            skyline_prune(pd.DataFrame(part, columns=["x", "y"]), "x", "y")
+            for part in parts
+            if part
+        ],
+        ignore_index=True,
+    )
+    final = skyline_prune(survivors, "x", "y")
+    assert set(zip(final["x"], final["y"])) == brute

@@ -260,6 +260,19 @@ ORACLES_ALGO["graph_bfs_hops"] = _bfs_oracle()
 # set before the single small global pass.
 
 
+def skyline_prune(pdf, x_col: str, y_col: str):
+    """Partition-local max-max skyline over DISTINCT points: sort
+    (x desc, y desc), keep rows whose y strictly exceeds the running
+    max over all prior rows (prior rows have higher x, or equal x
+    with strictly later y). Pure integer/timestamp comparisons —
+    bit-exact, and sound for pruning: any point dominated within a
+    subset is dominated in the full set (tests/test_properties
+    asserts skyline(parts) == skyline(whole) under random splits)."""
+    pdf = pdf.sort_values([x_col, y_col], ascending=[False, False])
+    run = pdf[y_col].cummax().shift(1)
+    return pdf[run.isna() | (pdf[y_col] > run)]
+
+
 def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline of distinct (price_cents, o_orderdate) points —
     maximize both — with per-point order count and min orderkey.
@@ -289,15 +302,7 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(
-                ["price_cents", "o_orderdate"], ascending=[False, False]
-            )
-            # keep iff date strictly exceeds the running max over all
-            # prior rows: prior rows have higher price, or equal price
-            # with a later-or-equal (distinct -> strictly later) date
-            run = pdf["o_orderdate"].cummax().shift(1)
-            keep = run.isna() | (pdf["o_orderdate"] > run)
-            yield pdf[keep]
+            yield skyline_prune(pdf, "price_cents", "o_orderdate")
 
     survivors = pts.mapInPandas(
         local_skyline,
