@@ -80,8 +80,14 @@ def main() -> None:
         "sec_per_query_median": med,
         "queries": timings,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    # SPARK_GRAFT_BENCH_DETAIL redirects the sidecar: smoke runs (the
+    # contract test, sf0.001 spot checks) must not clobber the
+    # committed sf0.1 sidecar the official run produces.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        ),
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -15,11 +15,17 @@ def test_bench_emits_driver_contract_json():
     only the tail of stdout — BENCH_r01 recorded parsed:null when all
     per-query timings rode the line); full per-query detail goes to
     bench_detail.json."""
+    import tempfile
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # redirect the sidecar: this sf0.001 smoke must NOT clobber the
+    # committed sf0.1 bench_detail.json from the official run
+    detail_tmp = os.path.join(tempfile.mkdtemp(), "bench_detail.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_DETAIL=detail_tmp,
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -40,7 +46,7 @@ def test_bench_emits_driver_contract_json():
 
     import __spark_entry__ as em
 
-    with open(os.path.join(repo, "bench_detail.json")) as f:
+    with open(detail_tmp) as f:
         detail = json.load(f)
     assert set(detail["queries"]) == set(em.queries())
     assert all(
