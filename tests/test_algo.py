@@ -356,3 +356,53 @@ def test_cusum_matches_python_recursion(spark):
     }
     assert got == expected
     assert any(v[2] > 0 for v in got.values())  # real alarms exist
+
+
+def test_kmv_set_operations_error_envelope(spark):
+    """Deterministic sketch: estimates must land within the K=256
+    theoretical envelope (~3/sqrt(K-2) ≈ 19%) of exact — in practice
+    this fixture sits ~6% off; the assertion guards against estimator
+    regressions, not luck."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        kmv_set_operations,
+    )
+
+    r = kmv_set_operations(spark, SF_MID).collect()[0]
+    for est, exact in [
+        (r.est_a, r.exact_a),
+        (r.est_b, r.exact_b),
+        (r.est_union, r.exact_union),
+        (r.est_inter, r.exact_inter),
+    ]:
+        assert exact > 0
+        assert abs(est - exact) / exact < 0.19
+    # set algebra sanity on the exact side
+    assert r.exact_union <= r.exact_a + r.exact_b
+    assert r.exact_inter == r.exact_a + r.exact_b - r.exact_union
+
+
+def test_kcore_peel_matches_python_and_is_monotone(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_trade_graph,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_graph import _edges
+
+    arcs = [(r.src, r.dst) for r in _edges(spark, SF_MID).collect()]
+    expected = []
+    for _ in range(KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for s, _d in arcs:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        arcs = [(s, d) for s, d in arcs if s in keep and d in keep]
+        expected.append((len({s for s, _ in arcs}), len(arcs)))
+    got = [
+        (r.n_nodes, r.n_arcs)
+        for r in kcore_trade_graph(spark, SF_MID).orderBy("round").collect()
+    ]
+    assert got == expected
+    # peeling is monotone non-increasing
+    for (n1, a1), (n2, a2) in zip(got, got[1:]):
+        assert n2 <= n1 and a2 <= a1

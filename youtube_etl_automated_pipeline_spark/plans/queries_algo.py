@@ -1024,3 +1024,313 @@ FROM clipped
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# ------------------------------------------------------------------
+# KMV sketch SET OPERATIONS: union/intersection distinct estimates
+# from two K-Minimum-Values sketches (Bar-Yossef et al. / theta-sketch
+# posture) — the mergeable-sketch algebra a 100 TB rollup uses to
+# combine per-shard sketches without touching raw keys. Deterministic
+# (portable md5 hashes), so unlike HLL it takes a full oracle gate.
+
+KMVOP_K = 256
+KMVOP_DOMAIN = float(1 << 60)
+KMV_ERA_SPLIT = "1998-01-01"  # era A: orders before; era B: after
+
+
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row census: exact and KMV-estimated distinct customers for
+    era A (orders < KMV_ERA_SPLIT), era B (>=), their union and their
+    intersection. Union: merge the two kept-sets, re-truncate to K.
+    Intersection: rho = |union-sketch ∩ A-kept ∩ B-kept| gives
+    est_inter = round(rho * est_union / K).
+
+    Scale shape: one distinct-hash reduce per era (map-side combine),
+    min-K via WindowGroupLimit (the shuffle carries O(K) per era);
+    every set operation thereafter runs on K-row relations — the
+    whole point of the sketch algebra: corpus-sized data is touched
+    once, merged state is kilobytes."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import md5_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.when(F.col("o_orderdate") < F.lit(KMV_ERA_SPLIT), "A")
+        .otherwise("B")
+        .alias("era"),
+        md5_long(F.col("o_custkey").cast("string"), 15).alias("hv"),
+        "o_custkey",
+    )
+    h = tagged.select("era", "hv").distinct()
+    w = Window.partitionBy("era").orderBy("hv")
+    kept = memo_persist(
+        spark,
+        ("kmvop_kept", sf_dir),
+        lambda: h.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= KMVOP_K
+        ),
+    )
+
+    def est_expr(n_kept, kth):
+        return (
+            F.when(n_kept < KMVOP_K, n_kept.cast("bigint")).otherwise(
+                F.floor(
+                    F.lit(float(KMVOP_K - 1))
+                    * (F.lit(KMVOP_DOMAIN) / kth.cast("double"))
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+        )
+
+    per_era = kept.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth")
+    )
+    # union sketch: merge kept sets, re-truncate to K smallest
+    uw = Window.orderBy("hv")
+    ukept = (
+        kept.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(uw))
+        .filter(F.col("rn") <= KMVOP_K)
+    )
+    usk = ukept.agg(
+        F.count(F.lit(1)).alias("u_kept"), F.max("hv").alias("u_kth")
+    )
+    # rho: union-sketch hashes present in BOTH era kept-sets
+    a_set = kept.filter(F.col("era") == "A").select("hv")
+    b_set = kept.filter(F.col("era") == "B").select("hv")
+    rho = (
+        ukept.join(a_set, "hv", "left_semi")
+        .join(b_set, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    exact = tagged.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("era") == "A", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("era") == "B", F.col("o_custkey"))
+        ).alias("exact_b"),
+        F.countDistinct("o_custkey").alias("exact_union"),
+    )
+    inter_exact = (
+        tagged.filter(F.col("era") == "A")
+        .select("o_custkey")
+        .join(
+            tagged.filter(F.col("era") == "B").select("o_custkey").distinct(),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.countDistinct("o_custkey").alias("exact_inter"))
+    )
+    ea = per_era.filter(F.col("era") == "A").select(
+        F.col("n_kept").alias("a_kept"), F.col("kth").alias("a_kth")
+    )
+    eb = per_era.filter(F.col("era") == "B").select(
+        F.col("n_kept").alias("b_kept"), F.col("kth").alias("b_kth")
+    )
+    est_union = est_expr(F.col("u_kept"), F.col("u_kth"))
+    return (
+        exact.crossJoin(F.broadcast(inter_exact))
+        .crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(usk))
+        .crossJoin(F.broadcast(rho))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            est_expr(F.col("a_kept"), F.col("a_kth")).alias("est_a"),
+            est_expr(F.col("b_kept"), F.col("b_kth")).alias("est_b"),
+            est_union.alias("est_union"),
+            F.floor(
+                F.col("rho").cast("double")
+                * est_union.cast("double")
+                / F.lit(float(KMVOP_K))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("est_inter"),
+        )
+    )
+
+
+QUERIES_ALGO["kmv_set_operations"] = kmv_set_operations
+
+
+def _kmvop_oracle() -> str:
+    k = KMVOP_K
+    dom = KMVOP_DOMAIN
+    est = (
+        "CASE WHEN {n} < %d THEN CAST({n} AS BIGINT) ELSE "
+        "CAST(floor(%r * (%r / CAST({kth} AS DOUBLE)) + 0.5) AS BIGINT) END"
+        % (k, float(k - 1), dom)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{KMV_ERA_SPLIT}' THEN 'A'
+              ELSE 'B' END AS era,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv,
+         o_custkey
+  FROM orders
+),
+h AS (SELECT DISTINCT era, hv FROM tagged),
+kept AS (
+  SELECT era, hv FROM (
+    SELECT era, hv, row_number() OVER (PARTITION BY era ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {k}
+),
+per_era AS (
+  SELECT era, count(*) AS n_kept, max(hv) AS kth FROM kept GROUP BY era
+),
+ukept AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT hv FROM kept)
+  ) WHERE rn <= {k}
+),
+usk AS (SELECT count(*) AS u_kept, max(hv) AS u_kth FROM ukept),
+rho AS (
+  SELECT count(*) AS rho FROM ukept u
+  WHERE u.hv IN (SELECT hv FROM kept WHERE era = 'A')
+    AND u.hv IN (SELECT hv FROM kept WHERE era = 'B')
+),
+exact AS (
+  SELECT
+    count(DISTINCT CASE WHEN era = 'A' THEN o_custkey END) AS exact_a,
+    count(DISTINCT CASE WHEN era = 'B' THEN o_custkey END) AS exact_b,
+    count(DISTINCT o_custkey) AS exact_union
+  FROM tagged
+),
+inter_exact AS (
+  SELECT count(DISTINCT o_custkey) AS exact_inter
+  FROM tagged WHERE era = 'A' AND o_custkey IN
+    (SELECT o_custkey FROM tagged WHERE era = 'B')
+),
+ea AS (SELECT n_kept AS a_kept, kth AS a_kth FROM per_era WHERE era = 'A'),
+eb AS (SELECT n_kept AS b_kept, kth AS b_kth FROM per_era WHERE era = 'B')
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+  CAST(exact_b AS BIGINT) AS exact_b,
+  CAST(exact_union AS BIGINT) AS exact_union,
+  CAST(exact_inter AS BIGINT) AS exact_inter,
+  {est.format(n="a_kept", kth="a_kth")} AS est_a,
+  {est.format(n="b_kept", kth="b_kth")} AS est_b,
+  {est.format(n="u_kept", kth="u_kth")} AS est_union,
+  CAST(floor(CAST(rho AS DOUBLE)
+             * CAST({est.format(n="u_kept", kth="u_kth")} AS DOUBLE)
+             / {float(k)!r} + 0.5) AS BIGINT) AS est_inter
+FROM exact, inter_exact, ea, eb, usk, rho
+"""
+
+
+ORACLES_ALGO["kmv_set_operations"] = _kmvop_oracle()
+
+
+# ------------------------------------------------------------------
+# Bounded k-core peeling: iteratively remove nodes of degree < K from
+# the trade graph and report the (nodes, arcs) trajectory — the
+# degeneracy-ordering primitive behind community mining and graph
+# sparsification. ROUNDS is fixed (oracle = unrolled CTE rounds, the
+# k-means pattern); a fixpoint test asserts the fixture converges.
+
+KCORE_K = 48
+KCORE_ROUNDS = 4
+
+
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, n_nodes, n_arcs) after each of KCORE_ROUNDS peeling
+    rounds with threshold KCORE_K over the symmetrized trade graph
+    (arcs = directed edge count = 2x undirected).
+
+    Scale shape per round: one degree agg (hash shuffle on src) + two
+    semi-joins to restrict arcs to surviving endpoints — the Pregel
+    peel. Rounds are a fixed small count; on a real deployment each
+    round's survivor set is checkpointed (localCheckpoint here) so
+    lineage stays shallow."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_graph import _edges
+
+    arcs = _edges(spark, sf_dir)  # memoized, shared with PageRank/BFS
+    rows = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select(
+            F.col("src").alias("node")
+        )
+        arcs = (
+            arcs.join(keep, arcs.src == keep.node, "left_semi")
+            .join(
+                keep.select(F.col("node").alias("dnode")),
+                arcs.dst == F.col("dnode"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        nodes_now = (
+            arcs.select(F.col("src").alias("node"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+        arcs_now = arcs.agg(F.count(F.lit(1)).alias("n_arcs"))
+        rows.append(
+            nodes_now.crossJoin(F.broadcast(arcs_now)).select(
+                F.lit(rnd).alias("round"), "n_nodes", "n_arcs"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
+QUERIES_ALGO["kcore_trade_graph"] = kcore_trade_graph
+
+
+def _kcore_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.queries_graph import (
+        SUPP_NODE_BASE,
+    )
+
+    parts = [
+        f"""eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {SUPP_NODE_BASE} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+arcs0 AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM eo
+  UNION ALL
+  SELECT s AS src, c AS dst FROM eo
+)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = f"arcs{i - 1}"
+        parts.append(
+            f"""keep{i} AS MATERIALIZED (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
+)"""
+        )
+        parts.append(
+            f"""arcs{i} AS MATERIALIZED (
+  SELECT a.src, a.dst FROM {prev} a
+  WHERE a.src IN (SELECT node FROM keep{i})
+    AND a.dst IN (SELECT node FROM keep{i})
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i} AS round,"
+        f" (SELECT count(DISTINCT src) FROM arcs{i}) AS n_nodes,"
+        f" (SELECT count(*) FROM arcs{i}) AS n_arcs"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH {", ".join(parts)}
+SELECT CAST(round AS INT) AS round,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_arcs AS BIGINT) AS n_arcs
+FROM ({union})
+ORDER BY round
+"""
+
+
+ORACLES_ALGO["kcore_trade_graph"] = _kcore_oracle()
