@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
         QUERIES_ALGO,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        QUERIES_STATS,
+    )
 
     return {
         **QUERIES,
@@ -105,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_CURATION,
         **QUERIES_CURATION2,
         **QUERIES_ALGO,
+        **QUERIES_STATS,
     }
 
 
@@ -164,6 +168,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_algo import (
         ORACLES_ALGO,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        ORACLES_STATS,
+    )
 
     return {
         **ORACLES,
@@ -190,4 +197,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_CURATION,
         **ORACLES_CURATION2,
         **ORACLES_ALGO,
+        **ORACLES_STATS,
     }

@@ -1,0 +1,262 @@
+"""Semantic tests for the stats/governance operators
+(plans/queries_stats.py) beyond the oracle-parity gate: mass
+conservation for the censuses, numpy ground truth for the OLS solve,
+Welch z recomputation, product-limit monotonicity, and a
+beats-majority bar for the NB classifier."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_k_anonymity_census_conserves_rows(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        k_anonymity_census,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    rows = k_anonymity_census(spark, SF_MID).collect()
+    n_cust = load_table(spark, SF_MID, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    for r in rows:
+        assert r.n_rows == r.class_size * r.n_classes
+        assert r.violates_k == (1 if r.class_size < 5 else 0)
+
+
+def test_streak_histogram_matches_bruteforce(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        user_activity_streaks,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    got = {
+        r.streak_days: r.n_users
+        for r in user_activity_streaks(spark, SF).collect()
+    }
+    days = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in days:
+        per_user.setdefault(r.user_id, []).append(r.day)
+    brute: dict[int, int] = {}
+    for ds in per_user.values():
+        ds.sort()
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            best = max(best, cur)
+        brute[best] = brute.get(best, 0) + 1
+    assert got == brute
+    assert sum(got.values()) == len(per_user)
+
+
+def test_ab_test_z_matches_python_welch(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        ab_test_ztest,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    row = ab_test_ztest(spark, SF).collect()[0]
+    ev = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5)).alias("x"))
+        .select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long").alias("h"),
+            "x",
+        )
+        .collect()
+    )
+    arms = {0: [], 1: []}
+    for r in ev:
+        arms[r.h % 2].append(r.x)
+    a, b = np.array(arms[0], float), np.array(arms[1], float)
+    assert row.n_a == len(a) and row.n_b == len(b)
+    z = (a.mean() - b.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert abs(row.welch_z - z) < 1e-4
+
+
+def test_dependence_stats_match_python(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        segment_priority_dependence,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    row = segment_priority_dependence(spark, SF).collect()[0]
+    joint = (
+        load_table(spark, SF, "orders")
+        .join(
+            load_table(spark, SF, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    nx: dict[str, int] = {}
+    ny: dict[str, int] = {}
+    for r in joint:
+        nx[r.c_mktsegment] = nx.get(r.c_mktsegment, 0) + r["count"]
+        ny[r.o_orderpriority] = ny.get(r.o_orderpriority, 0) + r["count"]
+    n = sum(nx.values())
+    chi2 = 0.0
+    mi = 0.0
+    obs = {(r.c_mktsegment, r.o_orderpriority): r["count"] for r in joint}
+    for sx, cx in nx.items():
+        for sy, cy in ny.items():
+            e = cx * cy / n
+            o = obs.get((sx, sy), 0)
+            chi2 += (o - e) ** 2 / e
+            if o:
+                mi += (o / n) * math.log(n * o / (cx * cy))
+    assert row.n == n and row.r == len(nx) and row.c == len(ny)
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.mi_nats - mi) < 1e-5
+    assert row.cramers_v >= 0.0
+
+
+def test_ols_betas_match_numpy_lstsq(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        ols_price_model,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    rows = {r.l_returnflag: r for r in ols_price_model(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem").collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (
+                math.floor(r.l_quantity + 0.5),
+                math.floor(r.l_discount * 100.0 + 0.5),
+                math.floor(r.l_extendedprice * 100.0 + 0.5),
+            )
+        )
+    for flag, pts in by_flag.items():
+        X = np.array([[1.0, q, d] for q, d, _ in pts])
+        y = np.array([float(v) for _, _, v in pts])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        got = rows[flag]
+        assert got.n == len(pts)
+        assert abs(got.beta0_cents - beta[0]) < max(1.0, abs(beta[0]) * 1e-5)
+        assert abs(got.beta_qty - beta[1]) < max(0.1, abs(beta[1]) * 1e-5)
+        assert abs(got.beta_disc - beta[2]) < max(0.1, abs(beta[2]) * 1e-5)
+        assert 0.0 <= got.r2 <= 1.0
+
+
+def test_kaplan_meier_curve_shape(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        survival_kaplan_meier,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    rows = sorted(
+        survival_kaplan_meier(spark, SF_MID).collect(),
+        key=lambda r: r.lifetime_wk,
+    )
+    n_cust = (
+        load_table(spark, SF_MID, "orders").select("o_custkey").distinct().count()
+    )
+    # risk set at the earliest lifetime is everyone
+    assert rows[0].n_risk == n_cust
+    assert sum(r.n_events + r.n_censored for r in rows) == n_cust
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9
+        prev = r.survival
+    # later risk sets shrink monotonically
+    risks = [r.n_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_naive_bayes_matches_python_reimplementation(spark):
+    """Exact ground truth: re-train and re-score the same quantized
+    multinomial NB in plain Python and require the identical
+    confusion matrix. (The fixture corpus has no real per-lang
+    vocabulary signal — all langs draw from one shared wordlist — so
+    an accuracy bar would test the data, not the operator; matching
+    an independent reimplementation tests the operator.)"""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
+        NB_TRAIN_PCT,
+        naive_bayes_lang_confusion,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    got = {
+        (r.actual_lang, r.pred_lang): r.n_docs
+        for r in naive_bayes_lang_confusion(spark, SF).collect()
+    }
+
+    docs = [
+        r
+        for r in load_table(spark, SF, "documents").collect()
+        if r.text is not None and r.lang is not None
+    ]
+
+    def toks(text):
+        t = text.strip(" ")
+        norm = re.sub(r"[ \t\n\r\f\x0b]+", " ", t).lower()
+        return [w for w in norm.split(" ") if w]
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    train = [r for r in docs if bucket(r.doc_id) < NB_TRAIN_PCT]
+    test = [r for r in docs if bucket(r.doc_id) >= NB_TRAIN_PCT]
+
+    cnts: dict[str, Counter] = {}
+    n_docs_c: Counter = Counter()
+    for r in train:
+        ws = toks(r.text)
+        if not ws:
+            continue
+        cnts.setdefault(r.lang, Counter()).update(ws)
+        n_docs_c[r.lang] += 1
+    vocab = set().union(*cnts.values())
+    v = len(vocab)
+    n_train = sum(n_docs_c.values())
+    t_c = {c: sum(cc.values()) for c, cc in cnts.items()}
+
+    def q(x):
+        return math.floor(1e6 * math.log(x) + 0.5)
+
+    prior = {c: q(n_docs_c[c] / n_train) for c in cnts}
+    default = {c: q(1.0 / (t_c[c] + v)) for c in cnts}
+    brute: dict[tuple, int] = {}
+    for r in test:
+        ws = toks(r.text)
+        if not ws:
+            continue
+        best = None
+        for c in sorted(cnts):
+            s = prior[c]
+            for w in ws:
+                if w in vocab:
+                    s += q((cnts[c].get(w, 0) + 1) / (t_c[c] + v))
+                else:
+                    s += default[c]
+            if best is None or s > best[0]:
+                best = (s, c)
+        key = (r.lang, best[1])
+        brute[key] = brute.get(key, 0) + 1
+    assert got == brute and sum(got.values()) > 0
