@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
         QUERIES_STATS,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
+        QUERIES_RETRIEVAL,
+    )
 
     return {
         **QUERIES,
@@ -109,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_CURATION2,
         **QUERIES_ALGO,
         **QUERIES_STATS,
+        **QUERIES_RETRIEVAL,
     }
 
 
@@ -171,6 +175,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_stats import (
         ORACLES_STATS,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
+        ORACLES_RETRIEVAL,
+    )
 
     return {
         **ORACLES,
@@ -198,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_CURATION2,
         **ORACLES_ALGO,
         **ORACLES_STATS,
+        **ORACLES_RETRIEVAL,
     }
