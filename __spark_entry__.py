@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
         QUERIES_RETRIEVAL,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_resample import (
+        QUERIES_RESAMPLE,
+    )
 
     return {
         **QUERIES,
@@ -113,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ALGO,
         **QUERIES_STATS,
         **QUERIES_RETRIEVAL,
+        **QUERIES_RESAMPLE,
     }
 
 
@@ -178,6 +182,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
         ORACLES_RETRIEVAL,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_resample import (
+        ORACLES_RESAMPLE,
+    )
 
     return {
         **ORACLES,
@@ -206,4 +213,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ALGO,
         **ORACLES_STATS,
         **ORACLES_RETRIEVAL,
+        **ORACLES_RESAMPLE,
     }

@@ -151,3 +151,71 @@ def test_auc_matches_python_reimplementation(spark):
     # above is the strong check. The statistic itself must be a valid
     # probability.
     assert 0 <= r.auc_micro <= 1_000_000
+
+
+def test_rrf_matches_python_reimplementation(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
+        BM25_TERMS,
+        RRF_C,
+        RRF_K,
+        RRF_TOPK,
+        rrf_fused_search,
+        bm25_search_docs,
+    )
+
+    docs = _docs(spark)
+    # relevance ranking: reuse the BM25 python reimplementation via
+    # the (already exact-verified) spark result over the FULL scored
+    # relation — rebuild it here independently instead.
+    dls = {d: len(_toks(t)) for d, t, _ in docs}
+    n, sum_dl = len(dls), sum(dls.values())
+    tf: dict[tuple[int, str], int] = {}
+    for d, t, _ in docs:
+        for w in _toks(t):
+            if w in BM25_TERMS:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    scores: dict[int, int] = {}
+    import math as _m
+
+    for (d, w), f in tf.items():
+        idf = _m.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+        contrib = idf * (f * (1.2 + 1.0)) / (
+            f + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] * n / sum_dl)
+        )
+        scores[d] = scores.get(d, 0) + _m.floor(1e6 * contrib + 0.5)
+    rel_order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    rank_rel = {d: i + 1 for i, (d, _) in enumerate(rel_order[:RRF_C])}
+
+    import re as _re
+
+    the_re = _re.compile(r"\bthe\b")
+    qual = {
+        d: len(
+            the_re.findall(
+                _WS_RE.sub(" ", t.strip(" \t\n\r\f\x0b")).lower()
+            )
+        )
+        for d, t, _ in docs
+    }
+    q_order = sorted(qual.items(), key=lambda kv: (-kv[1], kv[0]))
+    rank_qual = {d: i + 1 for i, (d, _) in enumerate(q_order[:RRF_C])}
+
+    def rmicro(r):
+        dd = RRF_K + r
+        return (2_000_000 + dd) // (2 * dd)
+
+    fused = {
+        d: (rmicro(rank_rel[d]) if d in rank_rel else 0)
+        + (rmicro(rank_qual[d]) if d in rank_qual else 0)
+        for d in set(rank_rel) | set(rank_qual)
+    }
+    expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+
+    got = rrf_fused_search(spark, SF).collect()
+    assert [(r.doc_id, r.rrf_micro) for r in got] == expect
+    for r in got:
+        assert r.rank_rel == rank_rel.get(r.doc_id)
+        assert r.rank_qual == rank_qual.get(r.doc_id)

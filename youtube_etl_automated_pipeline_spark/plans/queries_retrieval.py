@@ -60,7 +60,7 @@ BM25_TOPK = 10
 # K1 = 1.2 and B = 0.75 are written as exact double literals (12e-1,
 # 75e-2) inside the shared text so both engines parse the identical
 # constant.
-_BM25_TAIL = """contrib AS (
+_BM25_SCORED = """contrib AS (
   SELECT t.doc_id,
     CAST(floor(1e6
       * ln((CAST(s.n_docs AS DOUBLE) - CAST(s.df AS DOUBLE) + 5e-1)
@@ -75,24 +75,20 @@ _BM25_TAIL = """contrib AS (
   SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
          count(*) AS n_terms
   FROM contrib GROUP BY doc_id
-)
+)"""
+
+_BM25_TAIL = (
+    _BM25_SCORED
+    + """
 SELECT doc_id, n_terms, score_micro
 FROM scored
 ORDER BY score_micro DESC, doc_id
 LIMIT {topk}"""
+)
 
 
-def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k documents by Okapi BM25 for the fixed query-term set.
-
-    Scale shape: the corpus-sized work is one explode + a grouped
-    count RESTRICTED to query terms (the filter lands before the
-    shuffle, so the tf relation carries |q| rows per matching doc,
-    not the whole posting list), plus one map-side-combinable (N,
-    sum dl) corpus agg. The per-term stats relation is |q| rows and
-    broadcast-joins into the contribution projection; top-k is
-    TakeOrdered on an integer score — no global sort at any scale.
-    """
+def _bm25_register(spark: SparkSession, sf_dir: str) -> None:
+    """Build and register the exact-integer tf/stats relations."""
     from youtube_etl_automated_pipeline_spark.ext.textstats import (
         normalized_text,
         tokens,
@@ -123,6 +119,20 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf.createOrReplaceTempView("_bm25_tf")
     stats.createOrReplaceTempView("_bm25_stats")
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by Okapi BM25 for the fixed query-term set.
+
+    Scale shape: the corpus-sized work is one explode + a grouped
+    count RESTRICTED to query terms (the filter lands before the
+    shuffle, so the tf relation carries |q| rows per matching doc,
+    not the whole posting list), plus one map-side-combinable (N,
+    sum dl) corpus agg. The per-term stats relation is |q| rows and
+    broadcast-joins into the contribution projection; top-k is
+    TakeOrdered on an integer score — no global sort at any scale.
+    """
+    _bm25_register(spark, sf_dir)
     return spark.sql(
         "WITH "
         + _BM25_TAIL.format(tf="_bm25_tf", stats="_bm25_stats", topk=BM25_TOPK)
@@ -132,14 +142,13 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_RETRIEVAL["bm25_search_docs"] = bm25_search_docs
 
 
-def _bm25_oracle() -> str:
+def _bm25_base_cte() -> str:
+    """DuckDB CTE chain producing the same tf/stats relations."""
     from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
 
     terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
     norm = f"lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))"
-    return (
-        f"""
-WITH toked AS (
+    return f"""toked AS (
   SELECT doc_id,
          list_filter(string_split_regex({norm}, '{WS_CLASS}+'),
                      x -> x <> '') AS toks
@@ -157,12 +166,15 @@ WITH toked AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df, n_docs, sum_dl
   FROM tf CROSS JOIN corpus
   GROUP BY term, n_docs, sum_dl
-), """
-        + _BM25_TAIL.format(tf="tf", stats="stats", topk=BM25_TOPK)
-    )
+)"""
 
 
-ORACLES_RETRIEVAL["bm25_search_docs"] = _bm25_oracle()
+ORACLES_RETRIEVAL["bm25_search_docs"] = (
+    "WITH "
+    + _bm25_base_cte()
+    + ", "
+    + _BM25_TAIL.format(tf="tf", stats="stats", topk=BM25_TOPK)
+)
 
 
 # ------------------------------------------------------------------
@@ -469,3 +481,126 @@ FROM cum
 
 
 ORACLES_RETRIEVAL["auc_mann_whitney"] = _auc_oracle()
+
+
+# ------------------------------------------------------------------
+# Reciprocal-rank fusion: combine the BM25 relevance ranking with an
+# independent quality ranking ("the"-marker count — stand-in for any
+# model-based quality prior) via RRF(d) = sum_r 1/(60 + rank_r(d)),
+# the standard zero-tuning ranker combiner (Cormack et al.). The
+# per-ranking reciprocal is an EXACT integer: round(1e6/(60+rank)) =
+# (2e6 + (60+rank)) div (2*(60+rank)) — no floats anywhere in the
+# operator, so fusion is bit-exact by construction.
+
+RRF_K = 60
+RRF_C = 50  # candidates taken from each ranking
+RRF_TOPK = 10
+
+
+def _rrf_micro(rank_col: str) -> str:
+    """Shared SQL: round(1e6 / (RRF_K + rank)) in pure integers."""
+    d = f"({RRF_K} + {rank_col})"
+    return f"((2000000 + {d}) div (2 * {d}))"
+
+
+def rrf_fused_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k docs by reciprocal-rank fusion of BM25 relevance and a
+    quality ranking (truncated to the top ``RRF_C`` of each).
+
+    Scale shape: each ranking is reduced to its top-C candidates via
+    TakeOrdered on exact-integer keys BEFORE any window — the
+    row_number that assigns ranks runs over C rows, never the corpus
+    — so the fusion join touches at most 2C rows at any data size.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        marker_count,
+        normalized_text,
+    )
+
+    _bm25_register(spark, sf_dir)
+    rel_c = (
+        spark.sql(
+            "WITH "
+            + _BM25_SCORED.format(tf="_bm25_tf", stats="_bm25_stats")
+            + " SELECT doc_id, score_micro FROM scored"
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(RRF_C)
+    )
+    w_rel = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    rel = rel_c.select(
+        "doc_id", F.row_number().over(w_rel).cast("long").alias("rank_rel")
+    )
+
+    qual_c = (
+        load_wide(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            marker_count(normalized_text(F.col("text")), "the").alias("q"),
+        )
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(RRF_C)
+    )
+    w_q = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    qual = qual_c.select(
+        "doc_id", F.row_number().over(w_q).cast("long").alias("rank_qual")
+    )
+
+    fused = rel.join(qual, "doc_id", "full").select(
+        "doc_id",
+        "rank_rel",
+        "rank_qual",
+        (
+            F.coalesce(F.expr(_rrf_micro("rank_rel")), F.lit(0))
+            + F.coalesce(F.expr(_rrf_micro("rank_qual")), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(
+        RRF_TOPK
+    )
+
+
+QUERIES_RETRIEVAL["rrf_fused_search"] = rrf_fused_search
+
+
+def _rrf_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
+
+    norm = f"lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))"
+    # DuckDB's integer division operator is //
+    rel_micro = _rrf_micro("rank_rel").replace(" div ", " // ")
+    qual_micro = _rrf_micro("rank_qual").replace(" div ", " // ")
+    return (
+        "WITH "
+        + _bm25_base_cte()
+        + ", "
+        + _BM25_SCORED.format(tf="tf", stats="stats")
+        + f""", rel AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS rank_rel FROM (
+    SELECT doc_id, row_number() OVER
+      (ORDER BY score_micro DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {RRF_C}
+), qual AS (
+  SELECT doc_id, CAST(rn AS BIGINT) AS rank_qual FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all({norm}, '\\bthe\\b')) AS q
+      FROM documents WHERE text IS NOT NULL
+    )
+  ) WHERE rn <= {RRF_C}
+), fused AS (
+  SELECT COALESCE(rel.doc_id, qual.doc_id) AS doc_id,
+         rank_rel, rank_qual,
+         COALESCE({rel_micro}, 0) + COALESCE({qual_micro}, 0)
+           AS rrf_micro
+  FROM rel FULL OUTER JOIN qual ON rel.doc_id = qual.doc_id
+)
+SELECT doc_id, rank_rel, rank_qual, rrf_micro
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {RRF_TOPK}"""
+    )
+
+
+ORACLES_RETRIEVAL["rrf_fused_search"] = _rrf_oracle()
