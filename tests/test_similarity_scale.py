@@ -178,3 +178,55 @@ def test_ivfpq_results_structurally_valid(spark):
         assert all(r.adc_units >= 0 for r in rs)
         units = [r.adc_units for r in sorted(rs, key=lambda r: r.rank)]
         assert units == sorted(units), "rank must follow adc_units"
+
+
+def test_hard_negatives_are_hardest_cross_label(spark):
+    """Every mined negative has a different label than its anchor, and
+    the rank-1 negative is the TRUE cross-label argmax (python brute
+    force over the same normalize-then-dot arithmetic)."""
+    import math
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        HN_ANCHORS,
+        HN_TOPK,
+        hard_negative_mining,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "embeddings").collect()
+    vecs = {r.vec_id: (r.label, [float(x) for x in r.embedding]) for r in rows}
+
+    def u(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else [0.0] * len(v)
+
+    def cos(a, b):
+        s = 0.0
+        for x, y in zip(u(a), u(b)):
+            s += x * y
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    got = hard_negative_mining(spark, sf).collect()
+    per_anchor: dict[int, list] = {}
+    for r in got:
+        assert r.negative_label != r.anchor_label
+        per_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(per_anchor) == set(range(HN_ANCHORS))
+    for aid, rs in per_anchor.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, HN_TOPK + 1)
+        )
+        alab, avec = vecs[aid]
+        brute = sorted(
+            (
+                (-cos(avec, v), nid)
+                for nid, (lab, v) in vecs.items()
+                if nid >= HN_ANCHORS and lab != alab
+            ),
+        )[:HN_TOPK]
+        expect = [(nid, -negcos) for negcos, nid in brute]
+        assert [
+            (r.negative_id, r.cos_sim)
+            for r in sorted(rs, key=lambda r: r.rank)
+        ] == expect

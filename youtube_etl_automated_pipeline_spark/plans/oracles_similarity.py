@@ -498,3 +498,41 @@ ORDER BY cluster_id
 
 
 ORACLES_SIMILARITY["cluster_label_purity"] = _purity_oracle()
+
+
+def _hn_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        HN_ANCHORS,
+        HN_TOPK,
+    )
+
+    return f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         embedding AS a_emb
+  FROM embeddings WHERE vec_id < {HN_ANCHORS}
+),
+c AS (
+  SELECT vec_id AS negative_id, label AS negative_label,
+         embedding AS c_emb
+  FROM embeddings WHERE vec_id >= {HN_ANCHORS}
+),
+scored AS (
+  SELECT anchor_id, anchor_label, negative_id, negative_label,
+         {_cos_unit("a_emb", "c_emb")} AS cos_sim
+  FROM c CROSS JOIN a
+  WHERE negative_label <> anchor_label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label,
+       cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY anchor_id
+      ORDER BY cos_sim DESC, negative_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {HN_TOPK}
+ORDER BY anchor_id, rank
+"""
+
+
+ORACLES_SIMILARITY["hard_negative_mining"] = _hn_oracle()

@@ -615,3 +615,63 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_SIMILARITY["cluster_label_purity"] = cluster_label_purity
+
+
+HN_ANCHORS = 8  # anchors = vec_id < HN_ANCHORS (bounded, broadcastable)
+HN_TOPK = 3
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor vector, the
+    top-k most-similar vectors with a DIFFERENT label — the "hard
+    negatives" a contrastive or reranker trainer pairs against the
+    anchor (easy negatives are useless; the near-misses carry the
+    gradient).
+
+    Scale shape: the anchor set is a bounded broadcast side (same
+    posture as similarity_bruteforce_topk's query side); the corpus
+    is scanned once with the label-mismatch filter applied BEFORE
+    the cosine kernel, and per-anchor top-k is a window on the
+    filtered candidates. The natural 100 TB upgrade is routing the
+    corpus scan through the IVF buckets (similarity_ivf_topk) —
+    semantics identical, candidates pruned; the exact scan here is
+    the recall yardstick for that variant.
+    """
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    anchors = emb.filter(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        unit(F.col("embedding")).alias("a_u"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= HN_ANCHORS).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        unit(F.col("embedding")).alias("c_u"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            cosine_unit_cols("a_u", "c_u", dim).alias("cos_sim"),
+        )
+    )
+    return (
+        topk_by_query(scored, "anchor_id", "cos_sim", "negative_id", HN_TOPK)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+QUERIES_SIMILARITY["hard_negative_mining"] = hard_negative_mining
