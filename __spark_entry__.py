@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_resample import (
         QUERIES_RESAMPLE,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_eval import (
+        QUERIES_EVAL,
+    )
 
     return {
         **QUERIES,
@@ -117,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_STATS,
         **QUERIES_RETRIEVAL,
         **QUERIES_RESAMPLE,
+        **QUERIES_EVAL,
     }
 
 
@@ -185,6 +189,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_resample import (
         ORACLES_RESAMPLE,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_eval import (
+        ORACLES_EVAL,
+    )
 
     return {
         **ORACLES,
@@ -214,4 +221,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_STATS,
         **ORACLES_RETRIEVAL,
         **ORACLES_RESAMPLE,
+        **ORACLES_EVAL,
     }
