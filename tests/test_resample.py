@@ -80,7 +80,12 @@ def test_bootstrap_ci_matches_python_and_brackets_mean(spark):
     cdf = [float(c) for c in _POIS_CDF]
 
     def weight(ok, r):
-        u = _uniform(_h32(f"{BOOT_SALT}|{ok}|{r}"))
+        # one md5 per block of 4 replicates; slot r%4 takes hex chars
+        # [8*slot, 8*slot+8)
+        hx = hashlib.md5(
+            f"{BOOT_SALT}|{ok}|{r // 4}".encode()
+        ).hexdigest()
+        u = _uniform(int(hx[8 * (r % 4) : 8 * (r % 4) + 8], 16))
         for k, c in enumerate(cdf):
             if u < c:
                 return k

@@ -189,23 +189,55 @@ def bootstrap_ci_nation_revenue(
         ),
         F.col("o_custkey") == F.col("c_custkey"),
     )
+    # md5 amortization: one 128-bit digest yields FOUR independent
+    # 32-bit uniforms (hex slices), so each row hashes R/4 times, not
+    # R times — the digest is ~the whole per-row cost of the expansion
+    # and this quarters it in both engines identically.
+    blocks = orders.select(
+        "o_orderkey",
+        "c_nationkey",
+        units(F.col("o_totalprice"), 2).alias("cents"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_R // 4 - 1))
+        ).alias("blk"),
+    ).withColumn(
+        "hx",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(BOOT_SALT),
+                F.col("o_orderkey").cast("string"),
+                F.col("blk").cast("string"),
+            )
+        ),
+    )
+    # static 4-struct array (NOT a transform lambda: higher-order
+    # functions are CodegenFallback — interpreted per element — while
+    # a literal array of expressions stays in whole-stage codegen)
+    slots = F.array(
+        *[
+            F.struct(
+                (F.col("blk") * 4 + F.lit(s)).alias("r"),
+                F.conv(F.substring("hx", 1 + 8 * s, 8), 16, 10)
+                .cast("long")
+                .alias("h32"),
+            )
+            for s in range(4)
+        ]
+    )
     expanded = (
-        orders.select(
+        blocks.select(
             "o_orderkey",
             "c_nationkey",
-            units(F.col("o_totalprice"), 2).alias("cents"),
-            F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+            "cents",
+            F.explode(slots).alias("u"),
         )
-        .withColumn(
-            "h32",
-            md5_long(
-                F.concat_ws(
-                    "|",
-                    F.lit(BOOT_SALT),
-                    F.col("o_orderkey").cast("string"),
-                    F.col("r").cast("string"),
-                )
-            ),
+        .select(
+            "o_orderkey",
+            "c_nationkey",
+            "cents",
+            F.col("u.r").alias("r"),
+            F.col("u.h32").alias("h32"),
         )
         .withColumn("w", F.expr(_boot_weight_sql("h32")))
     )
@@ -244,21 +276,26 @@ QUERIES_RESAMPLE["bootstrap_ci_nation_revenue"] = bootstrap_ci_nation_revenue
 
 
 def _boot_oracle() -> str:
-    h = (
-        "CAST('0x' || substr(md5('"
+    hx = (
+        "md5('"
         + BOOT_SALT
         + "|' || CAST(o_orderkey AS VARCHAR) || '|'"
-        " || CAST(g.r AS VARCHAR)), 1, 8) AS BIGINT)"
+        " || CAST(g.blk AS VARCHAR))"
     )
     return f"""
-WITH expanded AS (
+WITH blocks AS (
   SELECT o_orderkey, c_nationkey,
          CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents,
-         g.r AS r,
-         {h} AS h32
+         g.blk AS blk,
+         {hx} AS hx
   FROM orders
   JOIN customer ON o_custkey = c_custkey,
-  generate_series(0, {BOOT_R - 1}) g(r)
+  generate_series(0, {BOOT_R // 4 - 1}) g(blk)
+), expanded AS (
+  SELECT o_orderkey, c_nationkey, cents,
+         blk * 4 + s.slot AS r,
+         CAST('0x' || substr(hx, 1 + 8 * s.slot, 8) AS BIGINT) AS h32
+  FROM blocks, generate_series(0, 3) s(slot)
 ), weighted AS (
   SELECT c_nationkey, r, {_boot_weight_sql("h32")} AS w, cents
   FROM expanded

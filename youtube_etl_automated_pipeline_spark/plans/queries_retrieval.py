@@ -88,34 +88,48 @@ LIMIT {topk}"""
 
 
 def _bm25_register(spark: SparkSession, sf_dir: str) -> None:
-    """Build and register the exact-integer tf/stats relations."""
+    """Build and register the exact-integer tf/stats relations.
+
+    Both are memo-persisted per sf_dir: tf is the query-term posting
+    subset (exactly what a retrieval system materializes as its
+    index), and three gate queries (bm25_search_docs,
+    rrf_fused_search, retrieval_rank_eval) share it — without the
+    memo each one re-tokenizes the full corpus.
+    """
     from youtube_etl_automated_pipeline_spark.ext.textstats import (
         normalized_text,
         tokens,
     )
-
-    docs = load_wide(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
     )
-    toked = docs.select(
-        "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
-    ).select("doc_id", "toks", F.size("toks").alias("dl"))
 
-    corpus = toked.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        toked.select(
-            "doc_id", "dl", F.explode("toks").alias("term")
+    def build_tf() -> DataFrame:
+        docs = load_wide(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
         )
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+        toked = docs.select(
+            "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
+        ).select("doc_id", "toks", F.size("toks").alias("dl"))
+        corpus = toked.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        tf = (
+            toked.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(*BM25_TERMS))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        # fold the 1-row corpus stats in so ONE persisted relation
+        # carries everything downstream queries need
+        return tf.crossJoin(F.broadcast(corpus))
+
+    wide = memo_persist(spark, ("bm25_tf", sf_dir), build_tf)
+    tf = wide.select("doc_id", "dl", "term", "tf")
     stats = (
-        tf.groupBy("term")
+        wide.groupBy("term", "n_docs", "sum_dl")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(corpus))
+        .select("term", "df", "n_docs", "sum_dl")
     )
     tf.createOrReplaceTempView("_bm25_tf")
     stats.createOrReplaceTempView("_bm25_stats")
@@ -219,20 +233,26 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long(F.col("doc_id").cast("string")) % 100).alias("bucket"),
         tokens(normalized_text(F.col("text"))).alias("toks"),
     )
-    bigr = toked.select(
-        "doc_id",
-        "bucket",
-        F.explode(
-            F.expr(
-                "filter(transform(toks, (x, i) ->"
-                " IF(i < size(toks) - 1,"
-                " named_struct('w1', x, 'w2', toks[i + 1]), NULL)),"
-                " s -> s IS NOT NULL)"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bucket", F.col("bg.w1"), F.col("bg.w2"))
-    train = bigr.filter(F.col("bucket") < LM_TRAIN_PCT)
-    test = bigr.filter(F.col("bucket") >= LM_TRAIN_PCT)
+
+    def bigrams(split: DataFrame) -> DataFrame:
+        return split.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(toks, (x, i) ->"
+                    " IF(i < size(toks) - 1,"
+                    " named_struct('w1', x, 'w2', toks[i + 1]), NULL)),"
+                    " s -> s IS NOT NULL)"
+                )
+            ).alias("bg"),
+        ).select("doc_id", F.col("bg.w1"), F.col("bg.w2"))
+
+    # split BEFORE tokenize/explode: the train pass explodes only the
+    # 80% split and the scoring pass only the 20% split — one corpus
+    # pass total, not two (the filter on a per-doc hash commutes with
+    # bigram generation).
+    train = bigrams(toked.filter(F.col("bucket") < LM_TRAIN_PCT))
+    test = bigrams(toked.filter(F.col("bucket") >= LM_TRAIN_PCT))
 
     c_big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bw"))
     c_ctx = c_big.groupBy("w1").agg(F.sum("c_bw").alias("c_w"))

@@ -595,17 +595,34 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_wide(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & F.col("lang").isNotNull()
     )
-    terms = (
-        docs.select(
-            "doc_id",
-            "lang",
-            (md5_long(F.col("doc_id").cast("string")) % 100).alias("bucket"),
-            F.explode(tokens(normalized_text(F.col("text")))).alias("term"),
-        )
-        .filter(F.col("term") != "")
+    bucketed = docs.select(
+        "doc_id",
+        "lang",
+        (md5_long(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+        "text",
     )
-    train = terms.filter(F.col("bucket") < NB_TRAIN_PCT)
-    test = terms.filter(F.col("bucket") >= NB_TRAIN_PCT)
+
+    # Split BEFORE tokenize/explode: each pass explodes only its own
+    # split (train aggregates touch 80%, scoring 20%) instead of
+    # exploding the full corpus and filtering after. Every aggregate
+    # below collapses map-side to a vocab/class-bounded shuffle, so
+    # recomputing the cheap explode per aggregate beats materializing
+    # a high-cardinality per-(doc,term) intermediate.
+    def split_terms(pred) -> DataFrame:
+        return (
+            bucketed.filter(pred)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    tokens(normalized_text(F.col("text")))
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+        )
+
+    train = split_terms(F.col("bucket") < NB_TRAIN_PCT)
+    test = split_terms(F.col("bucket") >= NB_TRAIN_PCT)
 
     cnts = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c_tc"))
     cls = cnts.groupBy("lang").agg(F.sum("c_tc").alias("t_c"))
