@@ -286,3 +286,77 @@ def test_global_sequence_build_is_lazy(spark):
         f"DataFrame build ran Spark jobs {jobs} (eager driver action "
         "leaked back in)"
     )
+
+
+def test_bm25_topk_is_take_ordered_no_cartesian(spark):
+    """BM25 must end in TakeOrderedAndProject (never a global sort)
+    and its joins must stay hash/broadcast equi-joins; the one-row
+    corpus-stats side rides a broadcast."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
+        bm25_search_docs,
+    )
+
+    plan = plan_of(bm25_search_docs(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_windows_run_over_limited_candidates(spark):
+    """Both RRF rank windows must sit ABOVE a limit: the global
+    row_number is assigned over the top-C candidate relation, never
+    the corpus (the unpartitioned window is only safe because a
+    TakeOrdered/limit bounds its input)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
+        rrf_fused_search,
+    )
+
+    plan = plan_of(rrf_fused_search(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idx, "expected rank windows in the RRF plan"
+    for i in win_idx:
+        below = "\n".join(lines[i:])
+        assert "Limit" in below or "TakeOrdered" in below, (
+            "rank window has no bounding limit beneath it:\n" + plan
+        )
+
+
+def test_bootstrap_expansion_aggregates_before_window(spark):
+    """The R-fold explode must collapse through a partial (map-side)
+    aggregation before any window: the CI ranking runs over
+    nations x R rows, never the expanded fact rows."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_resample import (
+        bootstrap_ci_nation_revenue,
+    )
+
+    plan = plan_of(bootstrap_ci_nation_revenue(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    gen = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    win = [i for i, l in enumerate(lines) if "Window" in l]
+    assert gen and win
+    # plans print top-down: the window (top) must have an aggregate
+    # between it and the generator (bottom)
+    between = "\n".join(lines[min(win): max(gen)])
+    assert "HashAggregate" in between, (
+        "no aggregate between explode and window:\n" + plan
+    )
+
+
+def test_lm_perplexity_bigrams_are_array_local(spark):
+    """Bigram generation must be a Generate over an array transform —
+    no window and no self-join anywhere below the counting aggs (the
+    positional-join formulation would shuffle the exploded corpus
+    twice)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_retrieval import (
+        lm_perplexity_buckets,
+    )
+
+    plan = plan_of(lm_perplexity_buckets(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly the grid/default/scalar joins — none of them windowed
+    # until the final (vocab-bounded) relations
+    assert plan.count("Generate explode") >= 2  # one per split
