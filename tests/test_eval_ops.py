@@ -129,3 +129,61 @@ def test_rank_eval_matches_python(spark):
     assert r.ndcg_micro == math.floor(dcg / idcg * 1e6 + 0.5)
     assert r.rr_micro == rr
     assert r.ndcg_micro <= 1_000_000
+
+
+def test_psi_matches_python_and_is_nonnegative(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_eval import (
+        PSI_BIN_CENTS,
+        PSI_MAX_BIN,
+        PSI_SPLIT_DATE,
+        psi_revenue_drift,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    import datetime as dt
+
+    split = dt.date.fromisoformat(PSI_SPLIT_DATE)
+    rows = load_table(spark, SF, "orders").selectExpr(
+        "CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT) AS cents",
+        "o_orderdate",
+    ).collect()
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        b = min(r.cents // PSI_BIN_CENTS, PSI_MAX_BIN)
+        e = (
+            1
+            if (
+                r.o_orderdate is not None
+                and (
+                    r.o_orderdate.date()
+                    if hasattr(r.o_orderdate, "date")
+                    else r.o_orderdate
+                )
+                < split
+            )
+            else 0
+        )
+        c = cells.setdefault(b, [0, 0])
+        c[0] += e
+        c[1] += 1 - e
+    tot_e = sum(v[0] for v in cells.values())
+    tot_l = sum(v[1] for v in cells.values())
+    nb = len(cells)
+
+    expect = {}
+    for b, (ne, nl) in cells.items():
+        pe = (ne + 1) / (tot_e + nb)
+        pl = (nl + 1) / (tot_l + nb)
+        expect[b] = (
+            ne,
+            nl,
+            math.floor(1e6 * (pl - pe) * math.log(pl / pe) + 0.5),
+        )
+
+    got = {
+        r.bin: (r.n_early, r.n_late, r.psi_term_micro)
+        for r in psi_revenue_drift(spark, SF).collect()
+    }
+    assert got == expect
+    # smoothed PSI terms are non-negative by construction
+    assert all(t >= 0 for (_, _, t) in got.values())

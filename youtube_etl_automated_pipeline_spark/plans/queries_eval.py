@@ -14,6 +14,10 @@
   against a graded relevance signal (number of distinct query terms
   a document contains): the offline ranking-quality metrics a
   retrieval stack regression-tests on.
+- ``psi_revenue_drift`` — population stability index decomposition
+  (per-bin smoothed PSI terms) between the early and late order
+  eras: the model-risk drift monitor that complements
+  ``distribution_drift_l1``.
 
 House bit-exactness pattern throughout: distributed passes reduce to
 exact integers (confusion counts, token counts, micro-quantized
@@ -326,3 +330,82 @@ def _rank_eval_oracle() -> str:
 
 
 ORACLES_EVAL["retrieval_rank_eval"] = _rank_eval_oracle()
+
+
+# ------------------------------------------------------------------
+# Population stability index — the industry-standard drift monitor
+# (complements distribution_drift_l1's L1 with the log-ratio-weighted
+# statistic a model-risk review asks for). Fixed-width value bins
+# (NOT percentile edges: k/10 interpolation positions are inexact
+# binary fractions, so decile boundaries could differ in the last
+# bit across engines and flip boundary rows between bins; fixed
+# integer-cents widths are bit-exact by construction). Laplace
+# smoothing makes every bin share strictly positive, so the log term
+# is total — no epsilon hacks, deterministic everywhere.
+
+PSI_SPLIT_DATE = "1998-01-01"  # same era split as distribution_drift_l1
+PSI_BIN_CENTS = 2_500_000  # $25k-wide value bins
+PSI_MAX_BIN = 19
+
+_PSI_TAIL = """tot AS (
+  SELECT sum(n_early) AS tot_e, sum(n_late) AS tot_l,
+         count(*) AS nbins
+  FROM {cells}
+)
+SELECT bin, n_early, n_late,
+  CAST(floor(1e6
+    * ((CAST(n_late + 1 AS DOUBLE) / CAST(tot_l + nbins AS DOUBLE))
+       - (CAST(n_early + 1 AS DOUBLE) / CAST(tot_e + nbins AS DOUBLE)))
+    * ln((CAST(n_late + 1 AS DOUBLE) / CAST(tot_l + nbins AS DOUBLE))
+       / (CAST(n_early + 1 AS DOUBLE) / CAST(tot_e + nbins AS DOUBLE)))
+    + 5e-1) AS BIGINT) AS psi_term_micro
+FROM {cells} CROSS JOIN tot"""
+
+
+def psi_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI decomposition of order-value drift between the
+    early (< PSI_SPLIT_DATE) and late eras: (bin, era counts, the
+    bin's smoothed PSI term in micro units). Total PSI = sum of
+    term column — left to the consumer so the per-bin diagnosis
+    (WHICH value band drifted) stays in the result.
+
+    Scale shape: one map-side-combinable (bin, era-counts) agg over
+    the orders scan; the PSI tail is engine-shared SQL over the
+    20-row bin relation. NULL order dates land in the late era
+    exactly like the L1 drift operator.
+    """
+    orders = load_wide(spark, sf_dir, "orders")
+    early = F.col("o_orderdate") < PSI_SPLIT_DATE
+    # integer `div` twin of the oracle's `//` — never a double ratio,
+    # which could round a boundary value into the next bin
+    cells = (
+        orders.select(
+            F.expr(
+                "least(CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT)"
+                f" div {PSI_BIN_CENTS}, {PSI_MAX_BIN})"
+            ).alias("bin"),
+            F.when(early, F.lit(1)).otherwise(F.lit(0)).alias("is_early"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_early").alias("n_early"),
+            F.sum(F.lit(1) - F.col("is_early")).alias("n_late"),
+        )
+    )
+    cells.createOrReplaceTempView("_psi_cells")
+    return spark.sql("WITH " + _PSI_TAIL.format(cells="_psi_cells"))
+
+
+QUERIES_EVAL["psi_revenue_drift"] = psi_revenue_drift
+
+ORACLES_EVAL["psi_revenue_drift"] = f"""
+WITH cells AS (
+  SELECT least(CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT)
+               // {PSI_BIN_CENTS}, {PSI_MAX_BIN}) AS bin,
+         CAST(sum(CASE WHEN o_orderdate < '{PSI_SPLIT_DATE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(sum(CASE WHEN o_orderdate < '{PSI_SPLIT_DATE}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+  FROM orders GROUP BY 1
+), {_PSI_TAIL.format(cells="cells")}
+"""
