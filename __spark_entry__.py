@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_eval import (
         QUERIES_EVAL,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_alloc import (
+        QUERIES_ALLOC,
+    )
 
     return {
         **QUERIES,
@@ -121,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_RETRIEVAL,
         **QUERIES_RESAMPLE,
         **QUERIES_EVAL,
+        **QUERIES_ALLOC,
     }
 
 
@@ -192,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_eval import (
         ORACLES_EVAL,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_alloc import (
+        ORACLES_ALLOC,
+    )
 
     return {
         **ORACLES,
@@ -222,4 +229,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_RETRIEVAL,
         **ORACLES_RESAMPLE,
         **ORACLES_EVAL,
+        **ORACLES_ALLOC,
     }
