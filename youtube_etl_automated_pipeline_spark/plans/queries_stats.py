@@ -626,19 +626,33 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cnts = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c_tc"))
     cls = cnts.groupBy("lang").agg(F.sum("c_tc").alias("t_c"))
+    # per-class doc counts WITHOUT an explode pass: a train doc
+    # contributes iff it has >= 1 non-empty token, which the array
+    # itself already tells us (one doc-level tokenize instead of a
+    # second tokenize+explode+distinct over the split); and since a
+    # doc has exactly one lang, n_train = sum of the per-class doc
+    # counts — a window over the 5-row relation, NOT another corpus
+    # pass (the old distinct-count arm re-tokenized the train split
+    # twice more).
     ndocs = (
-        train.select("doc_id", "lang")
-        .distinct()
+        bucketed.filter(F.col("bucket") < NB_TRAIN_PCT)
+        .filter(
+            F.size(
+                F.filter(
+                    tokens(normalized_text(F.col("text"))),
+                    lambda t: t != "",
+                )
+            )
+            > 0
+        )
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs_c"))
-    )
-    totals = cnts.agg(
-        F.count_distinct(F.col("term")).alias("v")
-    ).crossJoin(
-        train.select("doc_id").distinct().agg(
-            F.count(F.lit(1)).alias("n_train")
+        .withColumn(
+            "n_train",
+            F.sum("n_docs_c").over(Window.partitionBy()),
         )
     )
+    totals = cnts.agg(F.count_distinct(F.col("term")).alias("v"))
     classes = (
         cls.join(ndocs, "lang")
         .crossJoin(F.broadcast(totals))
