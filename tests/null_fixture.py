@@ -1,0 +1,82 @@
+"""Adversarial null-injected twin of a testdata directory.
+
+The driver-generated parquet contains ZERO nulls in any column, so the
+oracle gate alone never exercises null semantics (left-join miss
+paths, SUM/COUNT null-skipping, null group keys, concat-vs-concat_ws
+divergence...). This module derives a fixture with deterministic
+~6% nulls in the non-key, non-timestamp columns and the same file
+layout, so the SAME queries + oracles can be compared over it.
+
+Key columns (ids, join keys) and event timestamps stay non-null: the
+goal is to exercise VALUE null handling, not to redefine the data
+model (null join keys/timestamps would mostly test engines' null
+ORDER BY defaults, which genuinely differ and which every query
+already pins explicitly where it matters).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+NULL_PCT = 6
+
+# columns to null per table; everything else is copied verbatim
+NULLED: dict[str, tuple[str, ...]] = {
+    "documents": ("text", "lang", "source", "n_chars"),
+    "events": ("event_type", "value"),
+    "orders": ("o_totalprice", "o_orderdate", "o_orderpriority"),
+    "customer": ("c_acctbal", "c_mktsegment"),
+    "lineitem": (
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+    ),
+    "embeddings": ("label", "embedding"),
+}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _null_mask(table: str, col: str, n: int) -> list[bool]:
+    return [
+        int(
+            hashlib.md5(f"nullfx|{table}|{col}|{i}".encode()).hexdigest()[:8],
+            16,
+        )
+        % 100
+        < NULL_PCT
+        for i in range(n)
+    ]
+
+
+def build(src_dir: str, dst_dir: str) -> str:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
+        for col in NULLED.get(t, ()):
+            idx = tbl.schema.get_field_index(col)
+            field = tbl.schema.field(idx)
+            mask = _null_mask(t, col, len(tbl))
+            vals = tbl.column(idx).to_pylist()
+            nulled = [None if m else v for v, m in zip(vals, mask)]
+            tbl = tbl.set_column(
+                idx, field, pa.array(nulled, type=field.type)
+            )
+        pq.write_table(tbl, os.path.join(dst_dir, f"{t}.parquet"))
+    return dst_dir

@@ -47,13 +47,26 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish segment count: letter runs + digit runs + single
-    punctuation marks (a cheap proxy for subword token budgets)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    punctuation marks (a cheap proxy for subword token budgets).
+
+    NULL text counts as 0 (coalesce to '') in BOTH engines: Spark's
+    non-ANSI ``size(NULL)`` is -1 while DuckDB's ``len(NULL)`` is
+    NULL — without the pin the two diverge on null rows."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(BPE_ISH_PATTERN), 0
+        )
+    )
 
 
 def marker_count(text: Column, word: str) -> Column:
-    """Occurrences of a word (word-boundary regex)."""
-    return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), 0))
+    """Occurrences of a word (word-boundary regex); NULL text -> 0
+    (same size(NULL)=-1 vs len(NULL)=NULL pin as above)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(rf"\b{word}\b"), 0
+        )
+    )
 
 
 def lang_marker_counts(text: Column) -> dict[str, Column]:

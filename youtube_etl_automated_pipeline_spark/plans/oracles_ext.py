@@ -26,8 +26,11 @@ def _h8(expr: str) -> str:
 
 
 def _marker_cnt(lang: str) -> str:
+    # COALESCE(text, '') pins NULL-text marker counts to 0 in both
+    # engines (Spark size(NULL) = -1, DuckDB len(NULL) = NULL)
     parts = [
-        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in LANG_MARKERS[lang]
+        f"len(regexp_extract_all(COALESCE(text, ''), '\\b{w}\\b'))"
+        for w in LANG_MARKERS[lang]
     ]
     return "(" + " + ".join(parts) + ")"
 
@@ -62,7 +65,8 @@ ORACLES_EXT: dict[str, str] = {}
 ORACLES_EXT["text_token_stats"] = f"""
 SELECT doc_id, n_chars,
   CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
-  len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+  len(regexp_extract_all(COALESCE(text, ''), '{BPE_ISH_PATTERN}'))
+    AS n_bpe_tokens,
   length(regexp_replace(text, '[A-Za-z0-9{WS_CHARS}]', '', 'g')) AS n_punct,
   length(text) AS text_len
 FROM documents

@@ -81,13 +81,18 @@ def dp_noise_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def h(tag: str):
+        # coalesce the segment BEFORE hashing: concat_ws silently
+        # SKIPS null elements while DuckDB's || nulls the whole
+        # string — without the pin the two engines draw different
+        # noise for a null-segment cell (found by the null-fixture
+        # parity sweep)
         return md5_long(
             F.concat_ws(
                 "|",
                 F.lit(DP_SALT),
                 F.lit(tag),
                 F.col("c_nationkey").cast("string"),
-                F.col("c_mktsegment"),
+                F.coalesce(F.col("c_mktsegment"), F.lit("<null>")),
             )
         )
 
@@ -112,8 +117,8 @@ def _dp_h(tag: str) -> str:
         + DP_SALT
         + "|"
         + tag
-        + "|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),"
-        " 1, 8) AS BIGINT)"
+        + "|' || CAST(c_nationkey AS VARCHAR) || '|'"
+        " || COALESCE(c_mktsegment, '<null>')), 1, 8) AS BIGINT)"
     )
 
 
