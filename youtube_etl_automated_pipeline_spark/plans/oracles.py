@@ -126,10 +126,13 @@ SELECT
   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS published_at,
   strftime(ts + INTERVAL 5 HOUR, '%Y-%m-%d') AS published_date_local,
   strftime(ts + INTERVAL 5 HOUR, '%H:%M:%S') AS published_time_local,
-  CAST(trunc(value) AS BIGINT) // 3600 || ':' ||
+  -- null seconds -> '' (Spark's concat_ws skips null parts and
+  -- yields the empty string; pin the same here)
+  CASE WHEN value IS NULL THEN '' ELSE
+    CAST(trunc(value) AS BIGINT) // 3600 || ':' ||
     lpad(CAST((CAST(trunc(value) AS BIGINT) % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
     lpad(CAST(CAST(trunc(value) AS BIGINT) % 60 AS VARCHAR), 2, '0')
-    AS avg_view_duration_hms
+  END AS avg_view_duration_hms
 FROM events
 ORDER BY event_id
 """

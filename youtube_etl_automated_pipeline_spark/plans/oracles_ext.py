@@ -172,11 +172,13 @@ _MINW = (
 
 ORACLES_EXT["doc_rolling_hash"] = f"""
 WITH b AS (
-  SELECT doc_id, {_NORM} AS nrm FROM documents
+  -- null text = empty document (the mapInPandas kernel treats None
+  -- as '' -> zero hashes / zero length); COALESCE pins the twin
+  SELECT doc_id, COALESCE({_NORM}, '') AS nrm FROM documents
 )
 SELECT doc_id,
-  CAST({_FULL} AS BIGINT) AS rabin_full,
-  CAST({_MINW} AS BIGINT) AS min_window_hash,
+  CAST(COALESCE({_FULL}, 0) AS BIGINT) AS rabin_full,
+  CAST(COALESCE({_MINW}, 0) AS BIGINT) AS min_window_hash,
   length(nrm) AS norm_len
 FROM b
 ORDER BY doc_id

@@ -131,8 +131,9 @@ ORDER BY nation, c_acctbal, c_custkey
 # no whitespace, integer values
 ORACLES_JOINS_AGGS["user_event_type_map"] = """
 WITH per_type AS (
-  SELECT user_id, event_type, count(*) AS n
-  FROM events GROUP BY user_id, event_type
+  SELECT user_id, COALESCE(event_type, '<null>') AS event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
 )
 SELECT user_id,
        '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)

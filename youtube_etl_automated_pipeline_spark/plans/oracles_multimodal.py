@@ -15,7 +15,10 @@ from youtube_etl_automated_pipeline_spark.ext.multimodal import (
 from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
 
 _BIN_W = 256 // HIST_BINS
-_BL = "list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))"
+# COALESCE: null text is the EMPTY payload (to_media_table encodes
+# coalesce(text, '')), so the byte list must be [] here, not NULL
+_BL = ("list_transform(generate_series(1, length(COALESCE(text, ''))),"
+       " i -> ord(substr(COALESCE(text, ''), i, 1)))")
 _MEDIA_TYPE = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'"
     " WHEN 1 THEN 'audio' ELSE 'video' END"

@@ -155,10 +155,13 @@ SELECT
   show_name,
   broadcaster,
   category,
-  strftime(strptime(published_at, '%Y-%m-%dT%H:%M:%SZ') + INTERVAL 5 HOUR, '%Y-%m-%d')
-    AS published_date_local,
-  strftime(strptime(published_at, '%Y-%m-%dT%H:%M:%SZ') + INTERVAL 5 HOUR, '%H:%M:%S')
-    AS published_time_local,
+  -- COALESCE to '': the engine's utc_to_local_date_time contract is
+  -- ('','') on empty/malformed input (reference parity), and Spark
+  -- emits '' where strftime here would emit NULL
+  COALESCE(strftime(try_strptime(published_at, '%Y-%m-%dT%H:%M:%SZ')
+    + INTERVAL 5 HOUR, '%Y-%m-%d'), '') AS published_date_local,
+  COALESCE(strftime(try_strptime(published_at, '%Y-%m-%dT%H:%M:%SZ')
+    + INTERVAL 5 HOUR, '%H:%M:%S'), '') AS published_time_local,
   content_type,
   views,
   {_r("coalesce(minutes_watched, 0) / 60.0", 2)} AS watch_hours,

@@ -808,7 +808,11 @@ def cusum_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     import pandas as pd
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        # a dateless/priceless order can't join a weekly series; the
+        # same pin lives in the oracle's weekly CTE
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     weekly = (
         orders.select(
             F.col("o_orderpriority").alias("priority"),
@@ -889,6 +893,7 @@ WITH RECURSIVE weekly AS (
               AS BIGINT) AS week,
          CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS x
   FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY 1, 2
 ),
 tgt AS (

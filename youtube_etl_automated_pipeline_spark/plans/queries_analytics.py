@@ -425,8 +425,14 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the result bit-identical to the DuckDB recursive-CTE
     oracle — a float EWMA would drift across engines.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        # a NULL observation carries no signal: it must not update
+        # the recursion (the kernel's float->int cast would otherwise
+        # turn NaN into min-long garbage). Pinned identically in the
+        # oracle's ev CTE.
+        .filter(F.col("value").isNotNull())
     )
     parted = ev.repartition(
         ev.sparkSession.sparkContext.defaultParallelism, "user_id"
@@ -444,6 +450,7 @@ WITH RECURSIVE ev AS (
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
+  WHERE value IS NOT NULL
 ),
 r AS (
   SELECT user_id, rn, c AS e FROM ev WHERE rn = 1

@@ -51,7 +51,13 @@ def _pii_enriched(docs: DataFrame) -> DataFrame:
             F.lpad((did % 10000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.lit(""))
-    return docs.withColumn("text", F.concat(F.col("text"), email, ip, phone))
+    # COALESCE(text, '') BEFORE the concat: Spark's concat
+    # null-propagates, and downstream size(regexp_extract_all(NULL))
+    # is -1 while the DuckDB twin yields NULL — null text is pinned
+    # to the empty document in both engines
+    return docs.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), email, ip, phone)
+    )
 
 
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +156,7 @@ def _h8(expr: str) -> str:
 
 
 _PII_TEXT = (
-    "text"
+    "COALESCE(text, '')"
     " || CASE WHEN doc_id % 7 = 0 THEN ' Reach user' || CAST(doc_id AS VARCHAR)"
     "      || '@mail-example.com now.' ELSE '' END"
     " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"

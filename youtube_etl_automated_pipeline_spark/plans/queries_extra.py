@@ -196,18 +196,20 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
+
         # exact integer cents (compat.units contract): pandas float
         # sums would accumulate in a different order than the DuckDB
-        # oracle and can straddle a rounding boundary
-        ev_pdf = ev_pdf.assign(
-            _cents=np.floor(ev_pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5)
-            .astype("int64")
-        )
-        ord_pdf = ord_pdf.assign(
-            _cents=np.floor(
-                ord_pdf["o_totalprice"].to_numpy(dtype="float64") * 100.0 + 0.5
-            ).astype("int64")
-        )
+        # oracle and can straddle a rounding boundary. Nullable Int64
+        # (NOT a bare astype(int64)): a NULL value is NaN here and a
+        # bare cast turns it into min-long garbage, while SQL SUM
+        # skips nulls and count(*) still counts the row — the masked
+        # dtype reproduces exactly that (sum skips NA, size counts).
+        def cents(col: pd.Series) -> pd.api.extensions.ExtensionArray:
+            raw = np.floor(col.to_numpy(dtype="float64") * 100.0 + 0.5)
+            return pd.array(raw, dtype="Int64")
+
+        ev_pdf = ev_pdf.assign(_cents=cents(ev_pdf["value"]))
+        ord_pdf = ord_pdf.assign(_cents=cents(ord_pdf["o_totalprice"]))
         ea = ev_pdf.groupby("user_id")["_cents"].agg(["size", "sum"])
         oa = ord_pdf.groupby("user_id")["_cents"].agg(["size", "sum"])
         m = ea.join(oa, how="outer", lsuffix="_e", rsuffix="_o").fillna(0)

@@ -247,9 +247,13 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs scalar columns). Two hash aggregations — (user, type) counts
     then per-user map assembly — both partial-aggregated map-side."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    # a NULL event_type cannot be a map key (Spark raises
+    # NULL_MAP_KEY); pin it to a sentinel in BOTH engines so dirty
+    # rows stay counted instead of crashing the job
+    per_type = ev.groupBy(
+        "user_id",
+        F.coalesce("event_type", F.lit("<null>")).alias("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
     return (
         per_type.groupBy("user_id")
         .agg(
