@@ -36,7 +36,13 @@ NULLED: dict[str, tuple[str, ...]] = {
         "l_discount",
         "l_returnflag",
     ),
-    "embeddings": ("label", "embedding"),
+    # label only — NOT the vector itself: a null embedding is
+    # contract-invalid input for the similarity family (no geometric
+    # meaning; the constraint_violations / quarantine operators are
+    # the documented upstream gate), and the column-expression kernels
+    # (unit()/dot) already null-propagate consistently where vectors
+    # can be absent.
+    "embeddings": ("label",),
 }
 
 TABLES = (

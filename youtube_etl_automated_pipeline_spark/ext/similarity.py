@@ -143,10 +143,13 @@ def label_norm_stats(emb: DataFrame) -> DataFrame:
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
         r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)
+        # the NULL label is a legitimate SQL group (GROUP BY keeps
+        # it); a bare int() on it would crash the worker
+        first = pdf["label"].iloc[0]
         return pd.DataFrame(
             [
                 (
-                    int(pdf["label"].iloc[0]),
+                    None if pd.isna(first) else int(first),
                     len(pdf),
                     r6(norms.min()),
                     r6(norms.max()),

@@ -83,12 +83,14 @@ SELECT
   o_orderkey,
   o_custkey,
   o_totalprice,
-  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+  rank() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC)
     AS price_rank,
-  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS LAST, o_orderkey)
     AS prev_total,
   CAST(sum(CAST(floor((o_totalprice) * 100.0 + 0.5) AS BIGINT)) OVER (
-     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
     AS running_total
 FROM orders
@@ -123,7 +125,7 @@ SELECT c_custkey, c_nationkey AS nation, c_acctbal,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC NULLS LAST, c_custkey)
 ORDER BY nation, c_acctbal, c_custkey
 """
 

@@ -120,15 +120,23 @@ def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (one shuffle, two local sorts); no joins at all.
     """
     orders = load_table(spark, sf_dir, "orders")
-    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS LAST ordering pin + null-safe change detection: a NULL
+    # priority is a real dimension state (its own SCD2 run), so the
+    # change flag uses IS DISTINCT FROM semantics (eqNullSafe) in
+    # both engines instead of `!=`, whose NULL result would silently
+    # glue a null-priority row onto the previous run.
+    wo = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey")
+    )
     flagged = orders.select(
         "o_custkey",
         "o_orderpriority",
         F.to_date("o_orderdate").alias("day"),
         "o_orderkey",
         F.when(
-            F.lag("o_orderpriority").over(wo).isNull()
-            | (F.lag("o_orderpriority").over(wo) != F.col("o_orderpriority")),
+            ~F.lag("o_orderpriority")
+            .over(wo)
+            .eqNullSafe(F.col("o_orderpriority")),
             1,
         )
         .otherwise(0)
@@ -138,7 +146,7 @@ def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         F.sum("chg").over(
             Window.partitionBy("o_custkey")
-            .orderBy("day", "o_orderkey")
+            .orderBy(F.asc_nulls_last("day"), F.asc("o_orderkey"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
@@ -303,15 +311,16 @@ FROM orders GROUP BY 1 ORDER BY 1
 WITH flagged AS (
   SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE) AS day,
          o_orderkey,
-         CASE WHEN lag(o_orderpriority) OVER w IS NULL
-                OR lag(o_orderpriority) OVER w <> o_orderpriority
+         CASE WHEN lag(o_orderpriority) OVER w
+                   IS DISTINCT FROM o_orderpriority
               THEN 1 ELSE 0 END AS chg
   FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS LAST, o_orderkey)
 ),
 seg AS (
   SELECT *, CAST(sum(chg) OVER (
-    PARTITION BY o_custkey ORDER BY day, o_orderkey
+    PARTITION BY o_custkey ORDER BY day ASC NULLS LAST, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment
   FROM flagged
 )
@@ -597,7 +606,12 @@ def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     def n_rows(v):
         return len(v)
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        # a NULL value has no magnitude to concentrate: drop it in
+        # BOTH engines (the kernel's float->int cast would otherwise
+        # corrupt the sorted integer dot product with NaN garbage)
+        F.col("value").isNotNull()
+    )
     return (
         ev.groupBy("event_type")
         .agg(
@@ -615,6 +629,7 @@ WITH c AS (
   SELECT event_type,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ),
 r AS (
   SELECT event_type, cents,

@@ -225,8 +225,10 @@ def pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
     )
     pdf = orders.pandas_api()
+    # dropna=False: pandas' groupby default silently DROPS the null
+    # group, while SQL GROUP BY keeps it — pin to SQL semantics
     rolled = (
-        pdf.groupby("o_orderpriority")
+        pdf.groupby("o_orderpriority", dropna=False)
         .agg({"cents": ["count", "sum"]})
         .reset_index()
     )
@@ -242,7 +244,10 @@ def pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_ENGINE4["pandas_api_rollup"] = pandas_api_rollup
 
 ORACLES_ENGINE4["pandas_api_rollup"] = """
-SELECT o_orderpriority AS priority, count(*) AS n_orders,
+-- count(o_totalprice), not count(*): pandas' count aggregation
+-- counts NON-NULL values (NaN-skipping), the documented semantics of
+-- the pandas bridge this query showcases
+SELECT o_orderpriority AS priority, count(o_totalprice) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
 FROM orders
 GROUP BY o_orderpriority

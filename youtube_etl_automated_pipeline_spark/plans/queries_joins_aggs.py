@@ -149,9 +149,15 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_orderdate, o_orderkey). One shuffle on o_custkey shared by all
     three windows."""
     orders = load_table(spark, sf_dir, "orders")
-    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # explicit NULLS LAST on every nullable ordering key: Spark's ASC
+    # default is NULLS FIRST while DuckDB's is NULLS LAST — unpinned,
+    # a null order date silently reorders the running-sum prefix
+    # (caught by the null-fixture parity sweep)
+    by_date = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey")
+    )
     by_price = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+        F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")
     )
     return orders.select(
         "o_orderkey",
@@ -226,7 +232,10 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     single divisions of the same integers in both engines. One shuffle
     on nation shared by all three windows."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # NULLS LAST pin (Spark ASC default is NULLS FIRST, DuckDB's LAST)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), F.asc("c_custkey")
+    )
     return cust.select(
         "c_custkey",
         F.col("c_nationkey").alias("nation"),

@@ -331,7 +331,8 @@ def nth_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        # NULLS LAST pin: Spark ASC defaults NULLS FIRST, DuckDB LAST
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
@@ -369,7 +370,8 @@ SELECT DISTINCT o_custkey,
   last_value(o_orderkey) OVER w AS latest_order,
   count(*) OVER w AS n_orders
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY o_custkey
 """

@@ -348,16 +348,21 @@ def snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # classify by KEY-miss indicators, never by value nullness: a
+    # legitimately-null price on a matched key is NOT an insert/delete
+    # (null-fixture parity sweep finding — the oracle always used the
+    # join keys; the value-null shortcut only worked because the
+    # standard fixture has no nulls)
     o = old.select(
-        F.col("o_orderkey").alias("k"), F.col("cents").alias("old_cents")
+        F.col("o_orderkey").alias("ko"), F.col("cents").alias("old_cents")
     )
     n = new.select(
-        F.col("o_orderkey").alias("k"), F.col("cents").alias("new_cents")
+        F.col("o_orderkey").alias("kn"), F.col("cents").alias("new_cents")
     )
-    diff = o.join(n, "k", "full_outer").select(
-        "k",
-        F.when(F.col("old_cents").isNull(), F.lit("added"))
-        .when(F.col("new_cents").isNull(), F.lit("removed"))
+    diff = o.join(n, F.col("ko") == F.col("kn"), "full_outer").select(
+        F.coalesce(F.col("ko"), F.col("kn")).alias("k"),
+        F.when(F.col("ko").isNull(), F.lit("added"))
+        .when(F.col("kn").isNull(), F.lit("removed"))
         .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),

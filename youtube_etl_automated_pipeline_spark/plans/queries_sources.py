@@ -336,7 +336,10 @@ def binaryfile_media_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same from the documents table — proving the file round-trip and
     the scan are byte-faithful. At 100 TB each file is one task input
     (combinable via maxPartitionBytes); metadata-only queries
-    (count, sum(length)) never even read contents."""
+    (count, sum(length)) never even read contents. Caveat pinned by
+    the null-fixture sweep: binaryFile silently SKIPS zero-byte
+    files, so empty payloads never reach the scan (oracle mirrors
+    with a strlen > 0 filter)."""
     import os
 
     from youtube_etl_automated_pipeline_spark.sources import load_table
@@ -395,7 +398,10 @@ SELECT doc_id % 4 AS doc_bucket,
        CAST(sum(CAST('0x' || substr(md5(coalesce(text, '')), 1, 8) AS BIGINT))
             AS BIGINT) AS sum_hash
 FROM documents
-WHERE doc_id < 40
+-- binaryFile SKIPS zero-byte files (no splittable content), so docs
+-- whose payload is empty (null/'' text) never appear in the scan —
+-- the oracle mirrors that source behavior explicitly
+WHERE doc_id < 40 AND strlen(coalesce(text, '')) > 0
 GROUP BY doc_bucket
 ORDER BY doc_bucket
 """
