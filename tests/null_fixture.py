@@ -81,6 +81,20 @@ def build(src_dir: str, dst_dir: str) -> str:
             mask = _null_mask(t, col, len(tbl))
             vals = tbl.column(idx).to_pylist()
             nulled = [None if m else v for v, m in zip(vals, mask)]
+            if t == "orders" and col == "o_orderdate":
+                # Force at least one ALL-null-date customer: the
+                # per-row ~6% mask almost never nulls every order of
+                # one customer, so the "NULL lifetime / NULL group
+                # after a per-key min-max" class (survival_kaplan_meier
+                # round-3 advice) would stay unexercised. Pick the
+                # customer of the first row deterministically and null
+                # every one of their order dates.
+                cust = tbl.column("o_custkey").to_pylist()
+                victim = cust[0]
+                nulled = [
+                    None if ck == victim else v
+                    for v, ck in zip(nulled, cust)
+                ]
             tbl = tbl.set_column(
                 idx, field, pa.array(nulled, type=field.type)
             )

@@ -372,14 +372,21 @@ def psi_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combinable (bin, era-counts) agg over
     the orders scan; the PSI tail is engine-shared SQL over the
     20-row bin relation. NULL order dates land in the late era
-    exactly like the L1 drift operator.
+    exactly like the L1 drift operator. NULL prices are filtered
+    in BOTH twins: without the filter `least(NULL div w, 19)`
+    silently routes unknown-price orders into the top ($475k+) bin
+    because both engines' least() ignores NULLs — a drift histogram
+    must not count unknowns as extreme values, and relying on
+    least()'s null-skip staying aligned across engine versions is
+    fragile.
     """
     orders = load_wide(spark, sf_dir, "orders")
     early = F.col("o_orderdate") < PSI_SPLIT_DATE
     # integer `div` twin of the oracle's `//` — never a double ratio,
     # which could round a boundary value into the next bin
     cells = (
-        orders.select(
+        orders.where(F.col("o_totalprice").isNotNull())
+        .select(
             F.expr(
                 "least(CAST(floor(o_totalprice * 1e2 + 5e-1) AS BIGINT)"
                 f" div {PSI_BIN_CENTS}, {PSI_MAX_BIN})"
@@ -406,6 +413,8 @@ WITH cells AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
          CAST(sum(CASE WHEN o_orderdate < '{PSI_SPLIT_DATE}'
                        THEN 0 ELSE 1 END) AS BIGINT) AS n_late
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
 ), {_PSI_TAIL.format(cells="cells")}
 """

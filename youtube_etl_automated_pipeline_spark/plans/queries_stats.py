@@ -221,10 +221,20 @@ def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot wrap at any scale (cent-totals ~1e6 squared times 1e9
     users exceeds int64), collapsed to double only inside the final
     one-row statistic (exact integer -> double, deterministic).
+
+    Null pin: null-value events are dropped BEFORE the per-user
+    rollup in both twins (same policy as ewma/gini). Otherwise a
+    user whose values are all NULL gets x = NULL — counted in n by
+    count(*) but contributing nothing to sx/sxx, deflating the mean
+    and corrupting (sxx - sx^2/n)/(n-1). Dropping the events (not
+    coalescing to 0) keeps "no signal" users out of the arm sizes
+    entirely, which is the correct experimental-unit definition.
     """
     from youtube_etl_automated_pipeline_spark.ext.textstats import md5_long
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     per_user = (
         ev.groupBy("user_id")
         .agg(F.sum(units(F.col("value"), 2)).alias("x"))
@@ -248,7 +258,9 @@ ORACLES_STATS["ab_test_ztest"] = (
 WITH per_user AS (
   SELECT user_id,
          sum(CAST(floor(value * 1e2 + 5e-1) AS BIGINT)) AS x
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY user_id
 ), armed AS (
   SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
            % 2 AS arm,
@@ -327,11 +339,20 @@ def segment_priority_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # NULL categories are coalesced to a '<null>' sentinel BEFORE
+    # the joint count (same policy as user_event_type_map): the
+    # tail's cells LEFT JOIN matches on seg/pri equality, so a real
+    # NULL category would never match — its n_xy would read 0 while
+    # the margins and total still include it (sum of observed cells
+    # != N, phantom chi2 deviation) and count(DISTINCT) would drop
+    # it from r/c. The sentinel makes NULL a first-class category.
     joint = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderpriority").alias("pri"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("<null>")).alias("seg"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<null>")).alias(
+                "pri"
+            ),
         )
         .agg(F.count(F.lit(1)).alias("n_xy"))
     )
@@ -344,7 +365,9 @@ QUERIES_STATS["segment_priority_dependence"] = segment_priority_dependence
 ORACLES_STATS["segment_priority_dependence"] = (
     """
 WITH joint AS (
-  SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS n_xy
+  SELECT COALESCE(c_mktsegment, '<null>') AS seg,
+         COALESCE(o_orderpriority, '<null>') AS pri,
+         count(*) AS n_xy
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 ), """
@@ -481,7 +504,7 @@ _KM_TAIL = """wk AS (
   FROM {life} GROUP BY lifetime_wk
 ), risk AS (
   SELECT lifetime_wk, n_total, d,
-         CAST(sum(n_total) OVER (ORDER BY lifetime_wk DESC
+         CAST(sum(n_total) OVER (ORDER BY lifetime_wk DESC NULLS LAST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS n_risk
   FROM wk
@@ -490,7 +513,7 @@ _KM_TAIL = """wk AS (
          exp(sum(CASE WHEN d > 0 THEN
                ln((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
                   / CAST(n_risk AS DOUBLE))
-             ELSE 0e0 END) OVER (ORDER BY lifetime_wk ASC
+             ELSE 0e0 END) OVER (ORDER BY lifetime_wk ASC NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
   FROM risk
 )
@@ -510,6 +533,15 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     KM tail windows over distinct lifetime weeks — a few hundred
     rows regardless of input scale, so the unpartitioned cumulative
     windows there are O(weeks), never O(rows).
+
+    Null pin: customers whose order dates are ALL null have a NULL
+    lifetime — excluded in BOTH twins (a subject with unknown
+    follow-up time cannot enter a product-limit estimate). The
+    shared tail additionally pins NULLS LAST on both cumulative
+    windows: Spark's ASC default is NULLS FIRST while DuckDB's is
+    NULLS LAST, so an unpinned ORDER BY would put a null-lifetime
+    row's ln-term into every Spark running product and no DuckDB
+    one — the belt to the filter's braces.
     """
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -527,7 +559,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0))
         .alias("churned"),
-    )
+    ).where(F.col("lifetime_wk").isNotNull())
     life.createOrReplaceTempView("_km_life")
     return spark.sql("WITH " + _KM_TAIL.format(life="_km_life"))
 
@@ -549,6 +581,7 @@ WITH per_cust AS (
          CASE WHEN date_diff('day', last_day, maxd) > {CHURN_GAP_DAYS}
               THEN 1 ELSE 0 END AS churned
   FROM per_cust CROSS JOIN horizon
+  WHERE first_day IS NOT NULL AND last_day IS NOT NULL
 ), """
     + _KM_TAIL.format(life="life")
 )
