@@ -38,6 +38,41 @@ from pyspark.sql import functions as F
 
 UNIT_SCALE = 1_000_000.0
 
+# --- scale-parameterized k ------------------------------------------
+# SemDeDup / IVF need k to GROW with the corpus: with fixed k, cluster
+# size is O(n/k) and every per-cluster kernel (gram matmul, probe
+# scan) inherits an unbounded frame. Deriving k from the training-
+# sample count keeps E[cluster] ~ TRAIN_PER_CENTROID * TRAIN_MOD rows
+# at every scale (the faiss sizing rule: a few dozen-to-hundreds of
+# training vectors per centroid). TRAIN_PER_CENTROID is a power of
+# two so the oracle's ceil(count / 32.0) over a double is EXACT (n *
+# 2^-5 is always representable), matching Python's integer ceil
+# bit-for-bit. K_MAX bounds the driver collect (k x dim floats) and
+# the kernel-closure broadcast: 65536 x 64 doubles = 32 MB, the
+# practical ceiling before the centroid table itself must become a
+# joined relation instead of a closure constant.
+K_MIN = 8
+K_MAX = 65_536
+TRAIN_PER_CENTROID = 32
+
+
+def derive_k(n_train: int) -> int:
+    """k as a deterministic function of training-set size — the twin
+    of ``sql_derive_k`` (both compute exact integer ceil)."""
+    return max(K_MIN, min(K_MAX, -(-int(n_train) // TRAIN_PER_CENTROID)))
+
+
+def sql_derive_k(train_src: str) -> str:
+    """DuckDB expression computing the same k as ``derive_k`` from a
+    training CTE. Exact: count/32.0 is a power-of-two scaling of an
+    integer, so the double is the true rational and ceil agrees with
+    integer ceil."""
+    return (
+        f"(SELECT greatest({K_MIN}, least({K_MAX},"
+        f" CAST(ceil(count(*) / {float(TRAIN_PER_CENTROID)!r}) AS BIGINT)))"
+        f" FROM {train_src})"
+    )
+
 
 def _dist2_matrix(mat, cents):
     """n×k squared-L2 distances, accumulated left-to-right over dim
@@ -182,7 +217,7 @@ def sql_dist2(vec_expr: str, cent_expr: str, dim: int) -> str:
 
 
 def sql_kmeans_ctes(
-    dim: int, k: int = 8, iters: int = 3, train_src: str = "corpus",
+    dim: int, k: int | str = 8, iters: int = 3, train_src: str = "corpus",
     prefix: str = "",
 ) -> str:
     """CTE chain reproducing train_kmeans bit-for-bit on a
@@ -190,11 +225,19 @@ def sql_kmeans_ctes(
     training subset the Spark side passes in. Terminal CTE:
     {prefix}cent{iters} = (cid, cvec). ``prefix`` namespaces the CTE
     chain so several trainings (e.g. one per PQ subspace) can live in
-    one WITH clause."""
+    one WITH clause.
+
+    ``k`` may be an int literal OR a SQL scalar expression (e.g.
+    ``sql_derive_k("train")``) so the oracle derives the same
+    data-dependent k the Spark side computes — the init filter is a
+    row_number predicate rather than LIMIT so an expression works."""
     parts = [
         f"""{prefix}cent0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY emb_id) - 1 AS INTEGER) AS cid, v AS cvec
-  FROM (SELECT emb_id, v FROM {train_src} ORDER BY emb_id LIMIT {k})
+  SELECT CAST(_rn - 1 AS INTEGER) AS cid, v AS cvec
+  FROM (SELECT emb_id, v,
+               row_number() OVER (ORDER BY emb_id) AS _rn
+        FROM {train_src})
+  WHERE _rn <= {k}
 )"""
     ]
     for t in range(iters):

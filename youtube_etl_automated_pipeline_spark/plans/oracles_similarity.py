@@ -10,7 +10,6 @@ from __future__ import annotations
 from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
     IVF_QUERY_HI,
     IVF_QUERY_LO,
-    N_CENTROIDS,
     N_QUERIES,
 )
 
@@ -65,6 +64,7 @@ def _ivf_oracle(dim: int = 64) -> str:
     right distance folds, same exact-integer centroid means), then
     nprobe=2 query probing and nearest-bucket corpus assignment."""
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_derive_k,
         sql_dist2,
         sql_kmeans_ctes,
     )
@@ -92,7 +92,7 @@ WITH corpus AS (
 train AS (
   SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0
 ),
-{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS, train_src="train")},
+{sql_kmeans_ctes(dim, k=sql_derive_k("train"), iters=KMEANS_ITERS, train_src="train")},
 q_probes AS (
   SELECT emb_id AS query_id, cid AS cluster_id FROM (
     SELECT e.emb_id, c.cid,
@@ -335,6 +335,7 @@ def _ivfpq_oracle(dim: int = 64) -> str:
     + ADC from codes. Ranks by the floored integer units (exactly the
     Spark sort key), ties by neighbor_id."""
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_derive_k,
         sql_dist2,
         sql_kmeans_ctes,
     )
@@ -367,8 +368,8 @@ def _ivfpq_oracle(dim: int = 64) -> str:
         FROM rawcorpus)
 )""",
         f"sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0)",
-        sql_kmeans_ctes(dim, k=8, iters=KMEANS_ITERS, train_src="sample",
-                        prefix="cs"),
+        sql_kmeans_ctes(dim, k=sql_derive_k("sample"), iters=KMEANS_ITERS,
+                        train_src="sample", prefix="cs"),
     ]
     for m in range(PQ_M):
         off = m * sub
@@ -448,6 +449,7 @@ def _purity_oracle(dim: int = 64) -> str:
     assigned to its nearest centroid (cid ASC tiebreak), then the
     per-cluster majority-label census in integer ppm."""
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_derive_k,
         sql_dist2,
         sql_kmeans_ctes,
     )
@@ -467,7 +469,7 @@ WITH corpus AS (
 train AS (
   SELECT emb_id, v FROM corpus WHERE emb_id % {TRAIN_MOD} = 0
 ),
-{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS, train_src="train")},
+{sql_kmeans_ctes(dim, k=sql_derive_k("train"), iters=KMEANS_ITERS, train_src="train")},
 assigned AS (
   SELECT emb_id, cid AS cluster_id FROM (
     SELECT e.emb_id, c.cid,

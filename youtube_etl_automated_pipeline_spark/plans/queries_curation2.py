@@ -30,25 +30,134 @@ ORACLES_CURATION2: dict[str, str] = {}
 
 SEMDEDUP_TAU = 0.95
 
+# Hard cap on rows per prune-kernel group: a kernel frame is at most
+# 2 * CAP vectors (one block pair), so the matmul is <= (2*CAP)^2
+# and the pandas frame <= 2*CAP*dim doubles REGARDLESS of cluster
+# skew. 4096 * 64 * 8 B = 2 MB per frame, (8192)^2 sims = 0.5 GB of
+# transient float64 — comfortably inside one executor task. Derived
+# k keeps E[cluster] ~64 rows, so at healthy scale nblk == 1 and the
+# blocking adds nothing; it is the skew backstop, not the hot path.
+SEMDEDUP_BLOCK_CAP = 4096
+
+
+def blocked_pair_groups(m: DataFrame, cap: int) -> DataFrame:
+    """Explode (cluster_id, emb_id, v) into block-pair kernel groups
+    of bounded size.
+
+    Members sort into blocks of <= ``cap`` rows (row_number within
+    cluster, so the bound is EXACT, not expected-under-hashing); each
+    member is replicated once per partner block, keyed (cluster_id,
+    blk_lo, blk_hi). Group (b, b) covers within-block pairs, group
+    (lo, hi) covers only CROSS-block pairs — every within-cluster
+    pair lands in exactly one group, so pair work is identical to the
+    unblocked form while no kernel frame ever exceeds 2 * cap rows.
+    Replication factor is nblk = ceil(cluster/cap) — linear in
+    cluster size, against the quadratic kernel it bounds."""
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster_id")
+    sized = (
+        m.withColumn(
+            "_rn", F.row_number().over(wc.orderBy("emb_id")) - F.lit(1)
+        )
+        .withColumn("_csize", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "nblk", F.ceil(F.col("_csize") / F.lit(cap)).cast("int")
+        )
+        .withColumn("blk", (F.col("_rn") / F.lit(cap)).cast("int"))
+    )
+    partner = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("nblk") - F.lit(1)),
+            lambda p: F.struct(
+                F.least(F.col("blk"), p).alias("lo"),
+                F.greatest(F.col("blk"), p).alias("hi"),
+            ),
+        )
+    )
+    return sized.select(
+        "cluster_id", "emb_id", "v", "blk", partner.alias("g")
+    ).select(
+        "cluster_id",
+        F.col("g.lo").alias("blk_lo"),
+        F.col("g.hi").alias("blk_hi"),
+        "blk",
+        "emb_id",
+        "v",
+    )
+
+
+def _prune_dropped(blocked: DataFrame) -> DataFrame:
+    """(cluster_id, emb_id) rows for every member with a lower-id
+    within-cluster neighbor at cos >= tau — one numpy matmul per
+    block-pair group (the FAISS per-bucket posture). BLAS
+    accumulation order differs from the oracle's left-to-right fold
+    only at ~1e-15; the tau=0.95 decision margin is ~0.05 on both
+    sides (planted dups ~0.999, natural pairs < 0.5), so the drop
+    CLASSIFICATION — and therefore the integer census the gate
+    hashes — is identical."""
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["emb_id"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        lo = int(pdf["blk_lo"].iloc[0])
+        hi = int(pdf["blk_hi"].iloc[0])
+        if lo == hi:
+            order = ids.argsort(kind="stable")
+            ids, mat = ids[order], mat[order]
+            sims = mat @ mat.T
+            hit = np.triu(sims >= SEMDEDUP_TAU, k=1)
+            dropped = ids[hit.any(axis=0)]
+        else:
+            amask = pdf["blk"].to_numpy() == lo
+            ia, ib = ids[amask], ids[~amask]
+            sims = mat[amask] @ mat[~amask].T  # |A| x |B|, cross only
+            close = sims >= SEMDEDUP_TAU
+            a_lt_b = ia[:, None] < ib[None, :]  # ids unique, never ==
+            dropped = np.concatenate(
+                [
+                    ib[(close & a_lt_b).any(axis=0)],
+                    ia[(close & ~a_lt_b).any(axis=1)],
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(
+                    len(dropped), int(pdf["cluster_id"].iloc[0]), dtype="int32"
+                ),
+                "emb_id": dropped.astype("int64"),
+            }
+        )
+
+    return blocked.groupBy("cluster_id", "blk_lo", "blk_hi").applyInPandas(
+        kernel, "cluster_id int, emb_id long"
+    )
+
 
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster semantic-dedup census: members, dropped (cosine >=
     SEMDEDUP_TAU to a lower-id member of the same cluster), kept.
 
     Scale shape: k-means training is sample-sized (memoized per
-    sf_dir); assignment is map-only (centroids in the kernel
-    closure); the pair join shuffles on cluster_id only and the
-    quadratic term is bounded by cluster size — the whole point of
-    clustering before pruning. At 100 TB: one scan to assign, one
-    bounded self-join, one tiny census agg.
+    sf_dir) with k DERIVED from the sample count (ext.kmeans.derive_k
+    — SemDeDup's k grows with the corpus, keeping E[cluster] ~64
+    rows); assignment is map-only (centroids in the kernel closure);
+    the prune shuffles on (cluster_id, block pair) only, and
+    blocked_pair_groups caps every kernel frame at 2 *
+    SEMDEDUP_BLOCK_CAP rows, so a skewed cluster degrades into more
+    linear-cost groups instead of one quadratic OOM frame. At 100 TB:
+    one scan to assign, one bounded-group kernel pass, one dedup agg.
     """
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
         assign_nearest,
+        derive_k,
         train_kmeans,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         KMEANS_ITERS,
-        N_CENTROIDS,
         TRAIN_MOD,
         _trained,
         planted_corpus,
@@ -56,63 +165,45 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, uall, dim = planted_corpus(spark, sf_dir)
     u = uall.select("emb_id", F.col("u").alias("v"))
-    cents = _trained(
-        (sf_dir, "semdedup"),
-        lambda: train_kmeans(
-            u.filter(F.col("emb_id") % TRAIN_MOD == 0),
-            dim,
-            k=N_CENTROIDS,
-            iters=KMEANS_ITERS,
-        ),
-    )
+
+    def build():
+        train = u.filter(F.col("emb_id") % TRAIN_MOD == 0)
+        return train_kmeans(
+            train, dim, k=derive_k(train.count()), iters=KMEANS_ITERS
+        )
+
+    cents = _trained((sf_dir, "semdedup"), build)
     # carry_v: the prune kernel needs (cluster_id, v); threading the
     # vector through the map-only assignment pass avoids re-joining
     # the corpus on emb_id (a second wide shuffle of every vector).
     m = assign_nearest(u, "emb_id", cents, nprobe=1, carry_v=True).select(
         "emb_id", "cluster_id", "v"
     )
-
-    # Per-cluster prune as ONE numpy matmul (applyInPandas): the
-    # unit-vector gram matrix M @ M.T scores every within-cluster
-    # pair in a single vectorized kernel — ~100x cheaper than a
-    # pair-expanded join evaluating a dim-term expression per row,
-    # and it keeps the quadratic term bounded by cluster size exactly
-    # as SemDeDup intends (FAISS does the same per-bucket matmul).
-    # BLAS accumulation order differs from the oracle's left-to-right
-    # fold only at ~1e-15; the tau=0.95 decision margin is ~0.05 on
-    # both sides (planted dups ~0.999, natural pairs < 0.5), so the
-    # drop CLASSIFICATION — and therefore the integer census the gate
-    # hashes — is identical.
-    import pandas as pd  # noqa: F811
-
-    def prune_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
-
-        order = pdf["emb_id"].to_numpy().argsort(kind="stable")
-        ids = pdf["emb_id"].to_numpy()[order]
-        mat = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
-        sims = mat @ mat.T
-        np.fill_diagonal(sims, 0.0)
-        # dropped[j]: some i < j (lower emb_id) with cos >= tau
-        hit = np.triu(sims >= SEMDEDUP_TAU, k=1)
-        dropped = int(hit.any(axis=0).sum())
-        return pd.DataFrame(
-            {
-                "cluster_id": [int(pdf["cluster_id"].iloc[0])],
-                "n_members": [len(ids)],
-                "n_dropped": [dropped],
-            }
-        )
-
-    census = m.groupBy("cluster_id").applyInPandas(
-        prune_kernel, "cluster_id int, n_members bigint, n_dropped bigint"
+    blocked = blocked_pair_groups(m, SEMDEDUP_BLOCK_CAP)
+    # distinct: a member may be dropped via pairs in several block-
+    # pair groups; the census counts it once.
+    dropped = (
+        _prune_dropped(blocked)
+        .distinct()
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
-    return census.select(
-        "cluster_id",
-        "n_members",
-        "n_dropped",
-        (F.col("n_members") - F.col("n_dropped")).alias("n_kept"),
-    ).orderBy("cluster_id")
+    members = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_members")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 QUERIES_CURATION2["semantic_dedup_prune"] = semantic_dedup_prune
@@ -120,6 +211,7 @@ QUERIES_CURATION2["semantic_dedup_prune"] = semantic_dedup_prune
 
 def _semdedup_oracle(dim: int = 64) -> str:
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_derive_k,
         sql_dist2,
         sql_kmeans_ctes,
     )
@@ -127,7 +219,6 @@ def _semdedup_oracle(dim: int = 64) -> str:
         DUP_EVERY,
         DUP_OFFSET,
         KMEANS_ITERS,
-        N_CENTROIDS,
         TRAIN_MOD,
     )
 
@@ -158,7 +249,7 @@ corpus AS (
         FROM rawcorpus)
 ),
 sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0),
-{sql_kmeans_ctes(dim, k=N_CENTROIDS, iters=KMEANS_ITERS, train_src="sample", prefix="sd")},
+{sql_kmeans_ctes(dim, k=sql_derive_k("sample"), iters=KMEANS_ITERS, train_src="sample", prefix="sd")},
 assigned AS (
   SELECT emb_id, cid AS cluster_id FROM (
     SELECT e.emb_id, c.cid,

@@ -22,7 +22,12 @@ from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
 from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
 
 N_QUERIES = 5
-N_CENTROIDS = 8
+# Coarse-quantizer k is NOT a constant: it is derived from the
+# training-sample count (ext.kmeans.derive_k — ceil(n/32), clamped)
+# so cluster size stays ~64 corpus rows at EVERY scale. A fixed k
+# makes cluster size O(n/k): at 100 TB one IVF bucket would hold
+# n/8 vectors and every per-cluster kernel would OOM — the round-3
+# scale flaw this replaces.
 KMEANS_ITERS = 3
 NPROBE = 2
 TRAIN_MOD = 2  # k-means trains on the deterministic 1-in-2 modulo sample
@@ -72,10 +77,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join shuffles on cluster_id only. At 100 TB the
     corpus is scanned iters+1 times and nothing quadratic exists.
     """
-    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
-        assign_nearest,
-        train_kmeans,
-    )
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import assign_nearest
 
     emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
@@ -90,18 +92,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double(F.col("embedding")).alias("v"),
         ),
     )
-    # train on a deterministic modulo sample (the faiss posture: a few
-    # hundred vectors per centroid suffice) — training cost decoupled
-    # from corpus size, and the oracle re-derives the same subset
-    cents = _trained(
-        (sf_dir, "coarse"),
-        lambda: train_kmeans(
-            all_d.filter(F.col("emb_id") % TRAIN_MOD == 0),
-            dim,
-            k=N_CENTROIDS,
-            iters=KMEANS_ITERS,
-        ),
-    )
+    cents = _coarse_cents(sf_dir, all_d, dim)
 
     q = all_d.filter(
         (F.col("emb_id") >= IVF_QUERY_LO) & (F.col("emb_id") < IVF_QUERY_HI)
@@ -134,14 +125,39 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fail-fast ceiling for the exact within-label sweep: the self-join
+# evaluates block² pairs, so a block over this limit means the caller
+# picked the wrong operator for the corpus — raise with the LSH
+# pointer instead of silently launching an O(block²) stage. 65536²/2
+# ≈ 2.1e9 pairs is roughly the largest sweep a 32-core batch window
+# absorbs; past that only the banded path has a defensible cost.
+EXACT_BLOCK_LIMIT = 65_536
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label — the EXACT
     within-block baseline. The scale path (global, no blocking key
     needed, candidates ≪ n²) is ``dedup_embedding_lsh`` below; this
     form remains for corpora where an exact per-block sweep over a
-    small natural cluster key is acceptable."""
+    small natural cluster key is acceptable — and FAILS FAST (one
+    cheap count agg before the quadratic stage) when any label block
+    exceeds EXACT_BLOCK_LIMIT rather than letting the all-pairs join
+    grow O(n²/L) unbounded."""
     emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
+    biggest = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()
+    )
+    if biggest and biggest.m and biggest.m > EXACT_BLOCK_LIMIT:
+        raise ValueError(
+            f"dedup_embedding_cosine: largest label block has "
+            f"{biggest.m} vectors (> {EXACT_BLOCK_LIMIT}); the exact "
+            "within-block sweep is O(block^2) — use "
+            "dedup_embedding_lsh (banded candidates) at this scale."
+        )
     normed = emb.select("vec_id", unit(F.col("embedding")).alias("u"), "label")
     a = normed.select(
         F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a"), "label"
@@ -307,6 +323,11 @@ QUERIES_SIMILARITY = {
 
 
 PQ_M = 4  # subspaces
+# PQ_K is deliberately FIXED (unlike the derived coarse k): it is the
+# code width — k centroids = log2(k)-bit codes per subspace — a
+# storage-format constant, not a cluster-size bound. faiss likewise
+# fixes 256/subspace (8-bit) at any corpus scale; candidate-set size
+# is bounded by the coarse quantizer, whose k DOES scale.
 PQ_K = 8  # centroids per subspace (3-bit codes)
 PQ_ITERS = 2
 
@@ -322,6 +343,29 @@ def _trained(key: tuple, builder):
     if key not in _TRAINED:
         _TRAINED[key] = builder()
     return _TRAINED[key]
+
+
+def _coarse_cents(sf_dir: str, all_d, dim: int) -> list[list[float]]:
+    """The shared coarse IVF quantizer (similarity_ivf_topk and
+    cluster_label_purity train ONCE per sf_dir): k derives from the
+    modulo-sample count via ext.kmeans.derive_k, so bucket size stays
+    bounded as the corpus grows. Training on the deterministic sample
+    keeps cost decoupled from corpus size (the faiss posture), and
+    the oracle re-derives both the subset and k from the same counts."""
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        derive_k,
+        train_kmeans,
+    )
+
+    def build():
+        train = all_d.select("emb_id", "v").filter(
+            F.col("emb_id") % TRAIN_MOD == 0
+        )
+        return train_kmeans(
+            train, dim, k=derive_k(train.count()), iters=KMEANS_ITERS
+        )
+
+    return _trained((sf_dir, "coarse"), build)
 
 
 def _book_lit(book: list[list[float]]) -> str:
@@ -452,6 +496,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
         assign_nearest,
+        derive_k,
         train_kmeans,
     )
     from pyspark.sql import Window
@@ -475,7 +520,9 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coarse = _trained(
         (sf_dir, "coarse_u"),
-        lambda: train_kmeans(train, dim, k=N_CENTROIDS, iters=KMEANS_ITERS),
+        lambda: train_kmeans(
+            train, dim, k=derive_k(train.count()), iters=KMEANS_ITERS
+        ),
     )
     books = []
     for m in range(PQ_M):
@@ -556,10 +603,7 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only kernel; the purity rollup is one (cluster, label) agg
     plus a window over k rows.
     """
-    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
-        assign_nearest,
-        train_kmeans,
-    )
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import assign_nearest
     from pyspark.sql import Window
 
     emb = load_wide(spark, sf_dir, "embeddings")
@@ -573,15 +617,7 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         ),
     )
-    cents = _trained(
-        (sf_dir, "coarse"),
-        lambda: train_kmeans(
-            all_d.filter(F.col("emb_id") % TRAIN_MOD == 0).select("emb_id", "v"),
-            dim,
-            k=N_CENTROIDS,
-            iters=KMEANS_ITERS,
-        ),
-    )
+    cents = _coarse_cents(sf_dir, all_d, dim)
     assigned = assign_nearest(
         all_d.select("emb_id", "v"), "emb_id", cents, nprobe=1
     ).select("emb_id", "cluster_id")
