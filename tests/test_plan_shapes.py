@@ -323,6 +323,27 @@ def test_rrf_windows_run_over_limited_candidates(spark):
         )
 
 
+def test_vocab_coverage_windows_run_over_limited_top_tokens(spark):
+    """vocab_coverage_curve's rank/cumsum windows must sit above a
+    TakeOrdered/limit: round 3 ran them unpartitioned over the FULL
+    distinct-token relation (10^8-10^9 rows to one partition at
+    100 TB); the curve only needs the top max(VOCAB_KS) tokens."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_eval import (
+        vocab_coverage_curve,
+    )
+
+    plan = plan_of(vocab_coverage_curve(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert win_idx, "expected rank windows in the coverage plan"
+    for i in win_idx:
+        below = "\n".join(lines[i:])
+        assert "Limit" in below or "TakeOrdered" in below, (
+            "vocab window has no bounding limit beneath it:\n" + plan
+        )
+
+
 def test_bootstrap_expansion_aggregates_before_window(spark):
     """The R-fold explode must collapse through a partial (map-side)
     aggregation before any window: the CI ranking runs over

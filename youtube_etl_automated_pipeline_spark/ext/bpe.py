@@ -20,6 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from youtube_etl_automated_pipeline_spark.operators.lineage import (
+    truncate_lineage,
+)
+
 # word-type universe: lowercase ascii words, bounded length so the
 # symbol strings stay tiny and '|' is provably delimiter-safe
 BPE_WORD_RE = "^[a-z]+$"
@@ -75,7 +79,7 @@ def train_bpe(words: DataFrame, n_merges: int = BPE_MERGES) -> list[dict]:
     from pyspark.sql import functions as F
 
     merges: list[dict] = []
-    cur = words.localCheckpoint()
+    cur = words.transform(truncate_lineage)
     for step in range(1, n_merges + 1):
         top = (
             pair_counts(cur)
@@ -97,5 +101,5 @@ def train_bpe(words: DataFrame, n_merges: int = BPE_MERGES) -> list[dict]:
         )
         cur = cur.selectExpr(
             "word", "freq", f"{merge_fold_sql(x, y)} AS syms"
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
     return merges

@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from youtube_etl_automated_pipeline_spark.operators.lineage import (
+    truncate_lineage,
+)
+
 from youtube_etl_automated_pipeline_spark.ext.textstats import (
     md5_long,
     shingles,
@@ -119,8 +123,9 @@ def connected_components_two_phase(edges: DataFrame, max_iters: int = 30) -> Dat
     all its smaller neighbors to their minimum. Both preserve
     connectivity and never raise a node's reachable minimum; the
     fixpoint is a star per component rooted at its minimum. Lineage
-    is truncated per round with localCheckpoint (HDFS checkpoint on
-    a real cluster) so the plan stays O(1) deep.
+    is truncated per round with truncate_lineage (localCheckpoint by
+    default; spark.graft.checkpoint.reliable=true routes to a real
+    HDFS/S3 checkpoint on a cluster) so the plan stays O(1) deep.
     """
     nodes = (
         edges.selectExpr("src AS node")
@@ -131,7 +136,7 @@ def connected_components_two_phase(edges: DataFrame, max_iters: int = 30) -> Dat
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     for _ in range(max_iters):
         # LARGE-STAR over the full neighborhood: edge (u,v), v > u
@@ -144,7 +149,7 @@ def connected_components_two_phase(edges: DataFrame, max_iters: int = 30) -> Dat
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         # SMALL-STAR over smaller neighbors only: in canonical (a,b)
         # a<b form, the smaller-neighborhood of b is exactly its `a`
@@ -159,7 +164,7 @@ def connected_components_two_phase(edges: DataFrame, max_iters: int = 30) -> Dat
                 )
             )
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
             e = new_e
@@ -184,7 +189,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Iterative DataFrame algorithm done the scalable way: every
     iteration is one join + one aggregate (both shuffle on node id),
-    lineage truncated per iteration with localCheckpoint so the plan
+    lineage truncated per iteration with truncate_lineage so the plan
     stays O(1) deep (on a cluster: checkpoint to HDFS instead).
     Convergence in O(component diameter) rounds — near-dup clusters
     are dense, so typically 2-3. RAISES if max_iters is reached
@@ -202,7 +207,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     changed = -1
     for _ in range(max_iters):
@@ -220,7 +225,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         changed = (
             new_labels.alias("n")

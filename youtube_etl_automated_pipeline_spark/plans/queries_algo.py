@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
+from youtube_etl_automated_pipeline_spark.operators.lineage import (
+    truncate_lineage,
+)
 from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
     memo_persist,
 )
@@ -198,7 +201,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint: the reached set feeds every later anti-join
         # AND the final census; lazy so materialization stays inside
         # the first action (same rationale as _edges).
-        reached = reached.unionByName(fresh).localCheckpoint(eager=False)
+        reached = truncate_lineage(reached.unionByName(fresh), eager=False)
         frontier = fresh
     return (
         reached.groupBy("hops")
@@ -1270,8 +1273,8 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arcs.dst == F.col("dnode"),
                 "left_semi",
             )
-            .localCheckpoint(eager=False)
         )
+        arcs = truncate_lineage(arcs, eager=False)
         nodes_now = (
             arcs.select(F.col("src").alias("node"))
             .distinct()

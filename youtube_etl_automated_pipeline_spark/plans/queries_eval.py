@@ -138,11 +138,16 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frequency-desc, token-asc total order).
 
     Scale shape: explode + one map-side-combinable (token, n) count;
-    ranking and the running sum are windows over the vocab-bounded
-    relation (a deliberate tiny-relation stage — the synthetic vocab
-    is O(100); a web corpus prunes with HAVING n >= min_count
-    first). Shares ride decimal(38,0) so token mass at 100 TB (~1e13
-    x 1e6) cannot wrap.
+    the curve only needs coverage at k <= max(VOCAB_KS), so the
+    ranking takes the top-1000 tokens via TakeOrderedAndProject (a
+    distributed per-partition top-k + tiny driver merge — the
+    rrf_fused_search pattern) and the rank/cumsum windows run over
+    that <= 1000-row relation. Total mass and vocab size come from
+    one scalar aggregate. Round 3 ran both windows UNPARTITIONED over
+    the FULL vocab — 10^8-10^9 distinct tokens moved to one partition
+    at 100 TB; this shape never materializes more than max-k rows in
+    one place. Shares ride decimal(38,0) so token mass at 100 TB
+    (~1e13 x 1e6) cannot wrap.
     """
     from youtube_etl_automated_pipeline_spark.ext.textstats import (
         normalized_text,
@@ -160,8 +165,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max(VOCAB_KS))
     w_rank = Window.orderBy(F.desc("n"), F.asc("token"))
-    ranked = counts.select(
+    ranked = top.select(
         "n", F.row_number().over(w_rank).alias("rank")
     ).withColumn(
         "cum",
@@ -171,8 +177,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    totals = ranked.agg(
-        F.max("rank").alias("v"), F.sum("n").alias("total")
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("int").alias("v"),
+        F.sum("n").alias("total"),
     )
     ks = totals.select(
         F.explode(F.array(*[F.lit(k) for k in VOCAB_KS])).alias("k"),
@@ -180,7 +187,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
     ).select("k", F.least("k", "v").alias("vocab_used"), "total")
     return ks.join(
-        ranked.select("rank", "cum"),
+        F.broadcast(ranked.select("rank", "cum")),
         ks.vocab_used == F.col("rank"),
     ).select(
         "k",

@@ -293,20 +293,66 @@ ORDER BY doc_id, pos
 """
 
 
+# Per-stratum acceptance thresholds as EXACT integers over the md5
+# 32-bit uniform: accept iff u < floor(frac * 2^32). floor() once in
+# Python so both engines compare against the identical literal — no
+# float fraction ever crosses the engine boundary.
+STRAT_FRACTIONS = {
+    "click": 0.5,
+    "view": 0.25,
+    "purchase": 1.0,
+    "signup": 1.0,
+    "error": 0.1,
+}
+_STRAT_TH = {t: int(f * 2**32) for t, f in STRAT_FRACTIONS.items()}
+
+
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): per-event-type fractions with a
-    fixed seed — the data-curation primitive for class rebalancing.
-    Deterministic within Spark (seeded Bernoulli per row) but not
-    reproducible in another engine -> rows-only gate; the unit test
-    asserts per-stratum rates within concentration bounds."""
+    """Stratified sampling census: per-event-type fractions applied
+    through a deterministic md5-acceptance gate (accept iff the row's
+    32-bit md5 uniform < floor(frac*2^32)) — the class-rebalancing
+    curation primitive, REPRODUCIBLE across engines and growth-stable
+    (a row's fate never changes when the corpus grows; the same
+    posture as corpus_importance_resample / train_val_test_split).
+    Replaced round 3's seeded sampleBy, whose Bernoulli stream was
+    engine-private and forced a rows-only gate.
+
+    Scale shape: one map-only hash + filter, one map-side-combinable
+    count agg — no shuffle beyond the k-row census. Types outside the
+    fraction map (and NULL types) fall to a NULL threshold, which the
+    strict < rejects in both engines — sampleBy's exclusion
+    semantics, pinned."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import md5_long
+
     ev = load_table(spark, sf_dir, "events")
-    fractions = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
-    sampled = ev.sampleBy("event_type", fractions, seed=42)
+    u = md5_long(
+        F.concat(F.lit("strat|"), F.col("event_id").cast("string"))
+    )
+    th = None
+    for t, v in sorted(_STRAT_TH.items()):
+        cond = F.when(F.col("event_type") == t, F.lit(v))
+        th = cond if th is None else th.when(
+            F.col("event_type") == t, F.lit(v)
+        )
     return (
-        sampled.groupBy("event_type")
+        ev.where(u < th)
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("event_type")
     )
 
 
 QUERIES_EXTRA["stratified_sample_events"] = stratified_sample_events
+
+_STRAT_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {v}" for t, v in sorted(_STRAT_TH.items())
+) + " END"
+
+ORACLES_EXTRA["stratified_sample_events"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+FROM events
+WHERE CAST('0x' || substr(md5('strat|' || CAST(event_id AS VARCHAR)), 1, 8)
+           AS BIGINT) < {_STRAT_CASE}
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from youtube_etl_automated_pipeline_spark.operators.lineage import (
+    truncate_lineage,
+)
 from youtube_etl_automated_pipeline_spark.sources import load_table
 
 PR_SCALE = 1_000_000_000_000  # rank mass units (sum over nodes ~= SCALE)
@@ -60,10 +63,10 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # it the orders x lineitem build re-executes PR_ITERS+1 times
         # and the growing plan re-optimizes per action (noisy 4-13s at
         # sf0.1; ~2.5s checkpointed). Lazy so materialization stays
-        # inside the first action. On a real cluster use reliable
-        # checkpoint / a pre-bucketed edges table (same note as
-        # ext.dedup clustering).
-        return fwd.unionByName(rev).localCheckpoint(eager=False)
+        # inside the first action. spark.graft.checkpoint.reliable=true
+        # swaps in a real DFS checkpoint (or pre-bucket the edges
+        # table); same note as ext.dedup clustering.
+        return truncate_lineage(fwd.unionByName(rev), eager=False)
 
     # memo_persist: PageRank and BFS share one edge relation per
     # sf_dir — the "materialize the graph staging table once" posture.
