@@ -639,6 +639,8 @@ def weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 1_000_000
     )
+    # sf bound: bucket < 1e6 by construction (md5 % 1e6), so
+    # bucket * 1e6 < 1e12 — inside int64 at any corpus size
     pri = F.expr("CAST((bucket * 1000000) DIV w AS BIGINT)")
     return (
         docs.select(

@@ -688,7 +688,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to_type",
             "n_transitions",
             F.expr(
-                "CAST((n_transitions * 1000000) DIV row_sum AS BIGINT)"
+                # decimal(38,0): a transition cell is O(corpus rows); cells *
+                # 1e6 would wrap bigint near 9.2e12 rows
+                "CAST(CAST(n_transitions AS DECIMAL(38,0)) * 1000000"
+                " DIV row_sum AS BIGINT)"
             ).alias("share_ppm"),
         )
         .orderBy("from_type", "to_type")
@@ -897,15 +900,24 @@ def distribution_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_early",
             "n_late",
-            F.expr("CAST((n_early * 1000000) DIV tot_early AS BIGINT)").alias(
+            # decimal(38,0) on all era-share numerators: era counts are
+            # O(corpus rows); * 1e6 wraps bigint near 9.2e12 rows
+            F.expr(
+                "CAST(CAST(n_early AS DECIMAL(38,0)) * 1000000"
+                " DIV tot_early AS BIGINT)"
+            ).alias(
                 "share_early_ppm"
             ),
-            F.expr("CAST((n_late * 1000000) DIV tot_late AS BIGINT)").alias(
+            F.expr(
+                "CAST(CAST(n_late AS DECIMAL(38,0)) * 1000000"
+                " DIV tot_late AS BIGINT)"
+            ).alias(
                 "share_late_ppm"
             ),
             F.expr(
-                "CAST(abs((n_early * 1000000) DIV tot_early"
-                " - (n_late * 1000000) DIV tot_late) AS BIGINT)"
+                "CAST(abs(CAST(n_early AS DECIMAL(38,0)) * 1000000 DIV tot_early"
+                " - CAST(n_late AS DECIMAL(38,0)) * 1000000 DIV tot_late)"
+                " AS BIGINT)"
             ).alias("abs_diff_ppm"),
         )
         .orderBy("bucket")
@@ -962,7 +974,10 @@ def user_burst_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_per_min",
             "n_active_minutes",
             F.expr(
-                "CAST((peak_per_min * 1000000) DIV n_events AS BIGINT)"
+                # decimal(38,0): peak_per_min is a count (adversarially
+                # unbounded for a hot key); keep the ppm wrap-proof
+                "CAST(CAST(peak_per_min AS DECIMAL(38,0)) * 1000000"
+                " DIV n_events AS BIGINT)"
             ).alias("burst_ppm"),
         )
         .orderBy(
@@ -1095,7 +1110,10 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "n_orders",
             "rev_cents",
-            F.expr("CAST((n_orders * 1000000) DIV tot_orders AS BIGINT)").alias(
+            F.expr(
+                "CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000"
+                " DIV tot_orders AS BIGINT)"
+            ).alias(
                 "order_share_ppm"
             ),
             # decimal(38,0) multiply: global cents * 1e6 wraps bigint
@@ -1390,7 +1408,11 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour",
             "n_events",
             "n_users",
-            F.expr("CAST((n_events * 1000000) DIV total AS BIGINT)").alias(
+            # decimal(38,0): dow-hour cells are O(corpus rows)
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+                " DIV total AS BIGINT)"
+            ).alias(
                 "share_ppm"
             ),
         )

@@ -123,6 +123,9 @@ def corpus_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "sum_chars",
         "sqrt_scale",
+        # sf bound: sqrt_scale = floor(sqrt(n_docs)) <= 3.2e6 even at
+        # 1e13 docs, so * 1e6 peaks ~3.2e12 — inside int64 with 6
+        # orders of margin; no decimal needed
         F.expr(
             "sqrt_scale * 1000000 div sum(sqrt_scale) over ()"
         ).alias("weight_ppm"),
@@ -612,7 +615,11 @@ def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n_docs",
             F.col("n_pos").cast("bigint").alias("n_pos"),
-            F.expr("CAST((n_pos * 1000000) DIV n_docs AS BIGINT)").alias(
+            # decimal(38,0): bin doc counts are O(corpus rows)
+            F.expr(
+                "CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias(
                 "pos_rate_ppm"
             ),
             F.expr("CAST(sum_score_ppm DIV n_docs AS BIGINT)").alias(

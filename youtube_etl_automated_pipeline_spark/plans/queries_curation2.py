@@ -330,7 +330,11 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "n_kept",
-            F.expr("CAST((n_kept * 1000000) DIV n_docs AS BIGINT)").alias(
+            # decimal(38,0): per-lang kept counts are O(corpus rows)
+            F.expr(
+                "CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias(
                 "kept_share_ppm"
             ),
             F.expr("CAST(sum_weight_ppm DIV n_docs AS BIGINT)").alias(
@@ -429,6 +433,9 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shingles",
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
             F.expr(
+                # sf bound: n_novel <= a DOCUMENT's shingle count (~1e5 for
+                # even a book-length doc), so * 1e6 peaks ~1e11 —
+                # per-doc bounded, corpus growth cannot wrap it
                 "CAST((coalesce(n_novel, 0) * 1000000) DIV n_shingles"
                 " AS BIGINT)"
             ).alias("novelty_ppm"),
@@ -761,7 +768,11 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med_chars",
             "mad_chars",
             "n_outliers",
-            F.expr("CAST((n_outliers * 1000000) DIV n_docs AS BIGINT)").alias(
+            # decimal(38,0): per-lang outlier counts are O(corpus rows)
+            F.expr(
+                "CAST(CAST(n_outliers AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias(
                 "outlier_ppm"
             ),
         )

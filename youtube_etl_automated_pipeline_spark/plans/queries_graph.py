@@ -305,7 +305,10 @@ def triangle_census(
             "triangles",
             F.expr(
                 "CASE WHEN wedges > 0"
-                " THEN CAST((3 * triangles * 1000000) DIV wedges AS BIGINT)"
+                # decimal(38,0): global triangle counts reach 1e15+ on
+                # social-scale graphs; 3T*1e6 wraps bigint at T~3e12
+                " THEN CAST(CAST(3 AS DECIMAL(38,0)) * triangles"
+                " * 1000000 DIV wedges AS BIGINT)"
                 " ELSE CAST(0 AS BIGINT) END"
             ).alias("clustering_ppm"),
         )
@@ -395,8 +398,12 @@ def triangle_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles",
             "deg",
             F.expr(
-                "CASE WHEN deg > 1 THEN CAST((2 * n_triangles * 1000000)"
-                " DIV (deg * (deg - 1)) AS BIGINT)"
+                # decimal(38,0): a hub's n_triangles is O(deg^2) — 1e12 at
+                # deg 1e6 — so 2T*1e6 would wrap; denominator
+                # deg*(deg-1) rides decimal for the same reason
+                "CASE WHEN deg > 1 THEN"
+                " CAST(CAST(2 AS DECIMAL(38,0)) * n_triangles * 1000000"
+                " DIV (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT)"
                 " ELSE CAST(0 AS BIGINT) END"
             ).alias("local_clustering_ppm"),
         )

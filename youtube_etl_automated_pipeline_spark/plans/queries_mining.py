@@ -245,7 +245,11 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             F.expr(
-                "CAST((n_ab * n_docs * 1000000) DIV (n_a * n_b) AS BIGINT)"
+                # decimal(38,0) BOTH sides: n_ab*n_docs ~1e9*1e11 = 1e20
+                # wraps int64 before the ppm scale even applies, and
+                # the n_a*n_b denominator wraps the same way
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_docs * 1000000"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "token_a", "token_b")

@@ -642,9 +642,12 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             F.col("label").alias("top_label"),
             F.col("n").alias("top_label_n"),
-            F.expr("CAST((n * 1000000) DIV n_vecs AS BIGINT)").alias(
-                "purity_ppm"
-            ),
+            # decimal(38,0): derived k bounds E[cluster], but a skewed
+            # cluster is still O(corpus rows) worst-case
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000"
+                " DIV n_vecs AS BIGINT)"
+            ).alias("purity_ppm"),
         )
         .orderBy("cluster_id")
     )
