@@ -20,6 +20,7 @@ from youtube_etl_automated_pipeline_spark.streaming.incremental import (
     run_stream_to_memory,
     session_window_agg,
     tumbling_window_agg,
+    tws_state_partitions,
 )
 
 
@@ -748,7 +749,11 @@ def streaming_tws_user_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         updates = run_stream_to_memory(
-            tws_user_peaks(stream), "tws_peaks", output_mode="update", skip_nodata=True
+            tws_user_peaks(stream),
+            "tws_peaks",
+            output_mode="update",
+            skip_nodata=True,
+            state_partitions=tws_state_partitions(),
         )
     finally:
         if prev is None:
@@ -789,7 +794,11 @@ def streaming_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         updates = run_stream_to_memory(
-            tws_user_topk(stream), "tws_topk", output_mode="update", skip_nodata=True
+            tws_user_topk(stream),
+            "tws_topk",
+            output_mode="update",
+            skip_nodata=True,
+            state_partitions=tws_state_partitions(),
         )
     finally:
         if prev is None:
@@ -829,7 +838,11 @@ def streaming_tws_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         updates = run_stream_to_memory(
-            tws_user_type_counts(stream), "tws_typemap", output_mode="update", skip_nodata=True
+            tws_user_type_counts(stream),
+            "tws_typemap",
+            output_mode="update",
+            skip_nodata=True,
+            state_partitions=tws_state_partitions(),
         )
     finally:
         if prev is None:
@@ -876,7 +889,10 @@ def streaming_tws_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream(spark, sf_dir)
         out = run_stream_to_memory(
-            tws_inactive_users(stream), "tws_inactive", output_mode="append"
+            tws_inactive_users(stream),
+            "tws_inactive",
+            output_mode="append",
+            state_partitions=tws_state_partitions(),
         )
     finally:
         if prev is None:

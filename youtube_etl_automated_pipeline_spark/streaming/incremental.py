@@ -131,25 +131,40 @@ def session_window_agg(
 
 
 @contextmanager
-def stream_state_partitions(spark):
+def stream_state_partitions(spark, n: int | str | None = None):
     """Pin the STREAMING state partition count for the duration of a
     query start: stateful operators fix their partition count at the
     first checkpoint, and inheriting the batch shuffle width means one
     state-store instance committing per partition per micro-batch —
     pure overhead whenever state is small relative to the width.
 
-    Size it to expected STATE volume, not scan width: the default 8
-    suits the gate/bench datasets; a real deployment sets
+    Size it to expected STATE volume, not scan width: the default 2
+    suits the gate/bench datasets (measured: the join/agg gate
+    queries run ~25-35% faster at 2 than at 8 — state-store commit
+    cost is per partition per batch, and gate state is kilobytes;
+    results are partition-count-invariant and the oracle parity gate
+    proves it). A real deployment sets
     ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` to hundreds before the
     FIRST run of a checkpoint (changing it later requires a state
-    rebuild — that is Spark's contract, not ours)."""
-    n = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    rebuild — that is Spark's contract, not ours). ``n`` overrides
+    per query: the TWS family passes ``tws_state_partitions()``
+    because its per-partition Python state workers PARALLELIZE real
+    work — narrowing those serializes it (measured slower at 2)."""
+    if n is None:
+        n = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def tws_state_partitions() -> int:
+    """State width for transformWithStateInPandas queries: wider than
+    the generic streaming default because each state partition runs a
+    real Python worker doing per-key compute."""
+    return int(os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS", "8"))
 
 
 def run_stream_to_memory(
@@ -157,6 +172,7 @@ def run_stream_to_memory(
     name: str = "stream_result",
     output_mode: str = "complete",
     skip_nodata: bool = False,
+    state_partitions: int | str | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion with trigger(availableNow)
     into a memory sink; returns the sink table. availableNow processes
@@ -176,7 +192,7 @@ def run_stream_to_memory(
     spark = result.sparkSession
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     nodata_prev = spark.conf.get(nodata_key, "true")
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, state_partitions):
         if output_mode == "complete" or skip_nodata:
             spark.conf.set(nodata_key, "false")
         try:
