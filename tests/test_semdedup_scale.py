@@ -42,6 +42,26 @@ def test_derive_k_scales_with_corpus():
         assert derive_k(n) == max(K_MIN, min(K_MAX, math.ceil(n / 32.0)))
 
 
+def test_derive_two_level_k_covers_and_shrinks_training_cost():
+    """k_c * k_f >= k (full codebook coverage) while k_c + k_f (the
+    per-vector distance evals during training) stays O(sqrt(k)) —
+    the whole reason the two-level trainer exists."""
+    import math
+
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        derive_two_level_k,
+    )
+
+    for n in (10, 250, 1000, 100_000, 5_000_000):
+        k = derive_k(n)
+        kc, kf = derive_two_level_k(n)
+        assert kc * kf >= k
+        assert kc + kf <= 2 * math.isqrt(k) + 4  # O(sqrt k) evals
+    assert derive_two_level_k(250) == (3, 3)  # sf0.01 posture
+    kc = math.ceil(math.sqrt(32))
+    assert derive_two_level_k(1000) == (kc, -(-32 // kc))
+
+
 def test_sql_derive_k_matches_python():
     import duckdb
 

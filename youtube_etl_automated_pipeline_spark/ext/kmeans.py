@@ -205,6 +205,168 @@ def assign_nearest(
     return df.select(id_col, "v").mapInPandas(kernel, schema)
 
 
+# --- two-level (coarse/fine) training ------------------------------
+# At 100 TB the derived k reaches 10^4-10^5; single-level Lloyd costs
+# sample x k distance evals per iteration. Two-level training (the
+# SemDeDup / IVF_HNSW posture) cuts that to sample x (k_c + k_f):
+# train k_c coarse centroids, bucket the sample, then train k_f fine
+# centroids INSIDE every bucket simultaneously — one map pass per
+# fine iteration handles all buckets (centroid dict in the kernel
+# closure), so driver round-trips stay O(iters), not O(k_c * iters).
+
+
+def derive_two_level_k(n_train: int) -> tuple[int, int]:
+    """(k_coarse, k_fine) with k_c*k_f >= derive_k(n): k_c =
+    ceil(sqrt(k)), k_f = ceil(k/k_c). Exact in both engines: sqrt and
+    the division run on small exact integers, and a double quotient
+    that is truly integral is exactly representable, so ceil never
+    drifts (the SQL twin computes the identical pair)."""
+    import math
+
+    k = derive_k(n_train)
+    kc = math.ceil(math.sqrt(k))
+    kf = -(-k // kc)
+    return kc, kf
+
+
+def _two_level_partial_sums(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    fine: dict[int, list[list[float]]],
+    dim: int,
+) -> DataFrame:
+    """One fine-Lloyd half-step across ALL coarse buckets at once:
+    re-derive each training vector's coarse bucket (deterministic —
+    coarse is frozen), argmin over that bucket's fine centroids, emit
+    per-batch partial (b, f, pos, su, cnt) in exact micro-units."""
+    import numpy as np
+    import pandas as pd
+
+    coarse_mat = np.array(coarse, dtype=np.float64)
+    fine_mats = {b: np.array(c, dtype=np.float64) for b, c in fine.items()}
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            units = np.floor(mat * UNIT_SCALE + 0.5).astype(np.int64)
+            buckets = np.argmin(_dist2_matrix(mat, coarse_mat), axis=1)
+            out = {"b": [], "f": [], "pos": [], "su": [], "cnt": []}
+            for b in np.unique(buckets):
+                sel = buckets == b
+                sub, subu = mat[sel], units[sel]
+                fmat = fine_mats[int(b)]
+                nearest = np.argmin(_dist2_matrix(sub, fmat), axis=1)
+                for f in np.unique(nearest):
+                    m2 = nearest == f
+                    su = subu[m2].sum(axis=0)
+                    out["b"].extend([int(b)] * dim)
+                    out["f"].extend([int(f)] * dim)
+                    out["pos"].extend(range(dim))
+                    out["su"].extend(int(x) for x in su)
+                    out["cnt"].extend([int(m2.sum())] * dim)
+            yield pd.DataFrame(out)
+
+    return corpus.select("v").mapInPandas(
+        kernel, "b int, f int, pos int, su long, cnt long"
+    )
+
+
+def train_kmeans_two_level(
+    corpus: DataFrame,
+    dim: int,
+    k_coarse: int,
+    k_fine: int,
+    coarse_iters: int = 2,
+    fine_iters: int = 2,
+) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
+    """Returns (coarse, fine): coarse = k_c x dim centroids (frozen
+    after stage 1), fine = {active bucket -> <=k_f x dim centroids}.
+    Fine init = the k_f lowest-emb_id training members of each bucket
+    (the same deterministic seed rule as train_kmeans, per bucket);
+    buckets with no training member get no fine table and are simply
+    inactive — assign_two_level restricts the coarse argmin to active
+    buckets, mirroring the oracle's semi-join on trained buckets."""
+    from pyspark.sql import Window
+
+    coarse = train_kmeans(corpus, dim, k=k_coarse, iters=coarse_iters)
+    corpus = corpus.persist()
+    assigned = assign_nearest(corpus, "emb_id", coarse, nprobe=1, carry_v=True)
+    w = Window.partitionBy("cluster_id").orderBy("emb_id")
+    init_rows = (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_fine)
+        .select("cluster_id", "_rn", "v")
+        .collect()
+    )
+    fine: dict[int, list[list[float]]] = {}
+    for r in sorted(init_rows, key=lambda r: (r.cluster_id, r._rn)):
+        fine.setdefault(int(r.cluster_id), []).append(list(r.v))
+    for _ in range(fine_iters):
+        rows = (
+            _two_level_partial_sums(corpus, coarse, fine, dim)
+            .groupBy("b", "f", "pos")
+            .agg(F.sum("su").alias("su"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        nxt = {b: [list(c) for c in cents] for b, cents in fine.items()}
+        acc: dict[tuple[int, int], list] = {}
+        for r in rows:
+            key = (int(r.b), int(r.f))
+            acc.setdefault(key, [None] * dim)
+            acc[key][r.pos] = (r.su, r.cnt)
+        for (b, f), elems in acc.items():
+            nxt[b][f] = [
+                (float(su) / float(cnt)) / UNIT_SCALE for su, cnt in elems
+            ]
+        fine = nxt
+    corpus.unpersist()
+    return coarse, fine
+
+
+def assign_two_level(
+    df: DataFrame,
+    id_col: str,
+    coarse: list[list[float]],
+    fine: dict[int, list[list[float]]],
+) -> DataFrame:
+    """(id_col, v) -> (id_col, bucket, fine_cid): coarse argmin over
+    ACTIVE buckets only (those with a fine table), then fine argmin
+    within the bucket. Map-only; ties -> lowest cid both levels."""
+    import numpy as np
+    import pandas as pd
+
+    active = sorted(fine)
+    act_mat = np.array([coarse[b] for b in active], dtype=np.float64)
+    act_ids = np.array(active, dtype=np.int64)
+    fine_mats = {b: np.array(c, dtype=np.float64) for b, c in fine.items()}
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            buckets = act_ids[np.argmin(_dist2_matrix(mat, act_mat), axis=1)]
+            fid = np.empty(len(mat), dtype=np.int32)
+            for b in np.unique(buckets):
+                sel = buckets == b
+                fid[sel] = np.argmin(
+                    _dist2_matrix(mat[sel], fine_mats[int(b)]), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "bucket": buckets.astype("int32"),
+                    "fine_cid": fid,
+                }
+            )
+
+    return df.select(id_col, "v").mapInPandas(
+        kernel, f"{id_col} long, bucket int, fine_cid int"
+    )
+
+
 # --- DuckDB oracle twins ---
 
 
@@ -264,5 +426,82 @@ def sql_kmeans_ctes(
                      ORDER BY pos) AS cvec
     FROM {prefix}sums{t} GROUP BY cid
   ) n USING (cid)
+)""")
+    return ",\n".join(parts)
+
+
+def sql_two_level_params(train_src: str, prefix: str = "") -> str:
+    """{prefix}kp CTE holding (k, kc, kf) — the derive_two_level_k
+    twin computed in SQL from the training count."""
+    return f"""{prefix}kp AS (
+  SELECT k,
+         CAST(ceil(sqrt(k)) AS BIGINT) AS kc,
+         CAST(ceil(CAST(k AS DOUBLE)
+              / CAST(ceil(sqrt(k)) AS BIGINT)) AS BIGINT) AS kf
+  FROM (SELECT {sql_derive_k(train_src)} AS k)
+)"""
+
+
+def sql_kmeans_two_level_ctes(
+    dim: int,
+    train_src: str = "train",
+    coarse_iters: int = 2,
+    fine_iters: int = 2,
+    prefix: str = "",
+) -> str:
+    """CTE chain reproducing train_kmeans_two_level bit-for-bit:
+    coarse chain (sql_kmeans_ctes with kc from the param CTE), the
+    frozen bucket assignment of the training set, per-bucket fine
+    init (kf lowest emb_id), fine Lloyd iterations grouped by
+    (bucket, fine cid). Terminal CTE: {prefix}fcent{fine_iters} =
+    (b, f, cvec); active buckets are exactly the b values present."""
+    p = prefix
+    parts = [
+        sql_two_level_params(train_src, p),
+        sql_kmeans_ctes(
+            dim,
+            k=f"(SELECT kc FROM {p}kp)",
+            iters=coarse_iters,
+            train_src=train_src,
+            prefix=p + "c",
+        ),
+        f"""{p}base AS (
+  SELECT emb_id, v, cid AS b FROM (
+    SELECT e.emb_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM {train_src} e CROSS JOIN {p}ccent{coarse_iters} c
+  ) WHERE _rn = 1
+)""",
+        f"""{p}fcent0 AS (
+  SELECT b, CAST(_rn - 1 AS INTEGER) AS f, v AS cvec FROM (
+    SELECT b, v, row_number() OVER (PARTITION BY b ORDER BY emb_id) AS _rn
+    FROM {p}base
+  ) WHERE _rn <= (SELECT kf FROM {p}kp)
+)""",
+    ]
+    for t in range(fine_iters):
+        parts.append(f"""{p}fa{t} AS (
+  SELECT emb_id, v, b, f FROM (
+    SELECT e.emb_id, e.v, e.b, c.f,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.f ASC) AS _rn
+    FROM {p}base e JOIN {p}fcent{t} c ON c.b = e.b
+  ) WHERE _rn = 1
+)""")
+        parts.append(f"""{p}fs{t} AS (
+  SELECT b, f, i AS pos,
+         CAST(sum(CAST(floor(v[i] * {UNIT_SCALE!r} + 0.5) AS BIGINT)) AS BIGINT) AS su,
+         count(*) AS cnt
+  FROM {p}fa{t}, generate_series(1, {dim}) AS g(i)
+  GROUP BY b, f, i
+)""")
+        parts.append(f"""{p}fcent{t + 1} AS (
+  SELECT prev.b, prev.f, coalesce(n.cvec, prev.cvec) AS cvec
+  FROM {p}fcent{t} prev LEFT JOIN (
+    SELECT b, f, list(CAST(su AS DOUBLE) / CAST(cnt AS DOUBLE) / {UNIT_SCALE!r}
+                      ORDER BY pos) AS cvec
+    FROM {p}fs{t} GROUP BY b, f
+  ) n USING (b, f)
 )""")
     return ",\n".join(parts)

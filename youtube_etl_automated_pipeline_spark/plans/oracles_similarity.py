@@ -502,6 +502,71 @@ ORDER BY cluster_id
 ORACLES_SIMILARITY["cluster_label_purity"] = _purity_oracle()
 
 
+def _two_level_oracle(dim: int = 64) -> str:
+    """Twin of kmeans_two_level_assign: the full coarse-then-fine
+    training chain (ext/kmeans.sql_kmeans_two_level_ctes — kc/kf
+    derived in SQL exactly like derive_two_level_k), corpus argmin
+    restricted to active buckets, fine argmin within bucket, census +
+    exact-integer centroid checksums."""
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_dist2,
+        sql_kmeans_two_level_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        TRAIN_MOD,
+    )
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+train AS (
+  SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0
+),
+{sql_kmeans_two_level_ctes(dim, train_src="train", coarse_iters=2, fine_iters=2, prefix="tl")},
+active AS (SELECT DISTINCT b FROM tlbase),
+cassign AS (
+  SELECT emb_id, cid AS bucket FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM corpus e CROSS JOIN tlccent2 c
+    WHERE c.cid IN (SELECT b FROM active)
+  ) WHERE _rn = 1
+),
+fassign AS (
+  SELECT emb_id, bucket, f AS fine_cid FROM (
+    SELECT a.emb_id, a.bucket, c.f,
+           row_number() OVER (PARTITION BY a.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.f ASC) AS _rn
+    FROM cassign a
+    JOIN corpus e USING (emb_id)
+    JOIN tlfcent2 c ON c.b = a.bucket
+  ) WHERE _rn = 1
+),
+census AS (
+  SELECT bucket, fine_cid, count(*) AS n FROM fassign GROUP BY 1, 2
+),
+checks AS (
+  SELECT b AS bucket, f AS fine_cid,
+         CAST(list_sum(list_transform(cvec,
+           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT)
+           AS cent_checksum
+  FROM tlfcent2
+)
+SELECT c.bucket, c.fine_cid,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_members,
+       c.cent_checksum
+FROM checks c LEFT JOIN census n USING (bucket, fine_cid)
+ORDER BY bucket, fine_cid
+"""
+
+
+ORACLES_SIMILARITY["kmeans_two_level_assign"] = _two_level_oracle()
+
+
 def _hn_oracle() -> str:
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         HN_ANCHORS,

@@ -656,6 +656,81 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_SIMILARITY["cluster_label_purity"] = cluster_label_purity
 
 
+def kmeans_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse/fine) k-means — the TRAINING-cost half of the
+    scale story the derived-k queries rely on: single-level Lloyd at
+    the 100 TB-derived k (10^4-10^5) costs sample x k distance evals
+    per iteration; training k_c = ceil(sqrt(k)) coarse centroids and
+    k_f fine centroids per bucket cuts that to sample x (k_c + k_f)
+    while producing the same k-sized codebook family
+    (ext/kmeans.py::train_kmeans_two_level — one map pass per fine
+    iteration covers ALL buckets simultaneously, so driver
+    round-trips stay O(iters)).
+
+    Output: one row per trained (bucket, fine_cid) centroid with its
+    full-corpus member count and the exact-integer centroid checksum
+    — both bit-exact against the oracle's unrolled CTE chain. The
+    corpus argmin restricts to ACTIVE buckets (those that received
+    a training member), matching the oracle's semi-join.
+    """
+    import math
+
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        assign_two_level,
+        derive_two_level_k,
+        train_kmeans_two_level,
+    )
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    all_d = memo_persist(
+        spark,
+        ("sim_all_d", sf_dir),
+        lambda: emb.select(
+            F.col("vec_id").alias("emb_id"),
+            as_double(F.col("embedding")).alias("v"),
+        ),
+    )
+
+    def build():
+        train = all_d.filter(F.col("emb_id") % TRAIN_MOD == 0)
+        kc, kf = derive_two_level_k(train.count())
+        return train_kmeans_two_level(
+            train, dim, kc, kf, coarse_iters=2, fine_iters=2
+        )
+
+    coarse, fine = _trained((sf_dir, "two_level"), build)
+    assigned = assign_two_level(all_d, "emb_id", coarse, fine)
+    census = assigned.groupBy("bucket", "fine_cid").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    checks = spark.createDataFrame(
+        [
+            (
+                int(b),
+                int(f),
+                int(sum(math.floor(x * 1e6 + 0.5) for x in vec)),
+            )
+            for b, cents in sorted(fine.items())
+            for f, vec in enumerate(cents)
+        ],
+        "bucket int, fine_cid int, cent_checksum long",
+    )
+    return (
+        checks.join(census, ["bucket", "fine_cid"], "left")
+        .select(
+            "bucket",
+            "fine_cid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_members"),
+            "cent_checksum",
+        )
+        .orderBy("bucket", "fine_cid")
+    )
+
+
+QUERIES_SIMILARITY["kmeans_two_level_assign"] = kmeans_two_level_assign
+
+
 HN_ANCHORS = 8  # anchors = vec_id < HN_ANCHORS (bounded, broadcastable)
 HN_TOPK = 3
 
