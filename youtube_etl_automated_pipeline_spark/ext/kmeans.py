@@ -330,10 +330,13 @@ def assign_two_level(
     id_col: str,
     coarse: list[list[float]],
     fine: dict[int, list[list[float]]],
+    carry_v: bool = False,
 ) -> DataFrame:
     """(id_col, v) -> (id_col, bucket, fine_cid): coarse argmin over
     ACTIVE buckets only (those with a fine table), then fine argmin
-    within the bucket. Map-only; ties -> lowest cid both levels."""
+    within the bucket. Map-only; ties -> lowest cid both levels.
+    ``carry_v`` threads the vector through (same rationale as
+    assign_nearest: spares downstream kernels an id-hash re-join)."""
     import numpy as np
     import pandas as pd
 
@@ -354,17 +357,19 @@ def assign_two_level(
                 fid[sel] = np.argmin(
                     _dist2_matrix(mat[sel], fine_mats[int(b)]), axis=1
                 )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "bucket": buckets.astype("int32"),
-                    "fine_cid": fid,
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "bucket": buckets.astype("int32"),
+                "fine_cid": fid,
+            }
+            if carry_v:
+                out["v"] = pdf["v"].to_numpy()
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, "v").mapInPandas(
-        kernel, f"{id_col} long, bucket int, fine_cid int"
-    )
+    schema = f"{id_col} long, bucket int, fine_cid int"
+    if carry_v:
+        schema += ", v array<double>"
+    return df.select(id_col, "v").mapInPandas(kernel, schema)
 
 
 # --- DuckDB oracle twins ---

@@ -16,6 +16,7 @@ from youtube_etl_automated_pipeline_spark.ext.dedup import (
 from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
 from youtube_etl_automated_pipeline_spark.functions.compat import sql_hround
 from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+    CONTAINMENT_PPM_MIN,
     HAMMING_THRESHOLD,
     INCREMENTAL_BATCH_MOD,
     JACCARD_PPM_THRESHOLD,
@@ -97,6 +98,35 @@ pairs AS (
 SELECT doc_a, doc_b, {_JACC} AS jaccard
 FROM pairs
 WHERE ({_JACC}) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES_DEDUP_ADV["dedup_containment_pairs"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_inter,
+    CAST(len(a.hs) AS BIGINT) AS n_a,
+    CAST(len(b.hs) AS BIGINT) AS n_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})
+)
+SELECT doc_a, doc_b, n_inter,
+  CAST((n_inter * 1000000) // least(n_a, n_b) AS BIGINT) AS containment_ppm,
+  CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc
+FROM pairs
+WHERE (n_inter * 1000000) // least(n_a, n_b) >= {CONTAINMENT_PPM_MIN}
 ORDER BY doc_a, doc_b
 """
 

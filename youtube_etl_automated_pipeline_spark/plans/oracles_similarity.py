@@ -567,6 +567,56 @@ ORDER BY bucket, fine_cid
 ORACLES_SIMILARITY["kmeans_two_level_assign"] = _two_level_oracle()
 
 
+def _knn_confusion_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        KNN_HOLDOUT_MOD,
+        KNN_K,
+    )
+
+    return f"""
+WITH hold AS (
+  SELECT vec_id AS query_id, label AS actual, embedding AS q_emb
+  FROM embeddings
+  WHERE vec_id % {KNN_HOLDOUT_MOD} = 0 AND label IS NOT NULL
+),
+ref AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         embedding AS c_emb
+  FROM embeddings
+  WHERE vec_id % {KNN_HOLDOUT_MOD} <> 0 AND label IS NOT NULL
+),
+scored AS (
+  SELECT query_id, actual, neighbor_id, neighbor_label,
+         {_cos_unit("q_emb", "c_emb")} AS cos_sim
+  FROM ref CROSS JOIN hold
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, actual, neighbor_label, count(*) AS n_votes
+  FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, actual, neighbor_label AS predicted FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+ORDER BY actual, predicted
+"""
+
+
+ORACLES_SIMILARITY["knn_label_confusion"] = _knn_confusion_oracle()
+
+
 def _hn_oracle() -> str:
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         HN_ANCHORS,

@@ -141,23 +141,25 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster semantic-dedup census: members, dropped (cosine >=
     SEMDEDUP_TAU to a lower-id member of the same cluster), kept.
 
-    Scale shape: k-means training is sample-sized (memoized per
-    sf_dir) with k DERIVED from the sample count (ext.kmeans.derive_k
-    — SemDeDup's k grows with the corpus, keeping E[cluster] ~64
-    rows); assignment is map-only (centroids in the kernel closure);
-    the prune shuffles on (cluster_id, block pair) only, and
-    blocked_pair_groups caps every kernel frame at 2 *
+    Scale shape: TWO-LEVEL k-means training (coarse/fine,
+    ext.kmeans.train_kmeans_two_level) with k_c*k_f DERIVED from the
+    sample count — SemDeDup's total cluster count grows with the
+    corpus (keeping E[cluster] ~64 rows) while training cost stays
+    sample x (k_c + k_f) distance evals, not sample x k (at the
+    100 TB-derived k of 10^4-10^5 single-level Lloyd is itself the
+    bottleneck). Assignment is map-only (both centroid levels in the
+    kernel closure); the prune shuffles on (cluster_id, block pair)
+    only, and blocked_pair_groups caps every kernel frame at 2 *
     SEMDEDUP_BLOCK_CAP rows, so a skewed cluster degrades into more
     linear-cost groups instead of one quadratic OOM frame. At 100 TB:
     one scan to assign, one bounded-group kernel pass, one dedup agg.
     """
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
-        assign_nearest,
-        derive_k,
-        train_kmeans,
+        assign_two_level,
+        derive_two_level_k,
+        train_kmeans_two_level,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
-        KMEANS_ITERS,
         TRAIN_MOD,
         _trained,
         planted_corpus,
@@ -168,16 +170,22 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         train = u.filter(F.col("emb_id") % TRAIN_MOD == 0)
-        return train_kmeans(
-            train, dim, k=derive_k(train.count()), iters=KMEANS_ITERS
+        kc, kf = derive_two_level_k(train.count())
+        coarse, fine = train_kmeans_two_level(
+            train, dim, kc, kf, coarse_iters=2, fine_iters=2
         )
+        return coarse, fine, kf
 
-    cents = _trained((sf_dir, "semdedup"), build)
+    coarse, fine, kf = _trained((sf_dir, "semdedup2l"), build)
     # carry_v: the prune kernel needs (cluster_id, v); threading the
     # vector through the map-only assignment pass avoids re-joining
     # the corpus on emb_id (a second wide shuffle of every vector).
-    m = assign_nearest(u, "emb_id", cents, nprobe=1, carry_v=True).select(
-        "emb_id", "cluster_id", "v"
+    # Flat cluster_id = bucket * k_f + fine_cid (same formula in the
+    # oracle, so the census keys match bit-for-bit).
+    m = assign_two_level(u, "emb_id", coarse, fine, carry_v=True).select(
+        "emb_id",
+        (F.col("bucket") * F.lit(kf) + F.col("fine_cid")).alias("cluster_id"),
+        "v",
     )
     blocked = blocked_pair_groups(m, SEMDEDUP_BLOCK_CAP)
     # distinct: a member may be dropped via pairs in several block-
@@ -211,14 +219,12 @@ QUERIES_CURATION2["semantic_dedup_prune"] = semantic_dedup_prune
 
 def _semdedup_oracle(dim: int = 64) -> str:
     from youtube_etl_automated_pipeline_spark.ext.kmeans import (
-        sql_derive_k,
         sql_dist2,
-        sql_kmeans_ctes,
+        sql_kmeans_two_level_ctes,
     )
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         DUP_EVERY,
         DUP_OFFSET,
-        KMEANS_ITERS,
         TRAIN_MOD,
     )
 
@@ -249,13 +255,27 @@ corpus AS (
         FROM rawcorpus)
 ),
 sample AS (SELECT * FROM corpus WHERE emb_id % {TRAIN_MOD} = 0),
-{sql_kmeans_ctes(dim, k=sql_derive_k("sample"), iters=KMEANS_ITERS, train_src="sample", prefix="sd")},
-assigned AS (
-  SELECT emb_id, cid AS cluster_id FROM (
+{sql_kmeans_two_level_ctes(dim, train_src="sample", coarse_iters=2, fine_iters=2, prefix="sd")},
+sdactive AS (SELECT DISTINCT b FROM sdbase),
+cassign AS (
+  SELECT emb_id, cid AS bucket FROM (
     SELECT e.emb_id, c.cid,
            row_number() OVER (PARTITION BY e.emb_id
              ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
-    FROM corpus e CROSS JOIN sdcent{KMEANS_ITERS} c
+    FROM corpus e CROSS JOIN sdccent2 c
+    WHERE c.cid IN (SELECT b FROM sdactive)
+  ) WHERE _rn = 1
+),
+assigned AS (
+  SELECT emb_id,
+         CAST(bucket * (SELECT kf FROM sdkp) + f AS INTEGER) AS cluster_id
+  FROM (
+    SELECT a.emb_id, a.bucket, c.f,
+           row_number() OVER (PARTITION BY a.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.f ASC) AS _rn
+    FROM cassign a
+    JOIN corpus e USING (emb_id)
+    JOIN sdfcent2 c ON c.b = a.bucket
   ) WHERE _rn = 1
 ),
 m AS (SELECT a.cluster_id, a.emb_id, e.v

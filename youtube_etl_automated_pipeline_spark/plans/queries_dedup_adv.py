@@ -93,6 +93,106 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# Containment floor in ppm: C(A,B) = |A∩B| / min(|A|,|B|). Containment
+# >= Jaccard always, and it is the right notion for SUBSET duplication
+# (a doc pasted inside a longer one scores near 1.0 containment while
+# its Jaccard can sit far below any dedup threshold).
+CONTAINMENT_PPM_MIN = 500_000
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup pairs — the subset-duplication
+    detector Jaccard misses (RealNews/C4-style dedup flags a short
+    article embedded in a scraped aggregation page): candidates from
+    the SAME MinHash banding as dedup_minhash_lsh (shared memoized
+    signature index), verified by exact shingle containment
+    |A∩B| / min(|A|,|B|) in integer ppm, with the contained (smaller)
+    side named so the keep/drop decision is explicit.
+
+    Scale shape: identical to the LSH query — signature projection,
+    band equi-join, verify join on candidates only; the only new work
+    is the least()/ppm arithmetic per candidate. All-pairs never
+    materializes. Caveat (documented, inherent): MinHash banding
+    recalls pairs by JACCARD similarity, so a tiny-doc-inside-huge-doc
+    pair with high containment but near-zero Jaccard may not surface
+    as a candidate; production containment dedup over adversarial
+    size ratios uses suffix-array / exact-substring passes
+    (dedup_repeated_substring) alongside this.
+    """
+    docs = load_wide(spark, sf_dir, "documents")
+    base = memo_persist(
+        spark,
+        ("minhash_base", sf_dir),
+        lambda: with_minhash(docs.select("doc_id", "text"))
+        .filter(F.size("_sh_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.col("_sh_hashes").alias("hash_set"),
+            *[f"sig_{j}" for j in range(N_PERM)],
+        ),
+    )
+    bands = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band_id"), F.col(f"sig_{j}").alias("sig"))
+                    for j in range(N_PERM)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("hash_set").alias("set_a")
+    )
+    sets_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("hash_set").alias("set_b")
+    )
+    scored = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("set_a").cast("bigint").alias("n_a"),
+            F.size("set_b").cast("bigint").alias("n_b"),
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr(
+                "CAST((n_inter * 1000000) DIV least(n_a, n_b) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "contained_doc",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+                F.col("doc_b")
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("containment_ppm") >= CONTAINMENT_PPM_MIN)
+        .select(
+            "doc_a", "doc_b", "n_inter", "containment_ppm", "contained_doc"
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches + banded blocking; near-dup pairs within
     Hamming distance <= 3 (of 60 bits). Verification is a popcount on
@@ -173,6 +273,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_DEDUP_ADV = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_sketches": dedup_simhash_sketches,
     "dedup_minhash_clusters": dedup_minhash_clusters,

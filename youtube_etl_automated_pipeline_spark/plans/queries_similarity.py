@@ -731,6 +731,76 @@ def kmeans_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_SIMILARITY["kmeans_two_level_assign"] = kmeans_two_level_assign
 
 
+KNN_HOLDOUT_MOD = 5  # vec_id % 5 == 0 -> held-out eval set
+KNN_K = 3
+
+
+def knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-recovery eval of the embedding space: hold out every
+    KNN_HOLDOUT_MOD-th vector, predict its label by majority vote of
+    its KNN_K nearest labeled neighbors (cosine), and emit the
+    (actual, predicted, n) confusion census — the standard "do my
+    embeddings encode the taxonomy" check run before trusting them
+    for semantic dedup or retrieval.
+
+    Vote ties break (count DESC, label ASC); neighbor ties
+    (cos DESC, neighbor id ASC) — total orders, so the census is
+    bit-exact against the oracle. Null pin: rows with NULL label are
+    excluded on BOTH sides in BOTH twins — an unlabeled vector can
+    neither be scored nor vote in a supervised eval, and keeping it
+    would put NULL into the vote-tie ORDER BY where Spark (NULLS
+    FIRST) and DuckDB (NULLS LAST) disagree. Scale shape: the
+    held-out side of
+    an eval is bounded by design (a fixed eval set), so it rides a
+    broadcast against one corpus scan — the bruteforce-topk posture;
+    an unbounded holdout routes through the IVF buckets instead
+    (similarity_ivf_topk), same semantics.
+    """
+    emb = load_wide(spark, sf_dir, "embeddings").where(
+        F.col("label").isNotNull()
+    )
+    dim = embedding_dim(emb)
+    hold = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("actual"),
+        unit(F.col("embedding")).alias("q_u"),
+    )
+    ref = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        unit(F.col("embedding")).alias("c_u"),
+    )
+    scored = ref.crossJoin(F.broadcast(hold)).select(
+        "query_id",
+        "actual",
+        "neighbor_id",
+        "neighbor_label",
+        cosine_unit_cols("q_u", "c_u", dim).alias("cos_sim"),
+    )
+    top = topk_by_query(scored, "query_id", "cos_sim", "neighbor_id", KNN_K)
+    votes = top.groupBy("query_id", "actual", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "actual", F.col("neighbor_label").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+QUERIES_SIMILARITY["knn_label_confusion"] = knn_label_confusion
+
+
 HN_ANCHORS = 8  # anchors = vec_id < HN_ANCHORS (bounded, broadcastable)
 HN_TOPK = 3
 
