@@ -831,3 +831,233 @@ FROM dev v JOIN mad m USING (lang)
 GROUP BY v.lang
 ORDER BY v.lang
 """
+
+
+# ------------------------------------------------------------------
+# Curriculum interleave: the training-ORDER generator. Real data
+# pipelines don't just select documents — they emit a deterministic
+# order (richest docs early, sources interleaved so no batch is a
+# single-source run). Quality key here = token count (exact integer;
+# swap in any score column); interleave = round-robin by per-source
+# rank.
+
+CURRICULUM_HEAD = 100
+
+
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First CURRICULUM_HEAD positions of the training order: docs
+    ranked per source by (n_tokens DESC, doc_id ASC), then positions
+    assigned round-robin across sources (all source-rank-1 docs
+    first, then rank 2, ...) — no training batch sees a
+    single-source run.
+
+    Scale shape: the per-source rank is a PARTITIONED window (one
+    shuffle on source); the global position window runs only over
+    the TakeOrdered head (the vocab_coverage pattern — never the
+    corpus). NULL sources coalesce to '<null>' in both twins so the
+    partition key and the interleave tiebreak agree cross-engine.
+    """
+    from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+    from pyspark.sql import Window
+
+    docs = load_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = docs.withColumn("src_seq", F.row_number().over(ws))
+    head = ranked.orderBy(
+        F.asc("src_seq"), F.asc("source"), F.asc("doc_id")
+    ).limit(CURRICULUM_HEAD)
+    wpos = Window.orderBy(F.asc("src_seq"), F.asc("source"), F.asc("doc_id"))
+    return head.select(
+        F.row_number().over(wpos).alias("position"),
+        "doc_id",
+        "source",
+        "n_tokens",
+        "src_seq",
+    ).orderBy("position")
+
+
+QUERIES_CURATION2["curriculum_interleave"] = curriculum_interleave
+
+
+def _curriculum_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
+
+    toks = f"string_split_regex(trim(text), '{WS_CLASS}+')"
+    ntok = (
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        f"ELSE len({toks}) END"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(source, '<null>') AS source,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY n_tokens DESC, doc_id ASC) AS INTEGER) AS src_seq
+  FROM docs
+),
+head AS (
+  SELECT * FROM ranked
+  ORDER BY src_seq ASC, source ASC, doc_id ASC
+  LIMIT {CURRICULUM_HEAD}
+)
+SELECT CAST(row_number() OVER (ORDER BY src_seq ASC, source ASC, doc_id ASC)
+            AS INTEGER) AS position,
+       doc_id, source, n_tokens, src_seq
+FROM head
+ORDER BY position
+"""
+
+
+ORACLES_CURATION2["curriculum_interleave"] = _curriculum_oracle()
+
+
+# ------------------------------------------------------------------
+# Corpus datacard: the one-query per-source summary a dataset release
+# ships (docs, token mass, language spread, exact-dup rate) — every
+# number exact-integer so the card is reproducible anywhere.
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datacard row: docs, total/mean tokens, distinct
+    langs, majority lang, exact-dup doc count and ppm.
+
+    Scale shape: one (source, lang) count agg + one source rollup
+    (map-side combinable); the dup rate joins the corpus's
+    content-hash histogram back on the hash — shuffle on a 60-bit
+    key. Null pins shared with the rest of the file: NULL source ->
+    '<null>', NULL lang -> '??', NULL-text docs carry a NULL hash
+    and are EXCLUDED from dup counting in both twins (otherwise the
+    null-hash group would make all null-text docs mutual dups);
+    dup_ppm rides decimal(38,0).
+    """
+    from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+    from pyspark.sql import Window
+
+    docs = load_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("??")).alias("lang"),
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TS.content_hash(F.col("text")).alias("h"),
+    )
+    hashes = (
+        docs.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_same"))
+    )
+    dup_docs = (
+        docs.where(F.col("h").isNotNull())
+        .join(hashes, "h")
+        .where(F.col("n_same") > 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("dup_docs"))
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")
+    )
+    wtop = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    per_source = (
+        cells.withColumn("rn", F.row_number().over(wtop))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("toks").alias("n_tokens_total"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+        )
+    )
+    return (
+        per_source.join(dup_docs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens_total",
+            F.expr("CAST(n_tokens_total DIV n_docs AS BIGINT)").alias(
+                "mean_tokens"
+            ),
+            "n_langs",
+            "top_lang",
+            F.coalesce(F.col("dup_docs"), F.lit(0))
+            .cast("long")
+            .alias("dup_docs"),
+            F.expr(
+                "CAST(CAST(coalesce(dup_docs, 0) AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES_CURATION2["corpus_datacard"] = corpus_datacard
+
+
+def _datacard_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
+
+    toks = f"string_split_regex(trim(text), '{WS_CLASS}+')"
+    ntok = (
+        "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+        f"ELSE len({toks}) END"
+    )
+    norm = f"lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))"
+    h = (
+        "CASE WHEN text IS NULL THEN NULL ELSE "
+        f"CAST('0x' || substr(md5({norm}), 1, 15) AS BIGINT) END"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(source, '<null>') AS source,
+         coalesce(lang, '??') AS lang,
+         CAST({ntok} AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+hist AS (
+  SELECT h, count(*) AS n_same FROM docs WHERE h IS NOT NULL GROUP BY h
+),
+dups AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS dup_docs
+  FROM docs d JOIN hist USING (h)
+  WHERE d.h IS NOT NULL AND hist.n_same > 1
+  GROUP BY d.source
+),
+cells AS (
+  SELECT source, lang, count(*) AS n, sum(n_tokens) AS toks
+  FROM docs GROUP BY 1, 2
+),
+tops AS (
+  SELECT source, lang, row_number() OVER (PARTITION BY source
+           ORDER BY n DESC, lang ASC) AS rn
+  FROM cells
+),
+per_source AS (
+  SELECT c.source,
+         CAST(sum(c.n) AS BIGINT) AS n_docs,
+         CAST(sum(c.toks) AS BIGINT) AS n_tokens_total,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         max(CASE WHEN t.rn = 1 THEN c.lang END) AS top_lang
+  FROM cells c JOIN tops t ON c.source = t.source AND c.lang = t.lang
+  GROUP BY c.source
+)
+SELECT p.source, p.n_docs, p.n_tokens_total,
+       CAST(p.n_tokens_total // p.n_docs AS BIGINT) AS mean_tokens,
+       p.n_langs, p.top_lang,
+       CAST(coalesce(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+       CAST((coalesce(d.dup_docs, 0) * 1000000) // p.n_docs AS BIGINT)
+         AS dup_ppm
+FROM per_source p LEFT JOIN dups d USING (source)
+ORDER BY p.source
+"""
+
+
+ORACLES_CURATION2["corpus_datacard"] = _datacard_oracle()
