@@ -381,3 +381,66 @@ def test_lm_perplexity_bigrams_are_array_local(spark):
     # exactly the grid/default/scalar joins — none of them windowed
     # until the final (vocab-bounded) relations
     assert plan.count("Generate explode") >= 2  # one per split
+
+
+def test_containment_candidates_stay_equi_join(spark):
+    """dedup_containment_pairs shares the LSH banding cut: candidates
+    must come from an equi-join on (band_id, sig) — never a
+    nested-loop over all pairs — and the verify joins must stay
+    hash/broadcast."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        dedup_containment_pairs,
+    )
+
+    plan = plan_of(dedup_containment_pairs(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_confusion_broadcasts_the_holdout_side(spark):
+    """knn_label_confusion scans the reference corpus once with the
+    bounded holdout broadcast — the eval must never shuffle the
+    corpus for the cross score."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        knn_label_confusion,
+    )
+
+    plan = plan_of(knn_label_confusion(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_position_window_bounded_by_limit(spark):
+    """curriculum_interleave's global position window must sit above
+    a limit (only the per-source rank window may run over the
+    corpus, and that one is PARTITIONED)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_curation2 import (
+        curriculum_interleave,
+    )
+
+    plan = plan_of(curriculum_interleave(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert len(win_idx) >= 2, "expected rank + position windows"
+    # plans print top-down: the global position window is the TOP-most
+    # Window; a Limit/TakeOrdered must sit BENEATH it (between it and
+    # the corpus scan), proving it runs over the bounded head only.
+    below_top = "\n".join(lines[win_idx[0]:])
+    assert "Limit" in below_top or "TakeOrdered" in below_top, plan
+    # the corpus-level window is the per-source rank: partitioned on
+    # source (its windowspecdefinition carries the partition column).
+    assert "windowspecdefinition(source#" in plan or "partitionBy" in plan, plan
+
+
+def test_semdedup_prune_kernel_groups_on_block_pairs(spark):
+    """The prune FlatMapGroupsInPandas must group on (cluster_id,
+    blk_lo, blk_hi) — the capped block-pair key — not on bare
+    cluster_id (the round-3 unbounded-frame shape)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_curation2 import (
+        semantic_dedup_prune,
+    )
+
+    plan = plan_of(semantic_dedup_prune(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "blk_lo" in plan and "blk_hi" in plan
