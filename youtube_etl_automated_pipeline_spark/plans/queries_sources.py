@@ -569,3 +569,76 @@ def csv_documents_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_SOURCES["csv_documents_rollup"] = csv_documents_rollup
 ORACLES_SOURCES["csv_documents_rollup"] = _ROLLUP_SQL
+
+
+def parquet_schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION via mergeSchema: an old extract
+    written WITHOUT o_orderpriority sits in the same logical table as
+    a new extract WITH it; reading both with mergeSchema=true
+    null-fills the missing column per FILE footer (the lakehouse
+    add-a-column migration, complementing schema_drift_union's
+    in-memory unionByName case). The rollup buckets pre-evolution
+    rows (and genuinely-null new rows — indistinguishable after the
+    merge, and the oracle mirrors that) under one sentinel.
+
+    Scale shape: mergeSchema's footer reconciliation is a
+    driver-side metadata pass over file schemas (at 100 TB: bounded
+    by file count, mitigated by a catalog/table format); the scan
+    and rollup are ordinary pushdown + partial agg. The oracle runs
+    on the ORIGINAL orders view with the same batch split, so
+    equality proves the two-footer round-trip is lossless.
+    """
+    import os as _os
+
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir))
+    root = _os.path.join(
+        "/tmp/spark_graft_formats", sf_tag, "orders_evolution"
+    )
+    old_dir = _os.path.join(root, "v0")
+    new_dir = _os.path.join(root, "v1")
+    if not (
+        _os.path.exists(_os.path.join(old_dir, "_SUCCESS"))
+        and _os.path.exists(_os.path.join(new_dir, "_SUCCESS"))
+    ):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(old_dir)
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(new_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(old_dir, new_dir)
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>"))
+            .alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+QUERIES_SOURCES["parquet_schema_evolution_rollup"] = parquet_schema_evolution_rollup
+
+# Oracle on the ORIGINAL table: pre-evolution rows (even keys) AND
+# new rows whose priority is genuinely NULL both land under the
+# sentinel — exactly what coalesce sees after mergeSchema's null-fill.
+ORACLES_SOURCES["parquet_schema_evolution_rollup"] = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+            ELSE coalesce(o_orderpriority, '<pre-evolution>') END AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
