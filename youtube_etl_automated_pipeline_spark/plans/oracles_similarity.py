@@ -617,6 +617,65 @@ ORDER BY actual, predicted
 ORACLES_SIMILARITY["knn_label_confusion"] = _knn_confusion_oracle()
 
 
+def _ivf_incremental_oracle(dim: int = 64) -> str:
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        sql_derive_k,
+        sql_dist2,
+        sql_kmeans_ctes,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
+        INGEST_MOD,
+        KMEANS_ITERS,
+        OVERFULL_X,
+        TRAIN_MOD,
+    )
+
+    final = f"cent{KMEANS_ITERS}"
+    return f"""
+WITH corpus AS (
+  SELECT vec_id AS emb_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+base AS (SELECT * FROM corpus WHERE emb_id % {INGEST_MOD} <> 3),
+batch AS (SELECT * FROM corpus WHERE emb_id % {INGEST_MOD} = 3),
+train AS (SELECT * FROM base WHERE emb_id % {TRAIN_MOD} = 0),
+{sql_kmeans_ctes(dim, k=sql_derive_k("train"), iters=KMEANS_ITERS, train_src="train")},
+a_base AS (
+  SELECT cid AS cluster_id, count(*) AS n_base FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM base e CROSS JOIN {final} c
+  ) WHERE _rn = 1 GROUP BY 1
+),
+a_add AS (
+  SELECT cid AS cluster_id, count(*) AS n_added FROM (
+    SELECT e.emb_id, c.cid,
+           row_number() OVER (PARTITION BY e.emb_id
+             ORDER BY {sql_dist2("e.v", "c.cvec", dim)} ASC, c.cid ASC) AS _rn
+    FROM batch e CROSS JOIN {final} c
+  ) WHERE _rn = 1 GROUP BY 1
+),
+census AS (
+  SELECT coalesce(b.cluster_id, a.cluster_id) AS cluster_id,
+         CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+         CAST(coalesce(b.n_base, 0) + coalesce(a.n_added, 0) AS BIGINT)
+           AS n_total
+  FROM a_base b FULL JOIN a_add a USING (cluster_id)
+),
+tot AS (SELECT sum(n_total) AS grand, count(*) AS k FROM census)
+SELECT cluster_id, n_base, n_added, n_total,
+       (n_total * k > {OVERFULL_X} * grand) AS overfull
+FROM census CROSS JOIN tot
+ORDER BY cluster_id
+"""
+
+
+ORACLES_SIMILARITY["ivf_index_incremental_update"] = _ivf_incremental_oracle()
+
+
 def _hn_oracle() -> str:
     from youtube_etl_automated_pipeline_spark.plans.queries_similarity import (
         HN_ANCHORS,

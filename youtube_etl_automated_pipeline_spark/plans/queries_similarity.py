@@ -801,6 +801,96 @@ def knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_SIMILARITY["knn_label_confusion"] = knn_label_confusion
 
 
+INGEST_MOD = 7  # emb_id % 7 == 3 -> the newly-ingested batch
+OVERFULL_X = 2  # bucket > 2x the post-ingest mean -> rebalance signal
+
+
+def ivf_index_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE: a new ingest batch is added to an
+    EXISTING index by assigning against the frozen centroids (no
+    retraining — the everyday serving operation), and the per-bucket
+    census reports the drift signal that schedules the next retrain:
+    buckets whose post-ingest size exceeds OVERFULL_X times the mean
+    are flagged (a growing corpus concentrating in few buckets means
+    the quantizer no longer fits the distribution).
+
+    Scale shape: one map-only assignment pass over the new batch
+    (centroids frozen in the kernel closure — kilobytes), one
+    per-bucket count agg, a k-row census join. The base index counts
+    reuse the same frozen centroids, so the whole operation never
+    touches training. Training itself is memoized per sf_dir and
+    trains WITHOUT the ingest batch — the index genuinely predates
+    the new data.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.kmeans import (
+        assign_nearest,
+        derive_k,
+        train_kmeans,
+    )
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    all_d = memo_persist(
+        spark,
+        ("sim_all_d", sf_dir),
+        lambda: emb.select(
+            F.col("vec_id").alias("emb_id"),
+            as_double(F.col("embedding")).alias("v"),
+        ),
+    )
+    base = all_d.filter(F.col("emb_id") % INGEST_MOD != 3)
+    batch = all_d.filter(F.col("emb_id") % INGEST_MOD == 3)
+
+    def build():
+        train = base.filter(F.col("emb_id") % TRAIN_MOD == 0)
+        return train_kmeans(
+            train, dim, k=derive_k(train.count()), iters=KMEANS_ITERS
+        )
+
+    cents = _trained((sf_dir, "ivf_frozen"), build)
+    old = (
+        assign_nearest(base, "emb_id", cents, nprobe=1)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    add = (
+        assign_nearest(batch, "emb_id", cents, nprobe=1)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+    )
+    census = (
+        old.join(add, "cluster_id", "full")
+        .select(
+            "cluster_id",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        )
+        .withColumn("n_total", F.col("n_base") + F.col("n_added"))
+    )
+    totals = census.agg(
+        F.sum("n_total").alias("grand"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        census.crossJoin(F.broadcast(totals))
+        .select(
+            "cluster_id",
+            "n_base",
+            "n_added",
+            "n_total",
+            # integer overfull test: n_total * k > OVERFULL_X * grand
+            # (exact — no mean division ever happens)
+            (
+                F.col("n_total") * F.col("k")
+                > F.lit(OVERFULL_X) * F.col("grand")
+            ).alias("overfull"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES_SIMILARITY["ivf_index_incremental_update"] = ivf_index_incremental_update
+
+
 HN_ANCHORS = 8  # anchors = vec_id < HN_ANCHORS (bounded, broadcastable)
 HN_TOPK = 3
 
