@@ -473,41 +473,124 @@ BOUNDED_GLOBAL_WINDOWS = {
 }
 
 
-def _unpartitioned_windows(df) -> int:
-    plan = df._jdf.queryExecution().executedPlan()
-    n, stack = 0, [plan]
-    while stack:
-        node = stack.pop()
-        cname = node.getClass().getSimpleName()
-        if (
-            cname in ("WindowExec", "WindowGroupLimitExec")
-            and node.partitionSpec().size() == 0
-        ):
-            n += 1
-        for i in range(node.children().size()):
-            stack.append(node.children().apply(i))
-        if cname == "AdaptiveSparkPlanExec":
-            stack.append(node.inputPlan())
-    return n
+# Broadcast nested-loop joins are legitimate ONLY when the broadcast
+# side is bounded by construction (a 1-row scalar agg, a fixed anchor
+# set, a K-bounded sketch) — each entry names that bound. A true
+# CartesianProduct or a row-at-a-time Python UDF is never acceptable
+# and has an EMPTY allowlist.
+BOUNDED_BNL_JOINS = {
+    "cohens_kappa_langid": "1-row totals broadcast",
+    "gap_fill_daily_counts": "1-row date-span broadcast",
+    "global_sequence_events": "per-partition offset table (n_partitions rows)",
+    "hard_negative_mining": "HN_ANCHORS=8 anchor set",
+    "ivf_index_incremental_update": "1-row (grand, k) totals",
+    "kcore_trade_graph": "1-row per-round census",
+    "kmv_set_operations": "K-bounded sketch sides",
+    "knn_label_confusion": "bounded holdout eval set",
+    "lm_perplexity_buckets": "1-row corpus totals",
+    "naive_bayes_lang_confusion": "per-lang priors (5 rows)",
+    "pagerank_trade_graph": "1-row dangling-mass scalar",
+    "psi_revenue_drift": "1-row era totals",
+    "q11_important_part_values": "1-row threshold scalar",
+    "q22_idle_rich_customers": "1-row average-balance scalar",
+    "quality_corpus_familiarity": "1-row corpus stats",
+    "retrieval_rank_eval": "1-row ideal-DCG scalar",
+    "segment_priority_dependence": "r x c margin rows",
+    "similarity_bruteforce_topk": "N_QUERIES=5 query side",
+    "survival_kaplan_meier": "1-row horizon date",
+    "token_lift_pairs": "1-row n_docs total",
+    "trend_daily_revenue_slope": "1-row min-day rebase",
+    "triangle_count_suppliers": "1-row wedge/node counts",
+}
+
+
+def _sweep_registry_plans(spark):
+    """One pass over every non-streaming gate query's executed plan
+    (JVM tree walk, AQE-aware): returns {query: set(node classes)}
+    plus the unpartitioned-window flag. Streaming queries are
+    excluded (they execute at build; their stateful shapes are
+    partition-pinned by stream_state_partitions and covered by the
+    streaming harness)."""
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, fn in sorted(entry.queries().items()):
+        if name.startswith("streaming_"):
+            continue
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan()
+        nodes, unpart_win, stack = set(), False, [plan]
+        while stack:
+            node = stack.pop()
+            cname = node.getClass().getSimpleName()
+            nodes.add(cname)
+            if (
+                cname in ("WindowExec", "WindowGroupLimitExec")
+                and node.partitionSpec().size() == 0
+            ):
+                unpart_win = True
+            for i in range(node.children().size()):
+                stack.append(node.children().apply(i))
+            if cname == "AdaptiveSparkPlanExec":
+                stack.append(node.inputPlan())
+        out[name] = (nodes, unpart_win)
+    return out
+
+
+_SWEEP_CACHE: dict = {}
+
+
+def _sweep(spark):
+    if "plans" not in _SWEEP_CACHE:
+        _SWEEP_CACHE["plans"] = _sweep_registry_plans(spark)
+    return _SWEEP_CACHE["plans"]
 
 
 def test_no_unbounded_global_windows_anywhere(spark):
     """Engine-wide invariant: the set of gate queries carrying an
-    unpartitioned window must stay inside the justified allowlist.
-    Streaming queries are excluded (they execute at build; their
-    stateful shapes are partition-pinned by stream_state_partitions
-    and covered by the streaming harness)."""
-    import __spark_entry__ as entry
-
-    offenders = {}
-    for name, fn in sorted(entry.queries().items()):
-        if name.startswith("streaming_"):
-            continue
-        if _unpartitioned_windows(fn(spark, SF_SMOKE)):
-            offenders[name] = True
-    unexpected = set(offenders) - set(BOUNDED_GLOBAL_WINDOWS)
+    unpartitioned window must stay inside the justified allowlist."""
+    offenders = {n for n, (_, w) in _sweep(spark).items() if w}
+    unexpected = offenders - set(BOUNDED_GLOBAL_WINDOWS)
     assert not unexpected, (
         "unpartitioned window over a possibly-unbounded relation in: "
         f"{sorted(unexpected)} — either repartition/limit the window "
         "input or add an allowlist entry WITH its boundedness proof"
+    )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """A CartesianProductExec in ANY gate query is an unconditional
+    failure — O(n*m) with no bound. (Broadcast nested-loop joins are
+    the separate, allowlisted case.)"""
+    offenders = {
+        n for n, (nodes, _) in _sweep(spark).items()
+        if "CartesianProductExec" in nodes
+    }
+    assert not offenders, sorted(offenders)
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Zero BatchEvalPython nodes across the registry: every Python
+    boundary must be Arrow-vectorized (ArrowEvalPython, mapInPandas /
+    applyInPandas / mapInArrow variants). Row-wise UDFs serialize
+    per-row through pickle — the 10-100x slow path this engine bans."""
+    offenders = {
+        n for n, (nodes, _) in _sweep(spark).items()
+        if "BatchEvalPythonExec" in nodes
+    }
+    assert not offenders, sorted(offenders)
+
+
+def test_bnl_joins_confined_to_bounded_broadcasts(spark):
+    """Every BroadcastNestedLoopJoin must be a query whose broadcast
+    side is bounded by construction — the allowlist entry names the
+    bound."""
+    offenders = {
+        n for n, (nodes, _) in _sweep(spark).items()
+        if "BroadcastNestedLoopJoinExec" in nodes
+    }
+    unexpected = offenders - set(BOUNDED_BNL_JOINS)
+    assert not unexpected, (
+        "nested-loop join with an unvetted broadcast side in: "
+        f"{sorted(unexpected)} — broadcast a BOUNDED side or add an "
+        "allowlist entry naming the bound"
     )
