@@ -160,3 +160,37 @@ def test_query_build_time_bounded(spark):
     # steal. Streaming queries EXECUTE at build (memory-sink tables),
     # so the whole-registry pass legitimately costs ~60s.
     assert elapsed < 90, f"building all queries took {elapsed:.1f}s"
+
+
+# Legitimately empty at sf0.001 ONLY (verified non-empty at sf0.01,
+# the driver's gate scale, this round): tiny-corpus selectivity, not
+# vacuous predicates.
+EMPTY_AT_SMOKE_OK = {
+    "q2_min_balance_supplier",  # 7 rows at sf0.01
+    "waterfall_anti_join",  # 1 row at sf0.01
+}
+
+
+def test_no_vacuously_empty_gate_queries(spark):
+    """A 0-row result matches its oracle trivially (the verify-skill
+    gotcha): every oracle-paired batch query must produce rows at the
+    smoke scale, or sit in the justified allowlist. Round 4 caught
+    zordered_orders_pruned_rollup matching vacuously for two rounds —
+    its date window predated the corpus entirely."""
+    import __spark_entry__ as entry
+
+    from tests.conftest import SF_SMOKE
+
+    empty = []
+    oracles = entry.oracle_sql()
+    for name, fn in sorted(entry.queries().items()):
+        if name not in oracles or name.startswith("streaming_"):
+            continue
+        if fn(spark, SF_SMOKE).limit(1).count() == 0:
+            empty.append(name)
+    unexpected = set(empty) - EMPTY_AT_SMOKE_OK
+    assert not unexpected, (
+        f"oracle-paired queries returning 0 rows at smoke scale: "
+        f"{sorted(unexpected)} — a 0-row oracle match proves nothing; "
+        "fix the predicate or allowlist with evidence from sf0.01"
+    )

@@ -201,8 +201,12 @@ def zordered_orders_pruned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     path = materialize_zordered_orders(spark, sf_dir)
     od = spark.read.parquet(path).filter(
+        # range chosen INSIDE the data's 1995-2001 span: the round-3
+        # 1993-94 window predated the corpus and matched zero rows,
+        # making the oracle equality vacuous (caught by the round-4
+        # non-vacuous-gate audit)
         (F.col("o_custkey").between(100, 400))
-        & (F.col("o_orderdate").between("1993-01-01", "1994-12-31"))
+        & (F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
     )
     return (
         od.groupBy("o_orderpriority")
@@ -225,7 +229,7 @@ SELECT o_orderpriority,
          AS sum_total
 FROM orders
 WHERE o_custkey BETWEEN 100 AND 400
-  AND o_orderdate BETWEEN DATE '1993-01-01' AND DATE '1994-12-31'
+  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
