@@ -93,6 +93,29 @@ def test_bench_no_silent_per_query_regression():
     if ref_blob.returncode != 0:
         pytest.skip("no committed bench_detail.json reference")
     ref = json.loads(ref_blob.stdout)
+    if ref == fresh:
+        # Clean checkout (CI): the working tree IS HEAD's sidecar, so the
+        # comparison above would be vacuous. Fall back to the previous
+        # commit that changed the sidecar, so the gate still checks the
+        # last landed bench run against its predecessor.
+        prev_rev = subprocess.run(
+            ["git", "rev-list", "-n", "1", "--skip=1", "HEAD",
+             "--", "bench_detail.json"],
+            capture_output=True,
+            cwd=repo,
+            text=True,
+        )
+        prev = prev_rev.stdout.strip()
+        if prev_rev.returncode != 0 or not prev:
+            pytest.skip("no prior committed sidecar to compare against")
+        ref_blob = subprocess.run(
+            ["git", "show", f"{prev}:bench_detail.json"],
+            capture_output=True,
+            cwd=repo,
+        )
+        if ref_blob.returncode != 0:
+            pytest.skip("prior sidecar unreadable")
+        ref = json.loads(ref_blob.stdout)
     if ref.get("sf") != fresh.get("sf"):
         pytest.skip(f"sf mismatch: ref {ref.get('sf')} vs {fresh.get('sf')}")
     bad = [

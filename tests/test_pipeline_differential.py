@@ -130,6 +130,14 @@ def build_fixture():
         if rng.random() < 0.15:  # re-ingest: keep-last must win
             add(vid, f"Reingest {vid} | Final {rng.choice(uniq)}A", cid, pub)
 
+    # Non-ASCII lowercase: the reference counts via str.islower()
+    # (Unicode-aware, dataingestion2.py:51), so 'é'/'ñ' participate in
+    # the >1-lowercase purge. ASCII-only fixtures left that divergence
+    # latent (round-4 ADVICE); these two rows pin it: one kept (census
+    # 1), one purged (census 2 — an ASCII-only counter would keep it).
+    add("vUni1", "Unicode One | Saison ABé", "CH01", "2024-03-02T10:00:00Z")
+    add("vUni2", "Unicode Two | Série AéñB", "CH02", "2024-03-02T11:00:00Z")
+
     analytics = []
     seen = set()
     for vid, _t, _c, _p, _s in videos:
@@ -196,7 +204,7 @@ def reference_twin(videos, channels, resource, shownames, cpm, analytics):
         keep = (
             len(last) in (3, 4, 5)
             and not (last.isdigit() and last != "")
-            and sum(1 for ch in last if ch.islower() and ch.isascii()) <= 1
+            and sum(1 for ch in last if ch.islower()) <= 1
         )
         main = last if keep else ""
         r["main_code"] = main
@@ -357,3 +365,7 @@ def test_coverage_of_edge_classes(differential):
         (r["category"] == "International News") and r["cpm_category"] == (r["show_name"] or "")
         for r in vals
     )
+    # Unicode lowercase census: 'é' counts once (kept), 'é'+'ñ' counts
+    # twice (purged) — an ASCII-only counter would keep vUni2's code.
+    assert got["vUni1"]["main_code"] == "ABé"
+    assert got["vUni2"]["main_code"] == ""

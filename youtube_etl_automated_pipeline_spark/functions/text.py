@@ -33,12 +33,15 @@ def clean_main_code(main_code: Column) -> Column:
     """P5-P7 cleaning chain (dataingestion2.py:45-51).
 
     Blank the code when: length not in {3,4,5} (P5), all digits (P6),
-    or more than one lowercase ASCII letter (P7). Order matches the
+    or more than one lowercase letter (P7). Order matches the
     reference (each rule sees the original value; rules only blank).
+    Lowercase is UNICODE category Ll — the reference counts via
+    ``str.islower()`` (dataingestion2.py:51), which is Unicode-aware,
+    so 'é' counts; Java and RE2 both accept ``\\p{Ll}``.
     """
     length_ok = F.length(main_code).isin(3, 4, 5)
     all_digits = main_code.rlike(r"^[0-9]+$")
-    lowercase_census = F.length(F.regexp_replace(main_code, r"[^a-z]", ""))
+    lowercase_census = F.length(F.regexp_replace(main_code, r"[^\p{Ll}]", ""))
     keep = length_ok & ~all_digits & (lowercase_census <= 1)
     return F.when(keep, main_code).otherwise(F.lit(""))
 
@@ -61,8 +64,9 @@ def last_char(code: Column) -> Column:
 
 
 def lowercase_count(col: Column) -> Column:
-    """F5: count of lowercase ASCII chars (dataingestion2.py:51)."""
-    return F.length(F.regexp_replace(col, r"[^a-z]", ""))
+    """F5: count of Unicode-lowercase chars (dataingestion2.py:51 uses
+    ``str.islower()``, which is Unicode-aware)."""
+    return F.length(F.regexp_replace(col, r"[^\p{Ll}]", ""))
 
 
 def sanitize_column_name(name: str) -> str:

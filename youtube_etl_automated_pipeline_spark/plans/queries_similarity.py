@@ -146,7 +146,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_wide(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb)
     biggest = (
-        emb.groupBy("label")
+        # NULL-labeled rows never survive the equi-join below (join on
+        # "label" drops them), so they can't contribute pairs — exclude
+        # them from the guard count or a large NULL block would fail
+        # fast over a quadratic stage that would never execute.
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("m"))
         .first()

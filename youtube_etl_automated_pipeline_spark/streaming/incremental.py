@@ -149,7 +149,15 @@ def stream_state_partitions(spark, n: int | str | None = None):
     rebuild — that is Spark's contract, not ours). ``n`` overrides
     per query: the TWS family passes ``tws_state_partitions()``
     because its per-partition Python state workers PARALLELIZE real
-    work — narrowing those serializes it (measured slower at 2)."""
+    work — narrowing those serializes it (measured slower at 2).
+
+    MIGRATION (default changed 8 -> 2 in round 4): the state-store
+    partition count is frozen into a checkpoint at its first commit,
+    and Spark refuses to resume a checkpoint under a different count.
+    Any durable checkpoint created under the old default of 8 must
+    either pin ``SPARK_GRAFT_STREAM_STATE_PARTITIONS=8`` before
+    resuming or rebuild state from scratch. Gate/bench checkpoints
+    are ephemeral temp dirs, so only external callers are affected."""
     if n is None:
         n = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
     old = spark.conf.get("spark.sql.shuffle.partitions")
