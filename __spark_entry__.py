@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_alloc import (
         QUERIES_ALLOC,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
+        QUERIES_ENGINE5,
+    )
 
     return {
         **QUERIES,
@@ -125,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_RESAMPLE,
         **QUERIES_EVAL,
         **QUERIES_ALLOC,
+        **QUERIES_ENGINE5,
     }
 
 
@@ -199,6 +203,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_alloc import (
         ORACLES_ALLOC,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
+        ORACLES_ENGINE5,
+    )
 
     return {
         **ORACLES,
@@ -230,4 +237,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_RESAMPLE,
         **ORACLES_EVAL,
         **ORACLES_ALLOC,
+        **ORACLES_ENGINE5,
     }

@@ -479,6 +479,7 @@ BOUNDED_GLOBAL_WINDOWS = {
 # CartesianProduct or a row-at-a-time Python UDF is never acceptable
 # and has an EMPTY allowlist.
 BOUNDED_BNL_JOINS = {
+    "bitext_margin_mining": "8-query batch, then <= K*8 candidate side",
     "cohens_kappa_langid": "1-row totals broadcast",
     "gap_fill_daily_counts": "1-row date-span broadcast",
     "global_sequence_events": "per-partition offset table (n_partitions rows)",
