@@ -1,4 +1,4 @@
-"""Round-5 engine extensions: four new semantic families the registry
+"""Round-5 engine extensions: new semantic families the registry
 did not yet cover, each with a DuckDB oracle twin.
 
 - ``bitext_margin_mining`` — margin-based parallel-corpus candidate
@@ -28,6 +28,13 @@ did not yet cover, each with a DuckDB oracle twin.
   verified by a position-weighted checksum (the checksum pins the full
   permutation, not just the bucket counts that
   ``train_val_test_split`` already covers).
+- ``quantile_normalization_scores`` — cross-source score calibration
+  by quantile normalization onto the pooled distribution (the step
+  before a single global quality threshold over heterogeneous
+  sources).
+- ``join_skew_diagnostics`` — join-key skew census: hottest keys with
+  exact ppm share, squared-CV dispersion, and the suggested salt
+  factor — the pre-flight for salting/AQE-skew decisions.
 
 The reference has no analogue for any of these (its dataflow is the
 linear 7-script chain, SURVEY §0); they are the extension surface the
@@ -620,3 +627,209 @@ SELECT shard,
 FROM placed GROUP BY shard ORDER BY shard
 """,
 }
+
+
+# --- quantile normalization ------------------------------------------
+QNORM_GRID = 20  # 21-point pooled quantile grid (j/20, j = 0..20)
+
+# --- skew diagnostics ------------------------------------------------
+SKEW_TOP = 5
+
+
+def quantile_normalization_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration by quantile normalization: each
+    document's within-source quantile rank is mapped onto the POOLED
+    score distribution, so a single global threshold means the same
+    thing for every source — the step a corpus-mixing pipeline needs
+    before thresholding heterogeneous quality scores (sources score on
+    different scales; percentile position is the comparable axis).
+
+    Mechanics: within each source, r = (rank-1)/(n-1) over (score,
+    doc_id); the doc maps to pooled grid index j = floor(r·GRID)
+    (exact integer arithmetic — (rank-1)·GRID DIV (n-1), no float
+    rank), and its normalized score is the pooled exact interpolated
+    percentile at j/GRID (the `percentile` <-> quantile_cont pairing
+    `percentile_stats` already proved). Output is a per-source census
+    of where its mass lands on the pooled scale.
+
+    Scale shape: one rank window PARTITIONED by source (the honest
+    per-source sort; at 100 TB sources number in the thousands, so
+    the window parallelizes — a skewed mega-source would range-bucket
+    the same way `global_sequence_events` does), one 21-value pooled
+    percentile agg broadcast back, one final rollup. No double ever
+    enters a sum: the census counts integer grid buckets, and
+    min/max over rounded doubles are order-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n_src"),
+    ).withColumn(
+        "j",
+        F.when(F.col("n_src") == 1, F.lit(0)).otherwise(
+            F.expr(f"CAST(((rnk - 1) * {QNORM_GRID}) DIV (n_src - 1) AS INT)")
+        ),
+    )
+    grid = [i / QNORM_GRID for i in range(QNORM_GRID + 1)]
+    pooled = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(%s))" % ", ".join(str(g) for g in grid)
+        ).alias("bounds")
+    )
+    normed = ranked.crossJoin(F.broadcast(pooled)).select(
+        "source",
+        "j",
+        hround(F.element_at("bounds", F.col("j") + 1), 6).alias("norm_score"),
+    )
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("j") < QNORM_GRID // 2, 1).otherwise(0)
+            ).alias("n_below_pooled_median"),
+            F.sum(
+                F.when(F.col("j") >= QNORM_GRID - 2, 1).otherwise(0)
+            ).alias("n_top_decile"),
+            F.min("norm_score").alias("min_norm"),
+            F.max("norm_score").alias("max_norm"),
+        )
+        .orderBy("source")
+    )
+
+
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census — the pre-flight diagnostic for every
+    big-shuffle decision this engine makes (salting factor, AQE skew
+    thresholds, broadcast candidacy): per-key counts for the orders
+    fact's customer key, the TOP-N hottest keys with exact ppm share,
+    plus global dispersion (squared coefficient of variation, exact
+    ppm) and the suggested salt factor ceil(max_key·n_keys/total) —
+    the replication a salted join needs so the hottest key's share
+    drops to the average.
+
+    Scale shape: one key-count agg (map-side partial), one 1-row
+    stats agg from the counts, a TakeOrderedAndProject for the top-N
+    (never a global sort), and a broadcast of the 1-row stats onto
+    the N rows. The count-of-counts moments ride decimal(38,0): at
+    10^13 rows sum(c^2) wraps bigint (ppm-sweep convention, round 4).
+    """
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("max_c"),
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("o_custkey")).limit(SKEW_TOP)
+    cv2_ppm = F.expr(
+        "CAST((CAST(n_keys AS DECIMAL(38,0)) * sum_c2"
+        " - CAST(total_rows AS DECIMAL(38,0)) * total_rows) * 1000000"
+        " DIV (CAST(total_rows AS DECIMAL(38,0)) * total_rows) AS BIGINT)"
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("o_custkey").alias("hot_key"),
+            F.col("c").alias("key_rows"),
+            F.expr("CAST(c * 1000000 DIV total_rows AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "n_keys",
+            "total_rows",
+            cv2_ppm.alias("cv2_ppm"),
+            F.expr(
+                "CAST((max_c * n_keys + total_rows - 1) DIV total_rows"
+                " AS BIGINT)"
+            ).alias("suggested_salt"),
+        )
+        .orderBy(F.desc("key_rows"), F.asc("hot_key"))
+    )
+
+
+QUERIES_ENGINE5["quantile_normalization_scores"] = quantile_normalization_scores
+QUERIES_ENGINE5["join_skew_diagnostics"] = join_skew_diagnostics
+
+_QNORM_GRID_SQL = ", ".join(str(i / QNORM_GRID) for i in range(QNORM_GRID + 1))
+
+ORACLES_ENGINE5["quantile_normalization_scores"] = f"""
+WITH docs AS (
+  SELECT source, doc_id, n_chars AS score FROM documents
+  WHERE n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT source, doc_id, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM docs
+),
+bucketed AS (
+  SELECT source,
+         CASE WHEN n_src = 1 THEN 0
+              ELSE CAST(((rnk - 1) * {QNORM_GRID}) // (n_src - 1) AS INT)
+         END AS j
+  FROM ranked
+),
+pooled AS (
+  SELECT quantile_cont(n_chars, [{_QNORM_GRID_SQL}]) AS bounds
+  FROM documents WHERE n_chars IS NOT NULL
+),
+normed AS (
+  SELECT source, j,
+         {sql_hround("bounds[j + 1]", 6)} AS norm_score
+  FROM bucketed CROSS JOIN pooled
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN j < {QNORM_GRID // 2} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_pooled_median,
+       CAST(sum(CASE WHEN j >= {QNORM_GRID - 2} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top_decile,
+       min(norm_score) AS min_norm,
+       max(norm_score) AS max_norm
+FROM normed GROUP BY source ORDER BY source
+"""
+
+ORACLES_ENGINE5["join_skew_diagnostics"] = f"""
+WITH counts AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(c) AS BIGINT) AS total_rows,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sum_c2,
+         max(c) AS max_c
+  FROM counts
+),
+top AS (
+  SELECT * FROM counts ORDER BY c DESC, o_custkey ASC LIMIT {SKEW_TOP}
+)
+SELECT o_custkey AS hot_key,
+       CAST(c AS BIGINT) AS key_rows,
+       CAST(c * 1000000 // total_rows AS BIGINT) AS share_ppm,
+       n_keys,
+       total_rows,
+       -- HUGEINT floor division: DuckDB's // on DECIMAL operands
+       -- rounds the decimal quotient before flooring (off by one vs
+       -- Spark's truncating DIV); integer // is exact in both
+       CAST((CAST(n_keys AS HUGEINT) * CAST(sum_c2 AS HUGEINT)
+             - CAST(total_rows AS HUGEINT) * total_rows) * 1000000
+            // (CAST(total_rows AS HUGEINT) * total_rows) AS BIGINT)
+         AS cv2_ppm,
+       CAST((max_c * n_keys + total_rows - 1) // total_rows AS BIGINT)
+         AS suggested_salt
+FROM top CROSS JOIN stats
+ORDER BY key_rows DESC, hot_key ASC
+"""
