@@ -480,6 +480,8 @@ BOUNDED_GLOBAL_WINDOWS = {
 # and has an EMPTY allowlist.
 BOUNDED_BNL_JOINS = {
     "bitext_margin_mining": "8-query batch, then <= K*8 candidate side",
+    "join_skew_diagnostics": "1-row key-count stats broadcast",
+    "quantile_normalization_scores": "1-row pooled 21-quantile array",
     "cohens_kappa_langid": "1-row totals broadcast",
     "gap_fill_daily_counts": "1-row date-span broadcast",
     "global_sequence_events": "per-partition offset table (n_partitions rows)",
@@ -595,3 +597,74 @@ def test_bnl_joins_confined_to_bounded_broadcasts(spark):
         f"{sorted(unexpected)} — broadcast a BOUNDED side or add an "
         "allowlist entry naming the bound"
     )
+
+
+def test_interval_overlap_join_is_binned_equi_join(spark):
+    """The interval overlap join must land as a hash/sort EQUI-join on
+    (suppkey, bin) — never a nested-loop over the interval predicate
+    (the naive O(n_R*n_A)-per-key form the binning exists to avoid).
+    The bin explode keeps the blow-up bounded (<= 3 bins/interval at
+    14-day max width over week bins)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
+        interval_overlap_join,
+    )
+
+    plan = plan_of(interval_overlap_join(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join family only (smoke scale broadcasts the small side;
+    # a real corpus sort-merges/hash-shuffles on the same keys)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_pattern_match_joins_extract_the_user_equi_key(spark):
+    """Both CEP chain joins carry a time-band predicate; Catalyst must
+    still extract the user equality as the join key (hash/sort join
+    with the band as post-filter) — a nested-loop here would be
+    O(users * events^2) at scale."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
+        pattern_match_funnel,
+    )
+
+    plan = plan_of(pattern_match_funnel(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitext_corpus_sides_never_shuffle_before_scoring(spark):
+    """Both bitext scoring stages must be broadcast joins (query batch
+    / candidate set broadcast against the corpus scan); the corpus
+    must never hash-shuffle to meet the queries. The only exchanges
+    allowed below a scoring join are broadcast exchanges."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
+        bitext_margin_mining,
+    )
+
+    plan = plan_of(bitext_margin_mining(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # scoring is broadcast-nested-loop by design (bounded sides, no
+    # equi key on a cross score); the corpus-side shuffles that DO
+    # exist serve the per-query/per-candidate top-k windows, which
+    # group k*|Q| rows, not the corpus
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_shard_assignment_has_no_global_sort(spark):
+    """The shard shuffle must sort WITHIN shards only (window
+    partitioned by shard) — a global ordering exchange would be the
+    single-reducer pattern the operator exists to avoid."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
+        shard_assignment_balance,
+    )
+
+    plan = plan_of(shard_assignment_balance(spark, SF_SMOKE))
+    lines = [
+        l for l in plan.splitlines() if "Exchange rangepartitioning" in l
+    ]
+    # the only range exchange allowed is the final 16-row presentation
+    # sort on the shard rollup, never one carrying doc_id rows
+    assert all("doc_id" not in l for l in lines), plan

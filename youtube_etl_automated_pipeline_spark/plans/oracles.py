@@ -102,7 +102,7 @@ cleaned AS (
     length(raw_code) AS raw_len,
     CASE WHEN length(raw_code) IN (3, 4, 5)
           AND NOT regexp_matches(raw_code, '^[0-9]+$')
-          AND length(regexp_replace(raw_code, '[^\p{{Ll}}]', '', 'g')) <= 1
+          AND length(regexp_replace(raw_code, '[^\\p{{Ll}}]', '', 'g')) <= 1
          THEN raw_code ELSE '' END AS main_code
   FROM raw
 )

@@ -101,7 +101,7 @@ codes AS (
   SELECT * EXCLUDE (raw_code),
     CASE WHEN length(raw_code) IN (3, 4, 5)
           AND NOT regexp_matches(raw_code, '^[0-9]+$')
-          AND length(regexp_replace(raw_code, '[^\p{{Ll}}]', '', 'g')) <= 1
+          AND length(regexp_replace(raw_code, '[^\\p{{Ll}}]', '', 'g')) <= 1
          THEN raw_code ELSE '' END AS main_code
   FROM raw_codes),
 codes2 AS (
