@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
         QUERIES_ENGINE5,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5b import (
+        QUERIES_ENGINE5B,
+    )
 
     return {
         **QUERIES,
@@ -129,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_EVAL,
         **QUERIES_ALLOC,
         **QUERIES_ENGINE5,
+        **QUERIES_ENGINE5B,
     }
 
 
@@ -206,6 +210,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5 import (
         ORACLES_ENGINE5,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5b import (
+        ORACLES_ENGINE5B,
+    )
 
     return {
         **ORACLES,
@@ -238,4 +245,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_EVAL,
         **ORACLES_ALLOC,
         **ORACLES_ENGINE5,
+        **ORACLES_ENGINE5B,
     }

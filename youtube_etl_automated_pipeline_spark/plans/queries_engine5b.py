@@ -1,0 +1,374 @@
+"""Round-5 batch 2: Johnson–Lindenstrauss projection audit and MMR
+diversity re-ranking — two more published-technique operators with
+DuckDB oracle twins.
+
+- ``embedding_jl_projection`` — random-sign (Achlioptas 2003) JL
+  projection 64 -> 16 dims with a pairwise-distance distortion audit:
+  the cheap dimensionality-reduction step a 100 TB embedding pipeline
+  runs before clustering/LSH, plus the census that certifies the
+  distance-preservation the JL lemma promises. The sign matrix is
+  derived from md5 (pure-Python at import), so both engines share the
+  identical literal matrix.
+- ``retrieval_mmr_rerank`` — Maximal Marginal Relevance re-ranking
+  (Carbonell & Goldstein, SIGIR 1998): greedy selection maximizing
+  λ·relevance − (1−λ)·max-similarity-to-already-selected over a
+  bounded top-C candidate pool — the diversity pass a retrieval stack
+  runs after ANN candidate generation. Greedy steps are unrolled
+  (fixed k) in both engines.
+
+Cross-engine exactness: every score collapses to integer micro-units
+before any argmax/threshold; float arithmetic is term-identical
+(mirrored unrolled sums, same operand order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext.similarity import (
+    dot_unrolled_sql,
+    embedding_dim,
+    unit,
+)
+from youtube_etl_automated_pipeline_spark.sources import load_wide
+
+# --- JL projection ---------------------------------------------------
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+JL_N_PAIRS = 24  # audit pairs (2t, 2t+1), t < JL_N_PAIRS
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5 — identical constant in both engines
+    (computed once at import, embedded as literals)."""
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+JL_SIGNS = [
+    [_jl_sign(i, j) for j in range(JL_OUT_DIM)] for i in range(JL_IN_DIM)
+]
+
+
+def _proj_diff_term(j: int, elem: str) -> str:
+    """Unrolled Σ_i sign_ij · diff_i as one left-associative SQL sum
+    (projection is linear, so project the pair DIFFERENCE once).
+    ``elem`` formats the i-th diff element, 1-based."""
+    parts = []
+    for i in range(JL_IN_DIM):
+        s = JL_SIGNS[i][j]
+        e = elem.format(i=i + 1)
+        parts.append(f"({e})" if s == 1 else f"(-({e}))")
+    return " + ".join(parts)
+
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-sign projection distortion audit: project each audit
+    pair's difference vector through the shared ±1 matrix and compare
+    squared distances, ratio = (||R·(a-b)||²/OUT_DIM) / ||a-b||² in
+    integer micro-units (JL lemma: concentrated near 1).
+
+    Scale shape: the projection is a pure map — an Arrow-batched
+    numpy kernel (mapInPandas), vectorized ACROSS rows with the
+    dim-axis accumulated sequentially so the double-add order is
+    bit-reproducible (a 2048-term unrolled SQL expression computes
+    the same thing but blows past the JVM codegen method limit and
+    falls back to per-row interpretation — measured 7s vs sub-second
+    for the kernel). The audit joins consecutive vec_ids (equi-join,
+    O(n) pairs in general). This is the certify-then-trust step
+    before swapping 64-dim vectors for 16-dim ones in downstream
+    clustering/LSH: 4× less shuffle volume everywhere after.
+
+    Exactness: both engines evaluate the SAME sequential-order sums
+    over the SAME literal matrix; one double division, then the
+    micro-unit floor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    assert dim == JL_IN_DIM, f"JL matrix is {JL_IN_DIM}-dim, got {dim}"
+    a = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * JL_N_PAIRS)
+    ).select((F.col("vec_id") / 2).cast("int").alias("pair_id"),
+             F.col("embedding").alias("va"))
+    b = emb.filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 2 * JL_N_PAIRS)
+    ).select(((F.col("vec_id") - 1) / 2).cast("int").alias("pair_id"),
+             F.col("embedding").alias("vb"))
+    signs = np.array(JL_SIGNS, dtype=np.float64)  # (IN, OUT)
+
+    def kernel(batches):
+        # Arrow-vectorized across rows; the i/j accumulations loop
+        # SEQUENTIALLY so every double add happens in the exact order
+        # the oracle's left-associative list_sum folds use (np.sum's
+        # pairwise summation would diverge in the last ulp).
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["va"]]
+            )
+            vb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vb"]]
+            )
+            dv = va - vb  # (rows, IN) — same IEEE subtract per element
+            d2 = np.zeros(len(pdf))
+            for i in range(JL_IN_DIM):
+                d2 += dv[:, i] * dv[:, i]
+            proj = np.zeros((len(pdf), JL_OUT_DIM))
+            for i in range(JL_IN_DIM):
+                # per output dim j the i-terms accumulate in ascending
+                # i order, matching the unrolled SQL sum term order
+                proj += dv[:, i][:, None] * signs[i][None, :]
+            psq = np.zeros(len(pdf))
+            for j in range(JL_OUT_DIM):
+                psq += proj[:, j] * proj[:, j]
+            ratio = np.floor((psq / JL_OUT_DIM) / d2 * 1e6 + 0.5)
+            out = pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"],
+                    "ratio_micro": pd.array(
+                        np.where(d2 > 0, ratio, np.nan), dtype="Int64"
+                    ),
+                }
+            )
+            yield out
+
+    paired = a.join(b, "pair_id")
+    projected = paired.mapInPandas(
+        kernel, schema="pair_id int, ratio_micro long"
+    )
+    return (
+        # integer DIV, not `/`+cast: Spark casts double->int by
+        # truncation while DuckDB ROUNDS — 11.5 would split 11 vs 12
+        projected.withColumn(
+            "ratio_decile", F.expr("CAST(ratio_micro DIV 100000 AS INT)")
+        )
+        .orderBy("pair_id")
+    )
+
+
+# --- MMR re-ranking --------------------------------------------------
+MMR_QUERY_ID = 7
+MMR_POOL = 10  # candidate pool from the exact top-C pass
+MMR_K = 4  # greedy selections (unrolled in both engines)
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # λ = 0.7 as an exact rational
+
+
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking over a bounded candidate pool: after
+    exact top-``MMR_POOL`` retrieval for one query vector, greedily
+    pick ``MMR_K`` results maximizing
+
+        mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+
+    (Carbonell & Goldstein 1998) — near-duplicate candidates are
+    penalized by their similarity to already-selected results, the
+    post-ANN diversity pass of a retrieval stack.
+
+    Scale shape: the DISTRIBUTED work is candidate generation (the
+    broadcast-query corpus scan of `similarity_bruteforce_topk`) and
+    the pool's pairwise similarities; the greedy argmax loop is
+    inherently sequential over a CONSTANT-size pool, so it runs
+    driver-side on the collected POOL rows + POOL² sims (~100 small
+    integers — the same bounded-driver-traffic contract as the
+    k-means moment collects). Composing the K steps as nested
+    limit-1 DataFrame branches instead was measured 3.6s of pure
+    stage overhead for 10 rows — the wrong side of the
+    distribute-vs-ship line. Scores are exact integers:
+    mmr·DEN = NUM·rel_micro − (DEN−NUM)·max_sim_micro.
+
+    Exactness: rel/sim micro-cosines use the proven unit-dot kernel;
+    argmax ties break on lowest vec_id in both engines.
+    """
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        unit(F.col("embedding")).alias("q_u")
+    )
+    corpus = emb.filter(F.col("vec_id") != MMR_QUERY_ID).select(
+        F.col("vec_id").alias("cand_id"), unit(F.col("embedding")).alias("c_u")
+    )
+    rel = F.floor(
+        F.expr(dot_unrolled_sql("q_u", "c_u", dim)) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    # persist the POOL-row candidate relation: the greedy loop's plan
+    # references it O(K^2) times (every step's remaining/scored/pick
+    # branch) — without the persist each branch would re-run the
+    # corpus scoring scan
+    pool = memo_persist(
+        spark,
+        ("mmr_pool", sf_dir),
+        lambda: corpus.crossJoin(F.broadcast(q))
+        .select("cand_id", "c_u", rel.alias("rel_micro"))
+        .orderBy(F.desc("rel_micro"), F.asc("cand_id"))
+        .limit(MMR_POOL),
+    )
+    # pairwise candidate similarities within the bounded pool
+    pa = pool.select(F.col("cand_id").alias("ca"), F.col("c_u").alias("ua"))
+    pb = pool.select(F.col("cand_id").alias("cb"), F.col("c_u").alias("ub"))
+    sim = F.floor(
+        F.expr(dot_unrolled_sql("ua", "ub", dim)) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    sims = memo_persist(
+        spark,
+        ("mmr_sims", sf_dir),
+        lambda: pa.join(F.broadcast(pb), F.col("ca") != F.col("cb"))
+        .select("ca", "cb", sim.alias("sim_micro")),
+    )
+    lam, lam1 = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    # bounded driver traffic: POOL rows + POOL*(POOL-1) sims
+    pool_rows = pool.select("cand_id", "rel_micro").collect()
+    sim_rows = sims.collect()
+    rel_of = {r.cand_id: r.rel_micro for r in pool_rows}
+    sim_of = {(r.ca, r.cb): r.sim_micro for r in sim_rows}
+    selected: list[tuple[int, int, int]] = []  # (rank, cand, mmr_num)
+    chosen: list[int] = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for cid in sorted(rel_of):
+            if cid in chosen:
+                continue
+            max_sim = max(
+                (sim_of[(cid, s)] for s in chosen), default=None
+            )
+            num = rel_of[cid] * lam - (
+                max_sim * lam1 if max_sim is not None else 0
+            )
+            # argmax with lowest-cand_id tiebreak (ascending scan)
+            if best is None or num > best[1]:
+                best = (cid, num)
+        selected.append((step, best[0], best[1]))
+        chosen.append(best[0])
+    out = spark.createDataFrame(
+        [
+            (rank, cid, rel_of[cid], num)
+            for rank, cid, num in selected
+        ],
+        "sel_rank int, cand_id long, rel_micro long, mmr_score_x10 long",
+    )
+    return out.orderBy("sel_rank")
+
+
+QUERIES_ENGINE5B = {
+    "embedding_jl_projection": embedding_jl_projection,
+    "retrieval_mmr_rerank": retrieval_mmr_rerank,
+}
+
+
+def _sql_norm_elem(arr: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, len({arr})),"
+        f" k -> CAST({arr}[k] AS DOUBLE) * CAST({arr}[k] AS DOUBLE))))"
+    )
+
+
+def _sql_micro_unit_dot(a: str, b: str) -> str:
+    """Twin of unit()+dot_unrolled()+micro floor (same as engine5's
+    _micro_cos — duplicated locally to keep each module freestanding)."""
+    na, nb = _sql_norm_elem(a), _sql_norm_elem(b)
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" k -> (CAST({a}[k] AS DOUBLE) / {na}) * (CAST({b}[k] AS DOUBLE) / {nb})))"
+    )
+    raw = f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} ELSE 0 END"
+    return f"CAST(floor(({raw}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _jl_oracle() -> str:
+    elem = "(CAST(va[{i}] AS DOUBLE) - CAST(vb[{i}] AS DOUBLE))"
+    d2_orig = " + ".join(
+        f"({elem.format(i=i + 1)}) * ({elem.format(i=i + 1)})"
+        for i in range(JL_IN_DIM)
+    )
+    proj_sq = " + ".join(
+        f"(({_proj_diff_term(j, elem)}) * ({_proj_diff_term(j, elem)}))"
+        for j in range(JL_OUT_DIM)
+    )
+    ratio = (
+        f"CASE WHEN ({d2_orig}) > 0 THEN"
+        f" CAST(FLOOR((({proj_sq}) / {JL_OUT_DIM}) / ({d2_orig})"
+        f" * 1000000.0 + 0.5) AS BIGINT) END"
+    )
+    return f"""
+WITH a AS (
+  SELECT CAST(vec_id / 2 AS INT) AS pair_id, embedding AS va
+  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < {2 * JL_N_PAIRS}
+),
+b AS (
+  SELECT CAST((vec_id - 1) / 2 AS INT) AS pair_id, embedding AS vb
+  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < {2 * JL_N_PAIRS}
+)
+SELECT pair_id, ratio_micro,
+       CAST(ratio_micro // 100000 AS INT) AS ratio_decile
+FROM (
+  SELECT pair_id, {ratio} AS ratio_micro
+  FROM a JOIN b USING (pair_id)
+)
+ORDER BY pair_id
+"""
+
+
+def _mmr_oracle() -> str:
+    lam, lam1 = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    steps = []
+    steps.append(f"""
+sel1 AS MATERIALIZED (
+  SELECT cand_id, 1 AS sel_rank, rel_micro * {lam} AS mmr_num
+  FROM pool ORDER BY rel_micro DESC, cand_id ASC LIMIT 1
+)""")
+    prev_union = "SELECT cand_id, sel_rank, mmr_num FROM sel1"
+    for step in range(2, MMR_K + 1):
+        steps.append(f"""
+seln{step} AS MATERIALIZED ({prev_union}),
+sel{step} AS MATERIALIZED (
+  SELECT p.cand_id, {step} AS sel_rank,
+         p.rel_micro * {lam}
+           - coalesce((SELECT max(s.sim_micro) FROM sims s
+                       WHERE s.ca = p.cand_id
+                         AND s.cb IN (SELECT cand_id FROM seln{step})), 0)
+             * {lam1} AS mmr_num
+  FROM pool p
+  WHERE p.cand_id NOT IN (SELECT cand_id FROM seln{step})
+  ORDER BY mmr_num DESC, p.cand_id ASC LIMIT 1
+)""")
+        prev_union += f" UNION ALL SELECT cand_id, sel_rank, mmr_num FROM sel{step}"
+    return f"""
+WITH q AS (
+  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {MMR_QUERY_ID}
+),
+corpus AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id != {MMR_QUERY_ID}
+),
+pool AS MATERIALIZED (
+  SELECT cand_id, c_emb,
+         {_sql_micro_unit_dot("q_emb", "c_emb")} AS rel_micro
+  FROM corpus CROSS JOIN q
+  ORDER BY rel_micro DESC, cand_id ASC LIMIT {MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT a.cand_id AS ca, b.cand_id AS cb,
+         {_sql_micro_unit_dot("a.c_emb", "b.c_emb")} AS sim_micro
+  FROM pool a JOIN pool b ON a.cand_id != b.cand_id
+),
+{",".join(steps)}
+SELECT sel_rank, s.cand_id, p.rel_micro, s.mmr_num AS mmr_score_x10
+FROM ({prev_union}) s JOIN pool p ON s.cand_id = p.cand_id
+ORDER BY sel_rank
+"""
+
+
+ORACLES_ENGINE5B = {
+    "embedding_jl_projection": _jl_oracle(),
+    "retrieval_mmr_rerank": _mmr_oracle(),
+}
