@@ -174,13 +174,13 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the DISTRIBUTED work is candidate generation (the
     broadcast-query corpus scan of `similarity_bruteforce_topk`) and
     the pool's pairwise similarities; the greedy argmax loop is
-    inherently sequential over a CONSTANT-size pool, so it runs
-    driver-side on the collected POOL rows + POOL² sims (~100 small
-    integers — the same bounded-driver-traffic contract as the
-    k-means moment collects). Composing the K steps as nested
-    limit-1 DataFrame branches instead was measured 3.6s of pure
-    stage overhead for 10 rows — the wrong side of the
-    distribute-vs-ship line. Scores are exact integers:
+    inherently sequential over a CONSTANT-size pool, so pool + sims
+    collapse to ONE row of sorted arrays (~100 small integers) and
+    the K-step greedy runs inside a single Arrow kernel task — build
+    stays lazy, nothing collects to the driver. Composing the K
+    steps as nested limit-1 DataFrame branches instead was measured
+    3.6s of pure stage overhead for 10 rows — the wrong side of the
+    constant-vs-distributed line. Scores are exact integers:
     mmr·DEN = NUM·rel_micro − (DEN−NUM)·max_sim_micro.
 
     Exactness: rel/sim micro-cosines use the proven unit-dot kernel;
@@ -225,38 +225,65 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: pa.join(F.broadcast(pb), F.col("ca") != F.col("cb"))
         .select("ca", "cb", sim.alias("sim_micro")),
     )
+    import pandas as pd
+
     lam, lam1 = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
-    # bounded driver traffic: POOL rows + POOL*(POOL-1) sims
-    pool_rows = pool.select("cand_id", "rel_micro").collect()
-    sim_rows = sims.collect()
-    rel_of = {r.cand_id: r.rel_micro for r in pool_rows}
-    sim_of = {(r.ca, r.cb): r.sim_micro for r in sim_rows}
-    selected: list[tuple[int, int, int]] = []  # (rank, cand, mmr_num)
-    chosen: list[int] = []
-    for step in range(1, MMR_K + 1):
-        best = None
-        for cid in sorted(rel_of):
-            if cid in chosen:
-                continue
-            max_sim = max(
-                (sim_of[(cid, s)] for s in chosen), default=None
-            )
-            num = rel_of[cid] * lam - (
-                max_sim * lam1 if max_sim is not None else 0
-            )
-            # argmax with lowest-cand_id tiebreak (ascending scan)
-            if best is None or num > best[1]:
-                best = (cid, num)
-        selected.append((step, best[0], best[1]))
-        chosen.append(best[0])
-    out = spark.createDataFrame(
-        [
-            (rank, cid, rel_of[cid], num)
-            for rank, cid, num in selected
-        ],
-        "sel_rank int, cand_id long, rel_micro long, mmr_score_x10 long",
+    # collapse pool + sims to ONE row of sorted arrays (sort_array
+    # pins determinism — collect_list order is partition-dependent),
+    # then run the sequential greedy inside a single Arrow kernel
+    # task. Build stays fully lazy (no jobs until an action), and the
+    # constant-size rerank never ships through a deep limit-1 plan.
+    pool_row = pool.agg(
+        F.sort_array(
+            F.collect_list(F.struct("cand_id", "rel_micro"))
+        ).alias("pool")
     )
-    return out.orderBy("sel_rank")
+    sims_row = sims.agg(
+        F.sort_array(
+            F.collect_list(F.struct("ca", "cb", "sim_micro"))
+        ).alias("simlist")
+    )
+    one = pool_row.crossJoin(F.broadcast(sims_row))
+
+    def greedy(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rel_of = {p["cand_id"]: p["rel_micro"] for p in row["pool"]}
+                sim_of = {
+                    (s["ca"], s["cb"]): s["sim_micro"]
+                    for s in row["simlist"]
+                }
+                chosen: list[int] = []
+                out = []
+                for step in range(1, MMR_K + 1):
+                    best = None
+                    for cid in sorted(rel_of):
+                        if cid in chosen:
+                            continue
+                        max_sim = max(
+                            (sim_of[(cid, s)] for s in chosen), default=None
+                        )
+                        num = rel_of[cid] * lam - (
+                            max_sim * lam1 if max_sim is not None else 0
+                        )
+                        # argmax, lowest-cand_id tiebreak (asc scan)
+                        if best is None or num > best[1]:
+                            best = (cid, num)
+                    out.append((step, best[0], rel_of[best[0]], best[1]))
+                    chosen.append(best[0])
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "sel_rank", "cand_id", "rel_micro", "mmr_score_x10"
+                    ],
+                )
+
+    return one.mapInPandas(
+        greedy,
+        schema=(
+            "sel_rank int, cand_id long, rel_micro long, mmr_score_x10 long"
+        ),
+    ).orderBy("sel_rank")
 
 
 QUERIES_ENGINE5B = {
