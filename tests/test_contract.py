@@ -204,12 +204,27 @@ def test_no_vacuously_empty_gate_queries(spark):
 
     from tests.conftest import SF_SMOKE
 
+    import time
+
     empty = []
     oracles = entry.oracle_sql()
     for name, fn in sorted(entry.queries().items()):
         if name not in oracles or name.startswith("streaming_"):
             continue
-        if fn(spark, SF_SMOKE).limit(1).count() == 0:
+        # one retry: late in a long pytest session the shared JVM can
+        # drop a py4j round-trip during a GC pause (observed as a
+        # protocol error here when the full suite runs; every such
+        # failure passed in isolation). A real query error raises
+        # identically on the second attempt.
+        for attempt in (1, 2):
+            try:
+                n = fn(spark, SF_SMOKE).limit(1).count()
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(2)
+        if n == 0:
             empty.append(name)
     unexpected = set(empty) - EMPTY_AT_SMOKE_OK
     assert not unexpected, (

@@ -481,6 +481,7 @@ BOUNDED_GLOBAL_WINDOWS = {
 BOUNDED_BNL_JOINS = {
     "bitext_margin_mining": "8-query batch, then <= K*8 candidate side",
     "join_skew_diagnostics": "1-row key-count stats broadcast",
+    "retrieval_mmr_rerank": "1-row collapsed pool/sims arrays",
     "quantile_normalization_scores": "1-row pooled 21-quantile array",
     "cohens_kappa_langid": "1-row totals broadcast",
     "gap_fill_daily_counts": "1-row date-span broadcast",
