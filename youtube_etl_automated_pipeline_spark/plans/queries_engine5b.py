@@ -399,3 +399,93 @@ ORACLES_ENGINE5B = {
     "embedding_jl_projection": _jl_oracle(),
     "retrieval_mmr_rerank": _mmr_oracle(),
 }
+
+
+def array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface in one gate query: the per-row
+    array pipeline filter -> transform -> aggregate -> distinct ->
+    sort -> slice, entirely JVM-side (no Python boundary) — the
+    API breadth a pandas user migrating row loops onto this engine
+    reaches for first. Per doc: long tokens (len >= 4) lowercased,
+    their exact character mass via an aggregate fold, the distinct
+    census, and the 3 lexicographically-first tokens; rolled up per
+    language.
+
+    Scale shape: pure scan-projection (HOFs evaluate per row — they
+    are interpreted expressions, fine OFF the per-pair hot path; see
+    ext/similarity.py for when they are not) + one rollup shuffle.
+    Integer sums only.
+
+    Oracle twin: DuckDB's list_filter / list_transform / list_sum /
+    list_distinct / list_sort / list_slice mirror each step; both
+    sides sort with plain lexicographic ordering over lowercased
+    ASCII-ish tokens.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.textstats import tokens
+
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.transform(
+        F.filter(tokens(F.col("text")), lambda x: F.length(x) >= 4),
+        F.lower,
+    )
+    d = docs.select("lang", toks.alias("toks")).select(
+        "lang",
+        F.size("toks").alias("n_long"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("char_mass"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.concat_ws(
+            "|", F.slice(F.array_sort("toks"), 1, 3)
+        ).alias("first3"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_long").alias("sum_long_tokens"),
+            F.sum("char_mass").alias("sum_char_mass"),
+            F.sum("n_uniq").alias("sum_uniq_tokens"),
+            F.min("first3").alias("min_first3"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES_ENGINE5B["array_hof_pipeline"] = array_hof_pipeline
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (  # noqa: E402
+    WS_CHARS as _WS_CHARS,
+)
+
+ORACLES_ENGINE5B["array_hof_pipeline"] = f"""
+WITH toked AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE list_transform(
+                list_filter(
+                  string_split_regex(trim(text), '[{_WS_CHARS}]+'),
+                  x -> length(x) >= 4),
+                x -> lower(x))
+         END AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+perdoc AS (
+  SELECT lang,
+         len(toks) AS n_long,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS char_mass,
+         len(list_distinct(toks)) AS n_uniq,
+         array_to_string(list_slice(list_sort(toks), 1, 3), '|') AS first3
+  FROM toked
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_long) AS BIGINT) AS sum_long_tokens,
+       CAST(sum(char_mass) AS BIGINT) AS sum_char_mass,
+       CAST(sum(n_uniq) AS BIGINT) AS sum_uniq_tokens,
+       min(first3) AS min_first3
+FROM perdoc GROUP BY lang ORDER BY lang
+"""
