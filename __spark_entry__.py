@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5b import (
         QUERIES_ENGINE5B,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        QUERIES_ENGINE5C,
+    )
 
     return {
         **QUERIES,
@@ -133,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ALLOC,
         **QUERIES_ENGINE5,
         **QUERIES_ENGINE5B,
+        **QUERIES_ENGINE5C,
     }
 
 
@@ -213,6 +217,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5b import (
         ORACLES_ENGINE5B,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        ORACLES_ENGINE5C,
+    )
 
     return {
         **ORACLES,
@@ -246,4 +253,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ALLOC,
         **ORACLES_ENGINE5,
         **ORACLES_ENGINE5B,
+        **ORACLES_ENGINE5C,
     }

@@ -455,6 +455,8 @@ def test_semdedup_prune_kernel_groups_on_block_pairs(spark):
 # before a judge (or a 100 TB run) finds it.
 BOUNDED_GLOBAL_WINDOWS = {
     "activity_heatmap_dow_hour": "168 dow x hour cells",
+    "anomaly_rolling_zscore": "one row per calendar day (pre-aggregated, plan-tested)",
+    "order_backlog_sweepline": "one row per calendar day (pre-aggregated, plan-tested)",
     "auc_mann_whitney": "distinct marker-count score values",
     "corpus_budget_apportion": "one row per language",
     "corpus_mix_contingency": "lang x source grid",
@@ -669,3 +671,68 @@ def test_shard_assignment_has_no_global_sort(spark):
     # the only range exchange allowed is the final 16-row presentation
     # sort on the shard rollup, never one carrying doc_id rows
     assert all("doc_id" not in l for l in lines), plan
+
+
+def _first_window_feeds_from_aggregate(plan: str) -> bool:
+    """True iff the first Window node in the printed tree has a
+    HashAggregate somewhere below it (i.e. the window input was
+    pre-aggregated, not the raw fact scan)."""
+    lines = plan.splitlines()
+    wi = next(
+        (i for i, l in enumerate(lines) if "Window" in l and "WindowGroup" not in l),
+        None,
+    )
+    if wi is None:
+        return False
+    return any("HashAggregate" in l for l in lines[wi:])
+
+
+def test_calendar_sweep_windows_run_over_day_rollups(spark):
+    """anomaly_rolling_zscore and order_backlog_sweepline both carry
+    ONE unpartitioned window; its input must be the per-calendar-day
+    rollup (bounded by the calendar at any corpus size), never the
+    raw orders/lineitem scan — the allowlist entry's proof."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        anomaly_rolling_zscore,
+        order_backlog_sweepline,
+    )
+
+    for fn in (anomaly_rolling_zscore, order_backlog_sweepline):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert _first_window_feeds_from_aggregate(plan), plan
+
+
+def test_chunk_census_joins_stay_hash_keyed(spark):
+    """line_dedup_census and cross_source_duplicate_census must join
+    chunks back to the census on the 64-bit hash as an EQUI-join —
+    never a nested loop — and must not carry document text past the
+    first projection (rows stay narrow through every shuffle)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        cross_source_duplicate_census,
+        line_dedup_census,
+    )
+
+    for fn in (line_dedup_census, cross_source_duplicate_census):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # no exchange may carry the raw text column
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text#" not in line, line
+
+
+def test_twap_window_is_user_partitioned(spark):
+    """The TWAP lead() must run partitioned by user_id — the
+    registry-wide unpartitioned-window sweep also covers this, but
+    the explicit lock documents the operator's contract."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        twap_user_value,
+    )
+
+    plan = plan_of(twap_user_value(spark, SF_SMOKE))
+    win_lines = [
+        l for l in plan.splitlines()
+        if "Window" in l and "WindowGroup" not in l
+    ]
+    assert win_lines and all("user_id" in l for l in win_lines), plan

@@ -1,0 +1,515 @@
+"""Round-5 engine extensions, second batch: five more semantic
+families the registry did not yet cover, each with a DuckDB oracle
+twin.
+
+- ``line_dedup_census`` — CCNet-style duplicated-chunk filtering
+  (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  Datasets from Web Crawl Data", LREC 2020 §3.2 dedups paragraphs by
+  hash against a corpus-wide census). The corpus has no newlines, so
+  the "paragraph" unit is the aligned 80-char chunk the engine's
+  ``doc_chunking`` operator already defines; the op computes the
+  global chunk census, marks each doc's duplicated chunks, and emits
+  the census plus a signature of the KEPT (deduplicated) document.
+- ``cross_source_duplicate_census`` — provenance overlap matrix:
+  which source pairs share verbatim content (by aligned-chunk hash).
+  The inter-source audit run before mixing crawls/dumps, catching
+  mirror sites and re-crawled hosts that per-doc dedup only removes
+  pairwise.
+- ``anomaly_rolling_zscore`` — trailing-window z-score anomaly flags
+  over the daily revenue series, with the z² threshold evaluated in
+  EXACT integer arithmetic (no sqrt, no float variance): flag iff
+  (n*x - s)^2 > z^2 * (n*sq - s^2) over window sums s, sq.
+- ``twap_user_value`` — time-weighted average value per user (the
+  TWAP aggregation): each observation weighted by its holding
+  duration until the user's next event; exact integer micro-second x
+  centi-value mass, one double division at the end.
+- ``order_backlog_sweepline`` — open-order backlog timeline by
+  sweep-line: +1 delta at order date, -1 after the order's last
+  shipment; running sum over the per-day delta relation (bounded by
+  the calendar, never the fact table).
+
+The reference has no analogue for any of these (SURVEY §0 linear
+chain); they extend the curation/time-series surface the build
+mandate asks for, expressed Spark-first.
+
+Cross-engine exactness: every value feeding an ordering, threshold or
+hash is an exact integer (chunk hashes, cents, microseconds,
+decimal(38,0) squares); each query performs at most one double
+division, on integer operands, in the same operand order in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.ext import textstats as TS
+from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide
+
+# --- line/chunk dedup -----------------------------------------------
+LDC_CHUNK = 80  # aligned chunk width, matches doc_chunking's unit
+
+# --- rolling z-score ------------------------------------------------
+ZS_WIN = 28  # trailing window (days), exclusive of the current day
+ZS_MIN_N = 14  # min trailing days before a flag can fire
+ZS_Z2 = 9  # z^2 threshold (|z| > 3)
+
+# --- TWAP -----------------------------------------------------------
+# (no constants: full event horizon, all users with >= 2 events)
+
+# --- backlog sweep-line ---------------------------------------------
+# (no constants: the close date is the order's max shipdate)
+
+
+def line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-chunk census + per-doc dedup signature
+    (CCNet's paragraph dedup re-expressed over aligned 80-char
+    chunks).
+
+    Scale shape: chunks are a map-side generator (sequence +
+    posexplode, no shuffle); the census is one hash-keyed partial
+    aggregation; marking is an equi-join back on the 64-bit chunk
+    hash (never the text — rows stay ~32 bytes); the per-doc rebuild
+    aggregates bounded state (a doc's own chunk hashes, capped by
+    doc length / 80). Nothing is quadratic and no relation carries
+    full text past the first projection.
+
+    Exactness: the kept-document signature hashes the ordered
+    concatenation of the SURVIVING chunks' md5 hexes, so both engines
+    agree without re-materializing the filtered text.
+    """
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(LDC_CHUNK)
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(LDC_CHUNK))
+    chunks = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("idx", "chunk_start")
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.substring(F.md5(chunk), 1, 16).alias("h"),
+        F.length(chunk).cast("long").alias("clen"),
+    )
+    census = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_global"))
+    marked = chunks.join(census, "h")
+    kept = F.when(F.col("n_global") == 1, F.col("h"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_global") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.sum(
+                F.when(F.col("n_global") == 1, F.col("clen")).otherwise(0)
+            ).alias("kept_len"),
+            TS.md5_long(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("idx"), kept.alias("kh"))
+                            )
+                        ),
+                        lambda s: F.coalesce(s.getField("kh"), F.lit("_")),
+                    ),
+                ),
+                15,
+            ).alias("kept_sig"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def cross_source_duplicate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair verbatim-content overlap matrix over aligned-chunk
+    hashes: for every source pair that shares at least one distinct
+    80-char chunk, the shared-chunk count, each side's distinct-chunk
+    census, and the overlap in ppm of the smaller side.
+
+    Scale shape: one distinct (source, hash) projection (hash-keyed,
+    map-side partial), then a self-equi-join on the chunk hash. The
+    join's per-key fan-out is (sources carrying that chunk)^2 —
+    bounded by the source census, never by corpus size — and the
+    output is at most |sources|^2 rows. The per-source census joins
+    on twice via broadcast (one row per source).
+
+    Exactness: counts and a ppm ratio via decimal(38,0) DIV — no
+    floats anywhere.
+    """
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(LDC_CHUNK)
+    )
+    chunk = F.col("text").substr(F.col("s"), F.lit(LDC_CHUNK))
+    sh = (
+        docs.select("source", "text", F.explode(starts).alias("s"))
+        .select("source", F.substring(F.md5(chunk), 1, 16).alias("h"))
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_src.withColumnRenamed("n_chunks", "n_a")),
+            F.col("src_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(per_src.withColumnRenamed("n_chunks", "n_b")),
+            F.col("src_b") == F.col("source"),
+        )
+        .drop("source")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+                " DIV least(n_a, n_b) AS BIGINT)"
+            ).alias("overlap_ppm_min_side"),
+        )
+        .orderBy(F.desc("n_shared"), "src_a", "src_b")
+    )
+
+
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over daily revenue,
+    entirely in exact integer arithmetic.
+
+    For each day x (cents) with trailing-window sums s = sum(cents),
+    sq = sum(cents^2) over the previous ZS_WIN days (current day
+    EXCLUDED — the classic leave-current-out detector), the flag is
+
+        (n*x - s)^2  >  Z2 * (n*sq - s^2)          [and n >= ZS_MIN_N]
+
+    which is z^2 > Z2 with the population variance cleared of both
+    divisions — no sqrt, no float, bit-identical across engines.
+    A z^2 magnitude in milli-units is emitted the same way.
+
+    Scale shape: the fact scan collapses to one row per calendar day
+    (hash partial agg) BEFORE any window; the single unpartitioned
+    window runs over the bounded day relation (~2.4k rows for the
+    7-year corpus; bounded by the calendar at any corpus size) —
+    allowlisted with that proof in tests/test_plan_shapes.py.
+    Squares ride decimal(38,0): day cents up to ~1e14 square to 1e28,
+    far past bigint.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_cents")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-ZS_WIN, -1)
+    )
+    stats = daily.select(
+        "day",
+        "rev_cents",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).over(w).alias("s"),
+        F.sum(
+            F.expr("CAST(rev_cents AS DECIMAL(38,0)) * rev_cents")
+        ).over(w).alias("sq"),
+    )
+    return (
+        stats.select(
+            "day",
+            "rev_cents",
+            "win_n",
+            F.expr("CAST(s AS BIGINT)").alias("win_sum_cents"),
+            F.expr(
+                "CASE WHEN win_n >= {m} AND (win_n * sq - s * s) > 0 THEN"
+                " CAST((win_n * rev_cents - s) * (win_n * rev_cents - s)"
+                " * 1000 DIV (win_n * sq - s * s) AS BIGINT)"
+                " ELSE NULL END".format(m=ZS_MIN_N)
+            ).alias("z2_milli"),
+            F.expr(
+                "win_n >= {m} AND (win_n * sq - s * s) > 0 AND"
+                " (win_n * rev_cents - s) * (win_n * rev_cents - s)"
+                " > {z2} * (win_n * sq - s * s)".format(
+                    m=ZS_MIN_N, z2=ZS_Z2
+                )
+            ).alias("is_anomaly"),
+        )
+        .filter(F.col("is_anomaly"))
+        .orderBy("day")
+    )
+
+
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the user's next event; the average weights each value
+    by its holding duration. The standard position/price aggregation
+    a row-wise mean silently gets wrong under irregular sampling.
+
+    Scale shape: one window partitioned by user (lead over the
+    user's own timeline — per-key state only), then a hash rollup per
+    user. No unpartitioned stage anywhere; the fact table shuffles
+    once on user_id and everything after is linear.
+
+    Exactness: durations are exact microseconds, values exact
+    centi-units; the weighted mass rides decimal(38,0) (us x cents x
+    events/user exceeds bigint at fleet scale). One double division
+    (num/den) at the end, same operand order both engines; a DIV'd
+    micro-cents integer rides alongside for the exact comparison.
+    """
+    ev = load_wide(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # events ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # cast reinterprets without shifting — matching DuckDB's epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    stepped = (
+        ev.select(
+            "user_id",
+            "event_id",
+            us.alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            "cents",
+            (F.lead("us").over(wu) - F.col("us")).alias("dur_us"),
+        )
+        .filter(F.col("dur_us").isNotNull())
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(
+                F.expr("CAST(dur_us AS DECIMAL(38,0)) * cents")
+            ).alias("mass"),
+        )
+        .filter(F.col("total_dur_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_dur_us",
+            F.expr(
+                "CAST(mass * 1000000 DIV total_dur_us AS BIGINT)"
+            ).alias("twap_microcents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def order_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog timeline: how many orders are open (placed
+    but not fully shipped) at the end of each calendar day, by
+    sweep-line — +1 at the order date, -1 the day AFTER the order's
+    last shipment, running sum over per-day deltas. Orders with no
+    line items count as shipped on their order date, so they appear
+    in exactly that day's end-of-day backlog snapshot.
+
+    Scale shape: the close date is one hash agg over lineitem
+    (max shipdate per order, map-side partial); deltas union two
+    narrow projections and collapse to ONE ROW PER CALENDAR DAY
+    before the only window — the running sum therefore runs over a
+    calendar-bounded relation (~2.4k rows here, never fact-table
+    rows), the same sweep-line/prefix-sum shape as
+    ``gap_fill_daily_counts``. Allowlisted with that proof.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    opened = F.to_date("o_orderdate")
+    scoped = orders.join(
+        close, orders.o_orderkey == close.l_orderkey, "left"
+    ).select(
+        opened.alias("opened"),
+        # coalesce BEFORE greatest: engines disagree on greatest(NULL, x)
+        F.date_add(
+            F.greatest(F.coalesce("last_ship", opened), opened), 1
+        ).alias("closes"),
+    )
+    deltas = scoped.select(
+        F.col("opened").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        scoped.select(F.col("closes").alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_opened"),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_opened",
+        F.sum("net").over(wd).cast("long").alias("open_backlog"),
+    ).orderBy("day")
+
+
+QUERIES_ENGINE5C = {
+    "line_dedup_census": line_dedup_census,
+    "cross_source_duplicate_census": cross_source_duplicate_census,
+    "anomaly_rolling_zscore": anomaly_rolling_zscore,
+    "twap_user_value": twap_user_value,
+    "order_backlog_sweepline": order_backlog_sweepline,
+}
+
+
+def _h(expr: str, n: int = 8) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, {n}) AS BIGINT)"
+
+
+_LDC_CHUNKS = f"""
+  SELECT doc_id, source,
+         CAST((s - 1) // {LDC_CHUNK} AS BIGINT) AS idx,
+         substr(md5(substr(text, s, {LDC_CHUNK})), 1, 16) AS h,
+         CAST(length(substr(text, s, {LDC_CHUNK})) AS BIGINT) AS clen
+  FROM documents,
+    unnest(generate_series(1, greatest(length(text), 1), {LDC_CHUNK})) AS t(s)
+  WHERE text IS NOT NULL
+"""
+
+ORACLES_ENGINE5C: dict[str, str] = {}
+
+ORACLES_ENGINE5C["line_dedup_census"] = f"""
+WITH chunks AS ({_LDC_CHUNKS}),
+census AS (SELECT h, count(*) AS n_global FROM chunks GROUP BY h),
+marked AS (SELECT c.*, n_global FROM chunks c JOIN census USING (h))
+SELECT doc_id,
+  count(*) AS n_chunks,
+  CAST(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  CAST(sum(CASE WHEN n_global = 1 THEN clen ELSE 0 END) AS BIGINT)
+    AS kept_len,
+  {_h("string_agg(CASE WHEN n_global = 1 THEN h ELSE '_' END, '|' ORDER BY idx)", 15)}
+    AS kept_sig
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES_ENGINE5C["cross_source_duplicate_census"] = f"""
+WITH chunks AS ({_LDC_CHUNKS}),
+sh AS (SELECT DISTINCT source, h FROM chunks),
+per_src AS (SELECT source, count(*) AS n_chunks FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, pa.n_chunks AS n_a, pb.n_chunks AS n_b,
+  CAST(CAST(n_shared AS HUGEINT) * 1000000
+       // least(pa.n_chunks, pb.n_chunks) AS BIGINT)
+    AS overlap_ppm_min_side
+FROM pairs
+JOIN per_src pa ON pa.source = src_a
+JOIN per_src pb ON pb.source = src_b
+ORDER BY n_shared DESC, src_a, src_b
+"""
+
+ORACLES_ENGINE5C["anomaly_rolling_zscore"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+stats AS (
+  SELECT day, rev_cents,
+    CAST(count(*) OVER w AS BIGINT) AS win_n,
+    sum(CAST(rev_cents AS HUGEINT)) OVER w AS s,
+    sum(CAST(rev_cents AS HUGEINT) * rev_cents) OVER w AS sq
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {ZS_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT day, rev_cents, win_n,
+  CAST(s AS BIGINT) AS win_sum_cents,
+  CASE WHEN win_n >= {ZS_MIN_N} AND (win_n * sq - s * s) > 0 THEN
+    CAST((win_n * rev_cents - s) * (win_n * rev_cents - s) * 1000
+         // (win_n * sq - s * s) AS BIGINT)
+  ELSE NULL END AS z2_milli,
+  (win_n >= {ZS_MIN_N} AND (win_n * sq - s * s) > 0 AND
+   (win_n * rev_cents - s) * (win_n * rev_cents - s)
+     > {ZS_Z2} * (win_n * sq - s * s)) AS is_anomaly
+FROM stats
+WHERE win_n >= {ZS_MIN_N} AND (win_n * sq - s * s) > 0 AND
+  (win_n * rev_cents - s) * (win_n * rev_cents - s)
+    > {ZS_Z2} * (win_n * sq - s * s)
+ORDER BY day
+"""
+
+ORACLES_ENGINE5C["twap_user_value"] = """
+WITH based AS (
+  SELECT user_id, event_id,
+    CAST(epoch_us(date_trunc('microseconds', ts)) AS BIGINT) AS us,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+stepped AS (
+  SELECT user_id, cents,
+    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur_us
+  FROM based
+),
+rolled AS (
+  SELECT user_id,
+    count(*) AS n_intervals,
+    CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+    sum(CAST(dur_us AS HUGEINT) * cents) AS mass
+  FROM stepped WHERE dur_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_dur_us,
+  CAST(mass * 1000000 // total_dur_us AS BIGINT) AS twap_microcents
+FROM rolled WHERE total_dur_us > 0 ORDER BY user_id
+"""
+
+ORACLES_ENGINE5C["order_backlog_sweepline"] = """
+WITH close AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+scoped AS (
+  SELECT CAST(o_orderdate AS DATE) AS opened,
+    greatest(coalesce(last_ship, CAST(o_orderdate AS DATE)),
+             CAST(o_orderdate AS DATE)) + 1 AS closes
+  FROM orders LEFT JOIN close ON o_orderkey = l_orderkey
+  WHERE o_orderdate IS NOT NULL
+),
+deltas AS (
+  SELECT opened AS day, 1 AS delta FROM scoped
+  UNION ALL
+  SELECT closes AS day, -1 AS delta FROM scoped
+),
+per_day AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net,
+    CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened
+  FROM deltas GROUP BY day
+)
+SELECT day, n_opened,
+  CAST(sum(net) OVER (ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS open_backlog
+FROM per_day ORDER BY day
+"""
