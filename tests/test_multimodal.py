@@ -126,3 +126,42 @@ def test_frame_sample_matches_python(spark, media):
     for key, (flen, fsum) in expected.items():
         assert rows[key]["frame_len"] == flen
         assert rows[key]["frame_sum"] == fsum
+
+
+def test_phash_dedup_captures_every_exact_duplicate(spark, media):
+    """Banding guarantee: two images with IDENTICAL pixels have all
+    four dHash bands equal, so every exact-duplicate pair MUST appear
+    in the phash candidate output with hamming 0 — the recall floor
+    of the LSH scheme (near-dups are best-effort; exact dups are
+    contractual)."""
+    import collections
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_multimodal import (
+        multimodal_phash_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("media_type = 'image'").collect()
+    }
+    groups = collections.defaultdict(list)
+    for mid, p in payloads.items():
+        import math
+
+        w = math.isqrt(len(p))
+        if w >= 9:
+            groups[p[: w * w]].append(mid)
+    expected = set()
+    for ids in groups.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    assert expected, "fixture must contain exact-duplicate images"
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming_bits"]
+        for r in multimodal_phash_dedup(spark, SF_SMOKE).collect()
+    }
+    for pair in expected:
+        assert pair in got and got[pair] == 0, (pair, got.get(pair))

@@ -62,8 +62,16 @@ def test_lsh_band_joins_are_equi_joins(spark):
     from youtube_etl_automated_pipeline_spark.plans.queries_ext import (
         dedup_ngram_jaccard,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_multimodal import (
+        multimodal_phash_dedup,
+    )
 
-    for q in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard):
+    for q in (
+        dedup_minhash_lsh,
+        dedup_simhash,
+        dedup_ngram_jaccard,
+        multimodal_phash_dedup,
+    ):
         plan = plan_of(q(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

@@ -491,3 +491,57 @@ def scene_cuts(
         .select("media_id", "payload")
         .mapInPandas(kernel, SCENE_CUTS_SCHEMA)
     )
+
+
+DHASH_SCHEMA = "media_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def dhash_bands(
+    media: DataFrame, decoder: Callable[[bytes], np.ndarray] | None = None
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint per image,
+    emitted as four 16-bit bands for LSH blocking: the image is
+    block-mean resampled onto an 8x9 grid (equal integer-sized
+    blocks, so cell sums compare exactly without division) and each
+    of the 64 bits records whether a cell outranks its right
+    neighbor — the classic gradient hash that survives re-encodes
+    and brightness shifts.
+
+    Band layout matches the simhash family: bit p of the 64-bit hash
+    (p = 63 - (row*8 + col), row-major, MSB first) lands in band
+    p // 16, as the value ``(h >> 16k) & 0xFFFF``. All arithmetic is
+    exact int64; the PNG roundtrip upstream is lossless, so an
+    engine twin can recompute the same cells from the raw bytes.
+
+    Map-only kernel — no shuffle; rows narrower than the 9-col grid
+    are dropped (no meaningful gradient)."""
+    if decoder is None:
+        decoder = default_image_decoder
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decoder(payload)
+                w = int(img.shape[0])
+                if w < 9:
+                    continue
+                hr, wc = w // 8, w // 9
+                crop = img[: 8 * hr, : 9 * wc].astype(np.int64)
+                cells = crop.reshape(8, hr, 9, wc).sum(axis=(1, 3))
+                bits = (cells[:, :8] > cells[:, 1:]).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                rows.append(
+                    (mid, *[(h >> (16 * k)) & 0xFFFF for k in range(4)])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, DHASH_SCHEMA)
+    )

@@ -161,3 +161,78 @@ FROM d
 GROUP BY doc_id
 ORDER BY media_id
 """
+
+
+from youtube_etl_automated_pipeline_spark.plans.queries_multimodal import (  # noqa: E402
+    PHASH_HAM_MAX,
+)
+
+# dHash twin: the PNG roundtrip is lossless over the w*w byte matrix,
+# so the oracle recomputes the same 8x9 block sums straight from text
+# codepoints. Integer sqrt via floor(sqrt()) + exact-adjacent fixup
+# (float sqrt can land one off near perfect squares; math.isqrt can't).
+ORACLES_MULTIMODAL["multimodal_phash_dedup"] = f"""
+WITH img AS (
+  SELECT doc_id, text, length(text) AS n,
+    CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) AS w0
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+),
+sized AS (
+  SELECT doc_id, text,
+    CASE WHEN (w0 + 1) * (w0 + 1) <= n THEN w0 + 1
+         WHEN w0 * w0 > n THEN w0 - 1 ELSE w0 END AS w
+  FROM img
+),
+dims AS (
+  SELECT doc_id, text, w, w // 8 AS hr, w // 9 AS wc
+  FROM sized WHERE w >= 9
+),
+cells AS (
+  SELECT doc_id, i, j,
+    list_sum(list_transform(generate_series(0, hr * wc - 1),
+      t -> ord(substr(text,
+        CAST((i * hr + t // wc) * w + (j * wc + t % wc) + 1 AS BIGINT),
+        1)))) AS cell
+  FROM dims,
+    unnest(generate_series(0, 7)) AS ti(i),
+    unnest(generate_series(0, 8)) AS tj(j)
+),
+bits AS (
+  SELECT a.doc_id, (63 - (a.i * 8 + a.j)) AS p,
+    CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+  WHERE a.j < 8
+),
+bands AS (
+  SELECT doc_id, CAST(p // 16 AS INT) AS band_i,
+    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(p % 16 AS INT))) AS INT)
+      AS band_v
+  FROM bits GROUP BY 1, 2
+),
+bt AS (
+  SELECT doc_id,
+    max(CASE WHEN band_i = 0 THEN band_v END) AS b0,
+    max(CASE WHEN band_i = 1 THEN band_v END) AS b1,
+    max(CASE WHEN band_i = 2 THEN band_v END) AS b2,
+    max(CASE WHEN band_i = 3 THEN band_v END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+  FROM bands a JOIN bands b
+    ON a.band_i = b.band_i AND a.band_v = b.band_v
+   AND a.doc_id < b.doc_id
+)
+SELECT media_a, media_b,
+  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT)
+    AS hamming_bits
+FROM cand
+JOIN bt x ON x.doc_id = media_a
+JOIN bt y ON y.doc_id = media_b
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+    <= {PHASH_HAM_MAX}
+ORDER BY media_a, media_b
+"""

@@ -86,3 +86,69 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_MULTIMODAL["multimodal_scene_cuts"] = multimodal_scene_cuts
+
+
+PHASH_HAM_MAX = 16  # near-dup verify threshold over the 64-bit dHash
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the image
+    modality (round 5): the simhash-LSH dedup family applied to
+    PIXELS — each image runs the REAL PNG roundtrip, block-mean
+    resamples onto an 8x9 grid, and hashes the horizontal gradient
+    into a 64-bit dHash (ext.multimodal.dhash_bands). Candidates are
+    pairs agreeing on ANY 16-bit band (equi-join, never all-pairs);
+    the verify step keeps pairs within PHASH_HAM_MAX Hamming bits.
+
+    Scale shape: map-only encode+hash kernels, then the banded LSH
+    join over 4 rows/image — identical posture to dedup_simhash
+    (per-band fan-out bounded by band-bucket sizes, candidates ≪
+    n²). Hamming verify is four 16-bit XOR popcounts — integers,
+    engine-portable.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.multimodal import dhash_bands
+
+    feats = dhash_bands(png_encode_images(_media(spark, sf_dir)))
+    bands = feats.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_i", "band_v"
+        ),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("b0").alias("b0_a"),
+        F.col("b1").alias("b1_a"),
+        F.col("b2").alias("b2_a"),
+        F.col("b3").alias("b3_a"),
+        "band_i",
+        "band_v",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("b0").alias("b0_b"),
+        F.col("b1").alias("b1_b"),
+        F.col("b2").alias("b2_b"),
+        F.col("b3").alias("b3_b"),
+        "band_i",
+        "band_v",
+    )
+    ham = F.expr(
+        "CAST(bit_count(b0_a ^ b0_b) + bit_count(b1_a ^ b1_b)"
+        " + bit_count(b2_a ^ b2_b) + bit_count(b3_a ^ b3_b) AS BIGINT)"
+    )
+    return (
+        a.join(b, ["band_i", "band_v"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.alias("hamming_bits"))
+        .filter(F.col("hamming_bits") <= PHASH_HAM_MAX)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )
+
+
+QUERIES_MULTIMODAL["multimodal_phash_dedup"] = multimodal_phash_dedup
