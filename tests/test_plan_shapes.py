@@ -744,3 +744,45 @@ def test_twap_window_is_user_partitioned(spark):
         if "Window" in l and "WindowGroup" not in l
     ]
     assert win_lines and all("user_id" in l for l in win_lines), plan
+
+
+def test_nucleus_rank_window_is_group_limit_pruned(spark):
+    """vocab_nucleus_topp's per-language rank must be pruned by
+    WindowGroupLimit (rank + filter <= NUCLEUS_TOP), so the
+    cumulative-sum window never sees more than langs x 1000 rows —
+    the per-group generalization of vocab_coverage_curve's bound."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        vocab_nucleus_topp,
+    )
+
+    plan = plan_of(vocab_nucleus_topp(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_language_purity_chunks_never_shuffle_text(spark):
+    """doc_language_purity evaluates marker counts and the per-chunk
+    argmax as column expressions BEFORE any exchange — chunk text
+    must not cross a shuffle."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        doc_language_purity,
+    )
+
+    plan = plan_of(doc_language_purity(spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "chunk" not in line, line
+
+
+def test_seasonal_naive_is_calendar_equi_join(spark):
+    """The seasonal-naive predictor joins the day rollup to itself on
+    (priority, day-7) — an EQUI join on the calendar, never a window
+    (lag-7-ROWS would silently misalign across day gaps) and never a
+    nested loop."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        seasonal_naive_backtest,
+    )
+
+    plan = plan_of(seasonal_naive_backtest(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

@@ -513,3 +513,337 @@ SELECT day, n_opened,
     AS open_backlog
 FROM per_day ORDER BY day
 """
+
+
+# --- round-5 batch 3 -------------------------------------------------
+PURITY_MIXED_PPM = 900_000  # majority share below this = mixed doc
+SNB_LAG_DAYS = 7  # seasonal-naive horizon: same weekday last week
+NUCLEUS_TOP = 1000  # ranked-vocab window bound (vocab_coverage pattern)
+NUCLEUS_PPM = 900_000  # nucleus mass target (top-p = 0.9)
+
+
+def doc_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document language-mixing audit: every aligned 80-char
+    chunk is language-identified with the engine's marker heuristic
+    (ext.textstats lang_marker_counts / predicted_lang — the same
+    pins text_lang_id gates), then each doc reports its chunk-vote
+    census, majority language, purity ppm and a mixed flag. Catches
+    the boilerplate/embedded-translation docs a WHOLE-document
+    lang-id scores confidently wrong — the curation filter between
+    doc-level lang-id and paragraph-level splitting.
+
+    Scale shape: chunking is the map-side generator; marker counts
+    and the per-chunk argmax are pure column expressions evaluated
+    BEFORE any shuffle (chunk text never crosses an exchange); one
+    hash rollup per doc. Purity rides an exact integer ppm DIV.
+    """
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(LDC_CHUNK)
+    )
+    chunk = F.col("text").substr(F.col("s"), F.lit(LDC_CHUNK))
+    pred = TS.predicted_lang(TS.lang_marker_counts(chunk))
+    voted = docs.select("doc_id", "text", F.explode(starts).alias("s")).select(
+        "doc_id", pred.alias("pred")
+    )
+    votes = {
+        lang: F.sum(F.when(F.col("pred") == lang, 1).otherwise(0))
+        for lang in TS.LANG_PRIORITY
+    }
+    agged = voted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        *[votes[lang].alias(f"votes_{lang}") for lang in TS.LANG_PRIORITY],
+    )
+    vote_cols = {
+        lang: F.col(f"votes_{lang}") for lang in TS.LANG_PRIORITY
+    }
+    majority = TS.predicted_lang(vote_cols)
+    top_votes = F.greatest(
+        *[F.col(f"votes_{lang}") for lang in TS.LANG_PRIORITY]
+    )
+    return (
+        agged.select(
+            "doc_id",
+            "n_chunks",
+            *[f"votes_{lang}" for lang in TS.LANG_PRIORITY],
+            majority.alias("majority_lang"),
+            F.expr(
+                "CAST(CAST({top} AS DECIMAL(38,0)) * 1000000"
+                " DIV n_chunks AS BIGINT)".format(
+                    top="greatest("
+                    + ", ".join(
+                        f"votes_{lang}" for lang in TS.LANG_PRIORITY
+                    )
+                    + ")"
+                )
+            ).alias("purity_ppm"),
+            (
+                (top_votes * 1_000_000) < (PURITY_MIXED_PPM * F.col("n_chunks"))
+            ).alias("is_mixed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: score the seasonal-naive predictor
+    (revenue(day) ~ revenue(day - 7), same weekday last week) per
+    order priority, in exact cents — the baseline every real
+    forecasting model must beat, and the harness that measures it.
+
+    Scale shape: ONE per-(priority, day) rollup reused for both
+    sides of a self-equi-join on (priority, day-7) — day gaps mean a
+    lag-7-ROWS window would silently compare wrong weekdays, so the
+    join keys the CALENDAR, not row adjacency. No window anywhere;
+    the final rollup is 5 rows. MAE in milli-cents via decimal DIV.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_cents")
+    )
+    actual = daily.select(
+        "priority", "day", F.col("rev_cents").alias("actual_cents")
+    )
+    pred = daily.select(
+        "priority",
+        F.date_add("day", SNB_LAG_DAYS).alias("day"),
+        F.col("rev_cents").alias("pred_cents"),
+    )
+    scored = actual.join(pred, ["priority", "day"])
+    err = F.col("actual_cents") - F.col("pred_cents")
+    return (
+        scored.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(err)).alias("sum_abs_err_cents"),
+            F.sum(err).alias("sum_err_cents"),
+        )
+        .select(
+            "priority",
+            "n_scored",
+            "sum_abs_err_cents",
+            "sum_err_cents",
+            F.expr(
+                "CAST(CAST(sum_abs_err_cents AS DECIMAL(38,0)) * 1000"
+                " DIV n_scored AS BIGINT)"
+            ).alias("mae_millicents"),
+        )
+        .orderBy("priority")
+    )
+
+
+def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language nucleus (top-p) vocabulary truncation: the
+    smallest ranked-token prefix covering NUCLEUS_PPM of the
+    language's token mass — the vocabulary-pruning counterpart of
+    nucleus sampling, and the per-language generalization of
+    vocab_coverage_curve's bounded-window rewrite.
+
+    Scale shape: token counts hash-aggregate (map-side partials);
+    the per-language rank window is pruned to NUCLEUS_TOP rows by
+    WindowGroupLimit (rank + filter), so the cumulative-sum window
+    runs over <= 5 x 1000 rows; language totals come from a 5-row agg
+    broadcast back. If the nucleus needs more than NUCLEUS_TOP
+    tokens the row reports NULL — the cap is explicit, not silent.
+
+    Exactness: the 90% test multiplies instead of divides
+    (cum * 1e6 >= NUCLEUS_PPM * total) on decimal(38,0).
+    """
+    from youtube_etl_automated_pipeline_spark.ext.textstats import tokens
+
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_mass")
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("n"), F.col("token"))
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= NUCLEUS_TOP)
+    )
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = ranked.withColumn(
+        "cum_mass", F.sum(F.col("n").cast("decimal(38,0)")).over(wc)
+    )
+    hit = (
+        cum.join(F.broadcast(totals), "lang")
+        .filter(
+            F.expr(
+                f"cum_mass * 1000000 >= CAST({NUCLEUS_PPM} AS DECIMAL(38,0))"
+                " * total_mass"
+            )
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("rnk").cast("long").alias("nucleus_k"),
+            F.min(
+                F.struct(F.col("rnk"), F.col("cum_mass"))
+            ).getField("cum_mass").cast("long").alias("nucleus_mass"),
+        )
+    )
+    top_mass = cum.groupBy("lang").agg(
+        F.max("cum_mass").cast("long").alias("top_mass"),
+        F.count(F.lit(1)).alias("n_ranked"),
+    )
+    return (
+        totals.join(F.broadcast(top_mass), "lang", "left")
+        .join(F.broadcast(hit), "lang", "left")
+        .select(
+            "lang",
+            "total_mass",
+            "n_ranked",
+            "top_mass",
+            "nucleus_k",
+            "nucleus_mass",
+            F.expr(
+                "CAST(CAST(nucleus_mass AS DECIMAL(38,0)) * 1000000"
+                " DIV total_mass AS BIGINT)"
+            ).alias("nucleus_mass_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES_ENGINE5C["doc_language_purity"] = doc_language_purity
+QUERIES_ENGINE5C["seasonal_naive_backtest"] = seasonal_naive_backtest
+QUERIES_ENGINE5C["vocab_nucleus_topp"] = vocab_nucleus_topp
+
+
+def _chunk_marker_cnt(lang: str, expr: str) -> str:
+    parts = [
+        f"len(regexp_extract_all(COALESCE({expr}, ''), '\\b{w}\\b'))"
+        for w in TS.LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _vote_majority_case(prefix: str) -> str:
+    clauses = []
+    langs = TS.LANG_PRIORITY
+    for lang in langs[:-1]:
+        others = [f"{prefix}{o}" for o in langs if o != lang]
+        cond = " AND ".join(f"{prefix}{lang} >= {o}" for o in others)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+_PURITY_GREATEST = "greatest(" + ", ".join(
+    f"votes_{lang}" for lang in TS.LANG_PRIORITY
+) + ")"
+
+ORACLES_ENGINE5C["doc_language_purity"] = f"""
+WITH ch AS (
+  SELECT doc_id, substr(text, s, {LDC_CHUNK}) AS chunk
+  FROM documents,
+    unnest(generate_series(1, greatest(length(text), 1), {LDC_CHUNK})) AS t(s)
+  WHERE text IS NOT NULL
+),
+counted AS (
+  SELECT doc_id,
+    {", ".join(f"{_chunk_marker_cnt(lang, 'chunk')} AS cnt_{lang}" for lang in TS.LANG_PRIORITY)}
+  FROM ch
+),
+pred AS (
+  SELECT doc_id, {_vote_majority_case("cnt_")} AS pred FROM counted
+),
+votes AS (
+  SELECT doc_id, count(*) AS n_chunks,
+    {", ".join(f"CAST(sum(CASE WHEN pred = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) AS votes_{lang}" for lang in TS.LANG_PRIORITY)}
+  FROM pred GROUP BY doc_id
+)
+SELECT doc_id, n_chunks,
+  {", ".join(f"votes_{lang}" for lang in TS.LANG_PRIORITY)},
+  {_vote_majority_case("votes_")} AS majority_lang,
+  CAST(CAST({_PURITY_GREATEST} AS HUGEINT) * 1000000 // n_chunks AS BIGINT)
+    AS purity_ppm,
+  ({_PURITY_GREATEST} * 1000000 < {PURITY_MIXED_PPM} * n_chunks) AS is_mixed
+FROM votes ORDER BY doc_id
+"""
+
+ORACLES_ENGINE5C["seasonal_naive_backtest"] = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.priority, a.rev_cents AS actual, p.rev_cents AS pred
+  FROM daily a JOIN daily p
+    ON a.priority = p.priority AND p.day + {SNB_LAG_DAYS} = a.day
+)
+SELECT priority, count(*) AS n_scored,
+  CAST(sum(abs(actual - pred)) AS BIGINT) AS sum_abs_err_cents,
+  CAST(sum(actual - pred) AS BIGINT) AS sum_err_cents,
+  CAST(CAST(sum(abs(actual - pred)) AS HUGEINT) * 1000 // count(*) AS BIGINT)
+    AS mae_millicents
+FROM scored GROUP BY priority ORDER BY priority
+"""
+
+from youtube_etl_automated_pipeline_spark.ext.textstats import (  # noqa: E402
+    WS_CHARS as _WS_CHARS,
+)
+
+ORACLES_ENGINE5C["vocab_nucleus_topp"] = f"""
+WITH toked AS (
+  SELECT lang,
+    unnest(CASE WHEN trim(text) = '' THEN []
+                ELSE string_split_regex(trim(text), '[{_WS_CHARS}]+') END)
+      AS token
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT lang, token, count(*) AS n FROM toked GROUP BY 1, 2),
+totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_mass
+           FROM toked GROUP BY lang),
+ranked AS (
+  SELECT lang, token, n,
+    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM counts QUALIFY rnk <= {NUCLEUS_TOP}
+),
+cum AS (
+  SELECT lang, rnk, sum(CAST(n AS HUGEINT)) OVER (
+    PARTITION BY lang ORDER BY rnk
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass
+  FROM ranked
+),
+hit AS (
+  SELECT c.lang,
+    CAST(min(rnk) AS BIGINT) AS nucleus_k,
+    CAST(min_by(cum_mass, rnk) AS BIGINT) AS nucleus_mass
+  FROM cum c JOIN totals t USING (lang)
+  WHERE cum_mass * 1000000 >= {NUCLEUS_PPM} * CAST(total_mass AS HUGEINT)
+  GROUP BY c.lang
+),
+top_mass AS (
+  SELECT lang, CAST(max(cum_mass) AS BIGINT) AS top_mass,
+    count(*) AS n_ranked
+  FROM cum GROUP BY lang
+)
+SELECT t.lang, total_mass, n_ranked, top_mass, nucleus_k, nucleus_mass,
+  CAST(CAST(nucleus_mass AS HUGEINT) * 1000000 // total_mass AS BIGINT)
+    AS nucleus_mass_ppm
+FROM totals t
+LEFT JOIN top_mass USING (lang)
+LEFT JOIN hit USING (lang)
+ORDER BY t.lang
+"""
