@@ -504,6 +504,7 @@ BOUNDED_BNL_JOINS = {
     "lm_perplexity_buckets": "1-row corpus totals",
     "naive_bayes_lang_confusion": "per-lang priors (5 rows)",
     "pagerank_trade_graph": "1-row dangling-mass scalar",
+    "retrieval_maxsim_multivector": "MAXSIM_N_Q=4 query-vector batch",
     "psi_revenue_drift": "1-row era totals",
     "q11_important_part_values": "1-row threshold scalar",
     "q22_idle_rich_customers": "1-row average-balance scalar",
@@ -786,3 +787,31 @@ def test_seasonal_naive_is_calendar_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_maxsim_corpus_scans_once_against_broadcast_queries(spark):
+    """MaxSim must score via ONE corpus scan against the broadcast
+    4-vector query batch (bounded BNL) — never a corpus self-join —
+    and reduce through two hash aggregations."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        retrieval_maxsim_multivector,
+    )
+
+    plan = plan_of(retrieval_maxsim_multivector(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_salient_chunks_rank_is_group_limit_pruned(spark):
+    """The per-doc top-3 salience rank must be WindowGroupLimit-pruned
+    (never a full per-doc sort materialization), and the df lookup
+    must stay an equi-join."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        text_salient_chunks,
+    )
+
+    plan = plan_of(text_salient_chunks(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

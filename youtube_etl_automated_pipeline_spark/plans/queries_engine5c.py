@@ -847,3 +847,220 @@ LEFT JOIN top_mass USING (lang)
 LEFT JOIN hit USING (lang)
 ORDER BY t.lang
 """
+
+
+# --- round-5 batch 4 -------------------------------------------------
+MAXSIM_N_Q = 4  # multi-vector query: vec_ids [0, 4) form one "query doc"
+SALIENT_TOP = 3  # chunks kept per document
+
+
+def retrieval_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (the ColBERT MaxSim
+    scoring rule, Khattab & Zaharia SIGIR 2020): the query is a SET
+    of vectors (vec_id < MAXSIM_N_Q), each corpus document is the SET
+    of vectors sharing a label, and
+
+        score(doc) = sum_q max_{v in doc} cos(q, v)
+
+    — each query vector matches its best doc vector independently,
+    which is what makes multi-vector beat single-vector retrieval on
+    multi-topic documents.
+
+    Scale shape: ONE corpus scan against the broadcast 4-vector query
+    batch (bounded BNL, same contract as bitext/hard-negative), then
+    two hash aggregations: per-(label, q) max, per-label sum. The
+    corpus never self-joins and never shuffles wider than
+    (label, q, micro) rows.
+
+    Exactness: cosines collapse to integer micro-units before the max
+    and the sum, so scores are bit-identical cross-engine.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.similarity import (
+        dot_unrolled_sql,
+        embedding_dim,
+        unit,
+    )
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    q = emb.filter(F.col("vec_id") < MAXSIM_N_Q).select(
+        F.col("vec_id").alias("q_id"), unit(F.col("embedding")).alias("q_u")
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= MAXSIM_N_Q) & F.col("label").isNotNull()
+    ).select("label", unit(F.col("embedding")).alias("c_u"))
+    micro = F.floor(
+        F.expr(dot_unrolled_sql("q_u", "c_u", dim)) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    per_q_best = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("label", "q_id", micro.alias("micro"))
+        .groupBy("label", "q_id")
+        .agg(F.max("micro").alias("best_micro"))
+    )
+    sizes = corpus.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        per_q_best.groupBy("label")
+        .agg(F.sum("best_micro").alias("maxsim_score_micro"))
+        .join(F.broadcast(sizes), "label")
+        .select("label", "n_vecs", "maxsim_score_micro")
+        .orderBy(F.desc("maxsim_score_micro"), "label")
+    )
+
+
+def text_salient_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive salience: the SALIENT_TOP most informative 80-char
+    chunks per document, scored by summed inverse document frequency
+    (weight(token) = 1e6 // df, exact integer — the rare-token mass
+    tfidf_top_terms uses, aggregated to chunk granularity). The
+    summarization primitive for snippet selection and dedup-aware
+    previews.
+
+    Scale shape: corpus df is one distinct (doc, token) projection +
+    token agg; chunk tokens explode map-side and meet the df relation
+    in a token-keyed equi-join (hot tokens fan out to their chunk
+    occurrences only); per-chunk rollup, then the per-doc top-3 via a
+    rank window pruned by WindowGroupLimit — bounded per doc, never a
+    global sort.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.textstats import tokens
+
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    df_rel = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("token", (F.lit(1_000_000).cast("long") / F.col("df"))
+                .cast("long").alias("w"))
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(LDC_CHUNK)
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(LDC_CHUNK))
+    chunk_toks = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("idx", "chunk_start")
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.explode(tokens(chunk)).alias("token"),
+    )
+    scored = (
+        chunk_toks.join(df_rel, "token")
+        .groupBy("doc_id", "chunk_idx", "chunk_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("salience"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.col("chunk_idx")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= SALIENT_TOP)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "chunk_idx",
+            "chunk_start",
+            "n_tokens",
+            "salience",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+QUERIES_ENGINE5C["retrieval_maxsim_multivector"] = retrieval_maxsim_multivector
+QUERIES_ENGINE5C["text_salient_chunks"] = text_salient_chunks
+
+
+def _sql_norm_elem5c(arr: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, len({arr})),"
+        f" k -> CAST({arr}[k] AS DOUBLE) * CAST({arr}[k] AS DOUBLE))))"
+    )
+
+
+def _sql_micro_unit_dot5c(a: str, b: str) -> str:
+    na, nb = _sql_norm_elem5c(a), _sql_norm_elem5c(b)
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" k -> (CAST({a}[k] AS DOUBLE) / {na}) * (CAST({b}[k] AS DOUBLE) / {nb})))"
+    )
+    raw = f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} ELSE 0 END"
+    return f"CAST(floor(({raw}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+ORACLES_ENGINE5C["retrieval_maxsim_multivector"] = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {MAXSIM_N_Q}
+),
+corpus AS (
+  SELECT label, embedding AS c_emb FROM embeddings
+  WHERE vec_id >= {MAXSIM_N_Q} AND label IS NOT NULL
+),
+best AS (
+  SELECT label, q_id,
+    max({_sql_micro_unit_dot5c("q_emb", "c_emb")}) AS best_micro
+  FROM corpus CROSS JOIN q
+  GROUP BY label, q_id
+),
+sizes AS (SELECT label, count(*) AS n_vecs FROM corpus GROUP BY label)
+SELECT label, n_vecs,
+  CAST(sum(best_micro) AS BIGINT) AS maxsim_score_micro
+FROM best JOIN sizes USING (label)
+GROUP BY label, n_vecs
+ORDER BY maxsim_score_micro DESC, label
+"""
+
+ORACLES_ENGINE5C["text_salient_chunks"] = f"""
+WITH toked AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN trim(text) = '' THEN []
+                ELSE string_split_regex(trim(text), '[{_WS_CHARS}]+') END)
+      AS token
+  FROM documents WHERE text IS NOT NULL
+),
+dfr AS (
+  SELECT token, CAST(1000000 // count(*) AS BIGINT) AS w
+  FROM toked GROUP BY token
+),
+ch AS (
+  SELECT doc_id,
+    CAST((s - 1) // {LDC_CHUNK} AS BIGINT) AS chunk_idx,
+    CAST(s AS BIGINT) AS chunk_start,
+    substr(text, s, {LDC_CHUNK}) AS chunk
+  FROM documents,
+    unnest(generate_series(1, greatest(length(text), 1), {LDC_CHUNK})) AS t(s)
+  WHERE text IS NOT NULL
+),
+ctok AS (
+  SELECT doc_id, chunk_idx, chunk_start,
+    unnest(CASE WHEN trim(chunk) = '' THEN []
+                ELSE string_split_regex(trim(chunk), '[{_WS_CHARS}]+') END)
+      AS token
+  FROM ch
+),
+scored AS (
+  SELECT doc_id, chunk_idx, chunk_start,
+    count(*) AS n_tokens,
+    CAST(sum(w) AS BIGINT) AS salience
+  FROM ctok JOIN dfr USING (token)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY salience DESC, chunk_idx) AS rnk
+  FROM scored QUALIFY rnk <= {SALIENT_TOP}
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, chunk_idx, chunk_start,
+  n_tokens, salience
+FROM ranked ORDER BY doc_id, rnk
+"""
