@@ -41,6 +41,7 @@ ORACLES_STREAMING: dict[str, str] = {
     "events_tumbling_window": _TUMBLING,
     "streaming_tumbling_window": _TUMBLING,
     "events_hopping_window": _HOPPING,
+    "streaming_hopping_window": _HOPPING,
     "streaming_stateful_user_stats": f"""
 WITH last AS (
   SELECT user_id, event_id,

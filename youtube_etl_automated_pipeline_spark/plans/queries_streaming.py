@@ -443,11 +443,42 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def streaming_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping (sliding) 1h/30m rollup executed by the STREAMING
+    engine: the map-side 2x window fan-out happens per micro-batch and
+    the overlapping windows accumulate in the state store — the
+    streaming twin of events_hopping_window, sharing its oracle
+    (complete-mode output over a fully-consumed availableNow source
+    equals the batch aggregation)."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "4 days")
+    result = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(units(F.col("value"), 2)) / 1e2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(result, "hopping_counts").orderBy(
+        "window_start", "event_type"
+    )
+
+
 QUERIES_STREAMING = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_window": events_session_window,
     "streaming_session_window": streaming_session_window,
     "events_hopping_window": events_hopping_window,
+    "streaming_hopping_window": streaming_hopping_window,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_stateful_user_stats": streaming_stateful_user_stats,
     "streaming_dedup_ids": streaming_dedup_ids,
