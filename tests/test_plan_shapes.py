@@ -503,6 +503,7 @@ BOUNDED_BNL_JOINS = {
     "knn_label_confusion": "bounded holdout eval set",
     "lm_perplexity_buckets": "1-row corpus totals",
     "naive_bayes_lang_confusion": "per-lang priors (5 rows)",
+    "association_rules_parts": "1-row basket-count scalar",
     "pagerank_trade_graph": "1-row dangling-mass scalar",
     "retrieval_maxsim_multivector": "MAXSIM_N_Q=4 query-vector batch",
     "psi_revenue_drift": "1-row era totals",
@@ -815,3 +816,32 @@ def test_salient_chunks_rank_is_group_limit_pruned(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_outliers_single_scan_broadcast_stats(spark):
+    """embedding_label_outliers must score distances on ONE corpus
+    scan against broadcast per-label (sums, counts) relations — never
+    a per-dim shuffle of the corpus or a self-join — and rank through
+    WindowGroupLimit."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        embedding_label_outliers,
+    )
+
+    plan = plan_of(embedding_label_outliers(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_association_rules_pairs_expand_jvm_side(spark):
+    """Rule mining must reuse the array-expansion itemset shape: the
+    only joins are the broadcast item-support lookups and the 1-row
+    basket-count scalar — never a basket self-join on the fact."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        association_rules_parts,
+    )
+
+    plan = plan_of(association_rules_parts(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -1064,3 +1064,251 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, chunk_idx, chunk_start,
   n_tokens, salience
 FROM ranked ORDER BY doc_id, rnk
 """
+
+
+# --- round-5 batch 5 -------------------------------------------------
+AR_MIN_SUPPORT = 5  # min co-basket count for a rule
+AR_TOP = 50  # rules kept (by lift, deterministic tiebreak)
+OUTLIER_TOP = 5  # outliers reported per label
+
+
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (basket = order,
+    item = part): for every directed rule A -> B with co-basket
+    support >= AR_MIN_SUPPORT, confidence = P(B|A) and lift =
+    P(A,B)/(P(A)P(B)) in exact ppm; top-AR_TOP rules by lift. The
+    market-basket step AFTER pair counting (copurchase_supplier_pairs)
+    — rules rank by conditional strength, not raw co-occurrence.
+
+    Scale shape: one shuffle builds per-order distinct item sets,
+    pairs expand JVM-side (C(basket,2), basket bounded by order line
+    count), one shuffle counts pairs; item supports are one agg
+    broadcast back (catalog-bounded). Directed rules double the pair
+    rows AFTER aggregation — 2 x pair-census, never 2 x corpus. Lift
+    multiplies through decimal(38,0) (pair_n·N·1e6 wraps bigint at
+    fleet scale); TakeOrderedAndProject finishes.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_baskets = baskets.select(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_n = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_n"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("parts"),
+                                i + 2,
+                                F.size(F.col("parts")) - i - 1,
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= AR_MIN_SUPPORT)
+    )
+    directed = pairs.select("a", "b", "pair_n").unionAll(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "pair_n"
+        )
+    )
+    return (
+        directed.join(
+            F.broadcast(item_n.withColumnRenamed("l_partkey", "a")
+                        .withColumnRenamed("item_n", "n_a")),
+            "a",
+        )
+        .join(
+            F.broadcast(item_n.withColumnRenamed("l_partkey", "b")
+                        .withColumnRenamed("item_n", "n_b")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("pair_n").alias("support"),
+            F.expr(
+                "CAST(CAST(pair_n AS DECIMAL(38,0)) * 1000000"
+                " DIV n_a AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                "CAST(CAST(pair_n AS DECIMAL(38,0)) * n_baskets * 1000000"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.desc("lift_ppm"), "antecedent", "consequent"
+        )
+        .limit(AR_TOP)
+    )
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error detection: the OUTLIER_TOP vectors farthest from
+    their own label's centroid — the curation signal for mislabeled
+    or contaminated examples (Northcutt et al.'s confident-learning
+    intuition reduced to its geometric core).
+
+    Exactness: embeddings quantize to integer micro-units m_d; the
+    centroid never materializes as a float — squared distance to the
+    mean clears the division, per dim: (n·m_d − s_d)² summed over
+    dims, on decimal(38,0). Ranking happens on that exact integer;
+    the reported mean-squared deviation divides once (DIV n²).
+
+    Scale shape: per-label dim sums are one posexplode + hash agg
+    collapsed to |labels| rows (s array rebuilt in dim order), then
+    broadcast back onto ONE corpus scan — the distance is a 64-term
+    unrolled expression, no per-dim shuffle, no self-join. Top-5 per
+    label via WindowGroupLimit.
+    """
+    from youtube_etl_automated_pipeline_spark.ext.similarity import (
+        embedding_dim,
+    )
+
+    emb = load_wide(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    dim = embedding_dim(emb)
+    micro = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("m"),
+    )
+    sums = (
+        micro.select(
+            "label", F.posexplode("m").alias("d", "md")
+        )
+        .groupBy("label", "d")
+        .agg(F.sum(F.col("md").cast("decimal(38,0)")).alias("sd"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("sd")))
+                ),
+                lambda st: st.getField("sd"),
+            ).alias("s"),
+        )
+    )
+    counts = micro.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    term = " + ".join(
+        f"(CAST(n AS DECIMAL(38,0)) * element_at(m, {i}) -"
+        f" element_at(s, {i})) * (CAST(n AS DECIMAL(38,0)) *"
+        f" element_at(m, {i}) - element_at(s, {i}))"
+        for i in range(1, dim + 1)
+    )
+    scored = (
+        micro.join(F.broadcast(sums), "label")
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "vec_id",
+            "n",
+            F.expr(f"CAST(({term}) AS DECIMAL(38,0))").alias("dist2"),
+        )
+    )
+    wr = Window.partitionBy("label").orderBy(
+        F.desc("dist2"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= OUTLIER_TOP)
+        .select(
+            "label",
+            F.col("rnk").cast("long").alias("rnk"),
+            "vec_id",
+            "n",
+            F.expr("CAST(dist2 DIV (CAST(n AS DECIMAL(38,0)) * n)"
+                   " AS BIGINT)").alias("msd_micro2"),
+        )
+        .orderBy("label", "rnk")
+    )
+
+
+QUERIES_ENGINE5C["association_rules_parts"] = association_rules_parts
+QUERIES_ENGINE5C["embedding_label_outliers"] = embedding_label_outliers
+
+ORACLES_ENGINE5C["association_rules_parts"] = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+item_n AS (SELECT l_partkey, count(*) AS item_n FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS pair_n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {AR_MIN_SUPPORT}
+),
+directed AS (
+  SELECT a, b, pair_n FROM pairs
+  UNION ALL
+  SELECT b AS a, a AS b, pair_n FROM pairs
+)
+SELECT d.a AS antecedent, d.b AS consequent, d.pair_n AS support,
+  CAST(CAST(d.pair_n AS HUGEINT) * 1000000 // na.item_n AS BIGINT)
+    AS confidence_ppm,
+  CAST(CAST(d.pair_n AS HUGEINT) * n_baskets * 1000000
+       // (CAST(na.item_n AS HUGEINT) * nb2.item_n) AS BIGINT)
+    AS lift_ppm
+FROM directed d
+JOIN item_n na ON na.l_partkey = d.a
+JOIN item_n nb2 ON nb2.l_partkey = d.b
+CROSS JOIN nb
+ORDER BY lift_ppm DESC, antecedent, consequent
+LIMIT {AR_TOP}
+"""
+
+ORACLES_ENGINE5C["embedding_label_outliers"] = f"""
+WITH micro AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS m
+  FROM embeddings WHERE label IS NOT NULL
+),
+dims AS (
+  SELECT label, d, sum(CAST(m[d] AS HUGEINT)) AS sd
+  FROM micro, unnest(generate_series(1, len(m))) AS t(d)
+  GROUP BY 1, 2
+),
+counts AS (SELECT label, count(*) AS n FROM micro GROUP BY label),
+scored AS (
+  SELECT mi.label, mi.vec_id, c.n,
+    sum((CAST(c.n AS HUGEINT) * mi.m[dd.d] - dd.sd)
+      * (CAST(c.n AS HUGEINT) * mi.m[dd.d] - dd.sd)) AS dist2
+  FROM micro mi
+  JOIN counts c ON c.label = mi.label
+  JOIN dims dd ON dd.label = mi.label
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rnk
+  FROM scored QUALIFY rnk <= {OUTLIER_TOP}
+)
+SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, n,
+  CAST(dist2 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS msd_micro2
+FROM ranked ORDER BY label, rnk
+"""
