@@ -845,3 +845,32 @@ def test_association_rules_pairs_expand_jvm_side(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rolling_active_users_is_explode_not_window(spark):
+    """The sliding COUNT DISTINCT must be the linear explode shape:
+    no window at all, no nested loop — distinct/agg stages only, with
+    the day restriction as an equi semi-join."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        rolling_active_users,
+    )
+
+    plan = plan_of(rolling_active_users(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_union_windows_are_supplier_partitioned(spark):
+    """Both sweep-line windows (running max end, island prefix sum)
+    must be partitioned by supplier — never a global merge."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        interval_union_length,
+    )
+
+    plan = plan_of(interval_union_length(spark, SF_SMOKE))
+    win_lines = [
+        l for l in plan.splitlines()
+        if "Window" in l and "WindowGroup" not in l
+    ]
+    assert win_lines and all("supp" in l for l in win_lines), plan

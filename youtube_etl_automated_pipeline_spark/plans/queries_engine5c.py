@@ -1312,3 +1312,209 @@ SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, n,
   CAST(dist2 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS msd_micro2
 FROM ranked ORDER BY label, rnk
 """
+
+
+# --- round-5 batch 6 -------------------------------------------------
+MAU_WINDOW_DAYS = 7  # trailing activity window (inclusive of the day)
+IVU_WIDTH_MOD = 14  # interval width = l_orderkey % 14 days (engine5's derivation)
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day (the WAU/MAU rollup)
+    — the sliding COUNT DISTINCT that resists window functions,
+    re-expressed as a linear explode: each (user, active day)
+    contributes to the MAU_WINDOW_DAYS target days it keeps the user
+    'active' for, then one distinct + one count per target day.
+    Reported for every day that itself has activity.
+
+    Scale shape: distinct (user, day) first (dedupe within day), a
+    7x map-side fan-out, distinct (user, target), and a two-level
+    count agg — every stage linear and hash-keyed; no window, no
+    self-join, no approximate sketch. The day restriction is a
+    semi-join against the observed-day set (equi, broadcast-able).
+    """
+    ev = load_wide(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = active.select("day").distinct()
+    targets = (
+        active.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, date_add(day, {MAU_WINDOW_DAYS - 1}),"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+        )
+        .join(days, "day", "left_semi")
+        .distinct()
+    )
+    dau = active.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    mau = targets.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_7d")
+    )
+    return (
+        dau.join(mau, "day")
+        .select("day", "dau", "active_7d")
+        .orderBy("day")
+    )
+
+
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier interval-algebra rollup: merge OVERLAPPING service
+    intervals (gaps-and-islands) and report the union length — the
+    'how much wall-clock was actually covered' number a naive
+    sum-of-durations double-counts. Intervals derive exactly as in
+    interval_overlap_join: [shipdate, shipdate + orderkey % 14 days].
+
+    Scale shape: two windows, both PARTITIONED BY supplier (running
+    max of interval ends → island flag → island id via prefix sum),
+    then two hash rollups (per island, per supplier). Linear per
+    partition, no self-join — the standard sweep-line merge.
+
+    Exactness: all day arithmetic is integer; the coverage ratio is a
+    ppm DIV. Window order (start, end, orderkey, linenumber) is a
+    total order, so the prefix sums agree cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    iv = li.select(
+        F.col("l_suppkey").alias("supp"),
+        F.to_date("l_shipdate").alias("ivl_start"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.col("l_orderkey") % IVU_WIDTH_MOD).cast("int"),
+        ).alias("ivl_end"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order_cols = [
+        F.col("ivl_start"),
+        F.col("ivl_end"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ]
+    w_prev = (
+        Window.partitionBy("supp")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("supp")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("ivl_start") > F.coalesce(
+                F.max("ivl_end").over(w_prev), F.lit("0001-01-01").cast("date")
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = flagged.groupBy("supp", "island").agg(
+        (
+            F.datediff(F.max("ivl_end"), F.min("ivl_start")) + 1
+        ).alias("island_days"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.min("ivl_start").alias("i_start"),
+        F.max("ivl_end").alias("i_end"),
+    )
+    return (
+        islands.groupBy("supp")
+        .agg(
+            F.sum("n_intervals").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("island_days").cast("long").alias("covered_days"),
+            (
+                F.datediff(F.max("i_end"), F.min("i_start")) + 1
+            ).cast("long").alias("span_days"),
+        )
+        .select(
+            "supp",
+            "n_intervals",
+            "n_islands",
+            "covered_days",
+            "span_days",
+            F.expr(
+                "CAST(CAST(covered_days AS DECIMAL(38,0)) * 1000000"
+                " DIV span_days AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("supp")
+    )
+
+
+QUERIES_ENGINE5C["rolling_active_users"] = rolling_active_users
+QUERIES_ENGINE5C["interval_union_length"] = interval_union_length
+
+ORACLES_ENGINE5C["rolling_active_users"] = f"""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM active),
+targets AS (
+  SELECT DISTINCT user_id, t.day
+  FROM active,
+    unnest(generate_series(day, day + {MAU_WINDOW_DAYS - 1},
+                           INTERVAL 1 DAY)) AS g(d),
+    LATERAL (SELECT CAST(g.d AS DATE) AS day) t
+  WHERE t.day IN (SELECT day FROM days)
+),
+dau AS (SELECT day, count(*) AS dau FROM active GROUP BY day),
+mau AS (SELECT day, count(*) AS active_7d FROM targets GROUP BY day)
+SELECT day, dau, active_7d
+FROM dau JOIN mau USING (day)
+ORDER BY day
+"""
+
+ORACLES_ENGINE5C["interval_union_length"] = f"""
+WITH iv AS (
+  SELECT l_suppkey AS supp,
+    CAST(l_shipdate AS DATE) AS ivl_start,
+    CAST(l_shipdate AS DATE)
+      + CAST(l_orderkey % {IVU_WIDTH_MOD} AS INT) AS ivl_end,
+    l_orderkey, l_linenumber
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN ivl_start > coalesce(
+      max(ivl_end) OVER (PARTITION BY supp
+        ORDER BY ivl_start, ivl_end, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      DATE '0001-01-01') THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islanded AS (
+  SELECT *,
+    sum(new_island) OVER (PARTITION BY supp
+      ORDER BY ivl_start, ivl_end, l_orderkey, l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+islands AS (
+  SELECT supp, island,
+    date_diff('day', min(ivl_start), max(ivl_end)) + 1 AS island_days,
+    count(*) AS n_intervals,
+    min(ivl_start) AS i_start, max(ivl_end) AS i_end
+  FROM islanded GROUP BY 1, 2
+)
+SELECT supp,
+  CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+  count(*) AS n_islands,
+  CAST(sum(island_days) AS BIGINT) AS covered_days,
+  CAST(date_diff('day', min(i_start), max(i_end)) + 1 AS BIGINT)
+    AS span_days,
+  CAST(CAST(sum(island_days) AS HUGEINT) * 1000000
+       // (date_diff('day', min(i_start), max(i_end)) + 1) AS BIGINT)
+    AS coverage_ppm
+FROM islands GROUP BY supp ORDER BY supp
+"""
