@@ -874,3 +874,17 @@ def test_interval_union_windows_are_supplier_partitioned(spark):
         if "Window" in l and "WindowGroup" not in l
     ]
     assert win_lines and all("supp" in l for l in win_lines), plan
+
+
+def test_absence_pattern_extracts_user_equi_key(spark):
+    """The absence (NOT-followed-by) pattern's LEFT join must carry
+    the user equality as the join key with the time band as a
+    post-filter — the pattern_match_funnel contract on the negative
+    branch."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
+        cep_absence_detection,
+    )
+
+    plan = plan_of(cep_absence_detection(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1518,3 +1518,166 @@ SELECT supp,
     AS coverage_ppm
 FROM islands GROUP BY supp ORDER BY supp
 """
+
+
+# --- round-5 batch 7 -------------------------------------------------
+ABSENCE_WINDOW_SECONDS = 86_400  # purchase must follow the view within 1 day
+NGRAM_K = 3  # polymorphic UDTF: schema derives from this scalar argument
+
+
+def cep_absence_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative CEP pattern: views with NO purchase by the same user
+    within the next day — the absence/timeout branch of the
+    view->click->purchase chain pattern_match_funnel matches
+    positively. Per user: views, abandoned views, abandonment ppm.
+
+    Scale shape: Catalyst extracts the user equality as the join key
+    of a LEFT join (the time band stays a post-filter), the
+    unmatched-view census is one hash rollup — the relational
+    MATCH_RECOGNIZE absence pattern with per-key fan-out bounded by
+    events-per-user-per-day, never a nested loop.
+    """
+    ev = load_wide(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        us.alias("v_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+    )
+    matched = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_us") > F.col("v_us"))
+        & (F.col("p_us") <= F.col("v_us") + ABSENCE_WINDOW_SECONDS * 1_000_000),
+        "left",
+    )
+    per_view = matched.groupBy("v_user", "view_id").agg(
+        F.max(F.when(F.col("p_us").isNotNull(), 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    return (
+        per_view.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(
+                F.when(F.col("converted") == 0, 1).otherwise(0)
+            ).alias("n_abandoned"),
+        )
+        .select(
+            "user_id",
+            "n_views",
+            "n_abandoned",
+            F.expr(
+                "CAST(CAST(n_abandoned AS DECIMAL(38,0)) * 1000000"
+                " DIV n_views AS BIGINT)"
+            ).alias("abandon_ppm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def udtf_dynamic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 analyze-time schema): the
+    output columns g1..gk derive from the scalar n-gram width argument
+    at ANALYSIS time via the static ``analyze`` hook — the
+    table-function flavor whose schema is computed, not declared
+    (udtf_doc_bigrams gates the static-schema flavor). Tokenization
+    pins the repo-wide WS_CLASS / space-only-strip contract.
+
+    Scale: scan-shaped Arrow flat map, fan-out bounded by document
+    length; the doc_id bound sits in the lateral subquery because
+    Catalyst cannot push predicates below a UDTF.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    ws_re = re.compile(TS.WS_CLASS + "+")
+
+    @udtf(useArrow=True)
+    class DynNgrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            assert k.value is not None and k.isConstantExpression
+            schema = StructType().add("pos", IntegerType())
+            for i in range(int(k.value)):
+                schema = schema.add(f"g{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            t = (text or "").strip(" ")
+            if not t:
+                return
+            toks = ws_re.split(t)
+            for i in range(len(toks) - k + 1):
+                yield (i, *toks[i : i + k])
+
+    spark.udtf.register("dyn_ngrams", DynNgrams)
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine4 import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, g.pos, {", ".join(f"g.g{i + 1}" for i in range(NGRAM_K))}
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 30) d,
+             LATERAL dyn_ngrams(d.text, {NGRAM_K}) g
+        """
+    )
+
+
+QUERIES_ENGINE5C["cep_absence_detection"] = cep_absence_detection
+QUERIES_ENGINE5C["udtf_dynamic_ngrams"] = udtf_dynamic_ngrams
+
+ORACLES_ENGINE5C["cep_absence_detection"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+    CAST(epoch_us(date_trunc('microseconds', ts)) AS BIGINT) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+views AS (
+  SELECT user_id AS v_user, event_id AS view_id, us AS v_us
+  FROM ev WHERE event_type = 'view'
+),
+purchases AS (
+  SELECT user_id AS p_user, us AS p_us FROM ev
+  WHERE event_type = 'purchase'
+),
+per_view AS (
+  SELECT v_user, view_id,
+    max(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM views LEFT JOIN purchases
+    ON v_user = p_user AND p_us > v_us
+   AND p_us <= v_us + CAST({ABSENCE_WINDOW_SECONDS} AS BIGINT) * 1000000
+  GROUP BY 1, 2
+)
+SELECT v_user AS user_id,
+  count(*) AS n_views,
+  CAST(sum(CASE WHEN converted = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_abandoned,
+  CAST(CAST(sum(CASE WHEN converted = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+       * 1000000 // count(*) AS BIGINT) AS abandon_ppm
+FROM per_view GROUP BY v_user ORDER BY user_id
+"""
+
+_NG_TOKS = f"string_split_regex(trim(text), '[{_WS_CHARS}]+')"
+
+ORACLES_ENGINE5C["udtf_dynamic_ngrams"] = f"""
+WITH toked AS (
+  SELECT doc_id, {_NG_TOKS} AS tk
+  FROM documents
+  WHERE doc_id < 30 AND text IS NOT NULL AND trim(text) != ''
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+  {", ".join(f"tk[i + {j}] AS g{j + 1}" for j in range(NGRAM_K))}
+FROM toked,
+  unnest(generate_series(1, len(tk) - {NGRAM_K - 1})) AS t(i)
+"""
