@@ -68,12 +68,13 @@ def line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks).
 
     Scale shape: chunks are a map-side generator (sequence +
-    posexplode, no shuffle); the census is one hash-keyed partial
-    aggregation; marking is an equi-join back on the 64-bit chunk
-    hash (never the text — rows stay ~32 bytes); the per-doc rebuild
-    aggregates bounded state (a doc's own chunk hashes, capped by
-    doc length / 80). Nothing is quadratic and no relation carries
-    full text past the first projection.
+    posexplode, no shuffle); the census is ONE window count
+    partitioned by the 64-bit chunk hash — a single hash shuffle of
+    ~32-byte rows, evaluating the chunk explode exactly once (the
+    agg + join-back formulation scans the generator twice); the
+    per-doc rebuild aggregates bounded state (a doc's own chunk
+    hashes, capped by doc length / 80). Nothing is quadratic and no
+    relation carries full text past the first projection.
 
     Exactness: the kept-document signature hashes the ordered
     concatenation of the SURVIVING chunks' md5 hexes, so both engines
@@ -94,8 +95,9 @@ def line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(chunk), 1, 16).alias("h"),
         F.length(chunk).cast("long").alias("clen"),
     )
-    census = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_global"))
-    marked = chunks.join(census, "h")
+    marked = chunks.withColumn(
+        "n_global", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     kept = F.when(F.col("n_global") == 1, F.col("h"))
     return (
         marked.groupBy("doc_id")
@@ -132,12 +134,14 @@ def cross_source_duplicate_census(spark: SparkSession, sf_dir: str) -> DataFrame
     80-char chunk, the shared-chunk count, each side's distinct-chunk
     census, and the overlap in ppm of the smaller side.
 
-    Scale shape: one distinct (source, hash) projection (hash-keyed,
-    map-side partial), then a self-equi-join on the chunk hash. The
-    join's per-key fan-out is (sources carrying that chunk)^2 —
-    bounded by the source census, never by corpus size — and the
-    output is at most |sources|^2 rows. The per-source census joins
-    on twice via broadcast (one row per source).
+    Scale shape: ONE hash-keyed aggregation collects each chunk's
+    sorted distinct source set; unordered source pairs expand
+    JVM-side from that array (the copurchase array-expansion shape —
+    per-chunk fan-out is C(sources carrying it, 2), bounded by the
+    source census, never by corpus size) and one more shuffle counts
+    pairs — no self-join, the chunk generator evaluates once. The
+    per-source census explodes the same grouped relation; output is
+    at most |sources|^2 rows, per-source rollups broadcast back.
 
     Exactness: counts and a ppm ratio via decimal(38,0) DIV — no
     floats anywhere.
@@ -149,17 +153,38 @@ def cross_source_duplicate_census(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(LDC_CHUNK)
     )
     chunk = F.col("text").substr(F.col("s"), F.lit(LDC_CHUNK))
-    sh = (
+    grouped = (
         docs.select("source", "text", F.explode(starts).alias("s"))
         .select("source", F.substring(F.md5(chunk), 1, 16).alias("h"))
-        .distinct()
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     )
-    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
-    a = sh.select(F.col("source").alias("src_a"), "h")
-    b = sh.select(F.col("source").alias("src_b"), "h")
+    per_src = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
     pairs = (
-        a.join(b, "h")
-        .filter(F.col("src_a") < F.col("src_b"))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "srcs",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("srcs"),
+                                i + 2,
+                                F.size(F.col("srcs")) - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("src_a"), y.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
