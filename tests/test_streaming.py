@@ -432,3 +432,73 @@ def test_statestore_reader_exposes_aggregation_state(spark, tmp_path):
     }
     got = {(r["user_id"], r["n"]) for r in state.collect()}
     assert got == expected
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data accounting: rows older than the watermark must be
+    DROPPED by a streaming window agg in append mode, and the engine
+    must report them in the progress metrics
+    (numRowsDroppedByWatermark) — the observability signal a real
+    late-data policy is tuned against. Two micro-batches: batch 1
+    advances the watermark past a day-old window; batch 2 delivers an
+    event inside that closed window."""
+    import json
+
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    base = load_table(spark, SF_SMOKE, "events").limit(50)
+
+    def write_batch(df, name):
+        df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    write_batch(base, "b1.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1000")
+        .parquet(src + "/*")
+    )
+    agged = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # parquet sink: memory sinks cannot recover from a checkpoint,
+        # and the second run MUST resume (the committed watermark is
+        # what classifies batch 2 as late)
+        q = (
+            agged.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [json.loads(p.json) for p in q.recentProgress]
+
+    run_once()
+    # batch 2: one event a full day BEFORE anything in batch 1 — far
+    # behind the committed watermark, inside a long-closed window
+    late = base.limit(1).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 1 DAY")
+    )
+    write_batch(late, "b2.parquet")
+    progress = run_once()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, progress
