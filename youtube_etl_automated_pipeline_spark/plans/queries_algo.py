@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
@@ -312,7 +313,7 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents bigint, o_orderdate timestamp, n_orders bigint,"
         " min_orderkey bigint",
     )
-    w = Window.orderBy(
+    w = bounded_window("price_cents").orderBy(
         F.desc("price_cents"), F.desc("o_orderdate")
     ).rowsBetween(Window.unboundedPreceding, -1)
     maxd = F.max("o_orderdate").over(w)
@@ -1095,7 +1096,7 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth")
     )
     # union sketch: merge kept sets, re-truncate to K smallest
-    uw = Window.orderBy("hv")
+    uw = bounded_window("hv").orderBy("hv")
     ukept = (
         kept.select("hv")
         .distinct()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide
 
@@ -155,7 +156,7 @@ def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("lang", F.lit("??")).alias("lang"),
         F.coalesce("source", F.lit("??")).alias("source"),
     ).agg(F.sum(F.length("text")).alias("mass"))
-    tot = Window.partitionBy()
+    tot = bounded_window("lang")
     sized = (
         cells.withColumn("total_mass", F.sum("mass").over(tot))
         .withColumn(
@@ -173,7 +174,7 @@ def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w_rem = Window.orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
+    w_rem = bounded_window("lang").orderBy(F.desc("rem"), F.asc("lang"), F.asc("source"))
     return (
         sized.withColumn("leftover", F.lit(CORPUS_BUDGET) - F.sum("base").over(tot))
         .withColumn("rem_rank", F.row_number().over(w_rem))

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.functions.compat import (
     sql_xsum,
@@ -892,7 +893,7 @@ def distribution_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(early, 1).otherwise(0)).alias("n_early"),
         F.sum(F.when(early, 0).otherwise(1)).alias("n_late"),
     )
-    tot = Window.partitionBy()
+    tot = bounded_window("bucket")
     return (
         cells.withColumn("tot_early", F.sum("n_early").over(tot))
         .withColumn("tot_late", F.sum("n_late").over(tot))
@@ -1102,7 +1103,7 @@ def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents).alias("rev_cents"),
     )
-    w = Window.partitionBy()
+    w = bounded_window("dow")
     return (
         per_dow.withColumn("tot_orders", F.sum("n_orders").over(w))
         .withColumn("tot_cents", F.sum("rev_cents").over(w))
@@ -1400,7 +1401,7 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
-    w = Window.partitionBy()
+    w = bounded_window("dow")
     return (
         cells.withColumn("total", F.sum("n_events").over(w))
         .select(

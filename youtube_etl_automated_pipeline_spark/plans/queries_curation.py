@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.ext import curation as C
 from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS, md5_long
@@ -117,7 +118,7 @@ def corpus_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = per_lang.withColumn(
         "sqrt_scale", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
     )
-    w = Window.partitionBy()
+    w = bounded_window("lang")
     return scaled.select(
         "lang",
         "n_docs",
@@ -127,10 +128,12 @@ def corpus_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1e13 docs, so * 1e6 peaks ~3.2e12 — inside int64 with 6
         # orders of margin; no decimal needed
         F.expr(
-            "sqrt_scale * 1000000 div sum(sqrt_scale) over ()"
+            "sqrt_scale * 1000000 div"
+            " sum(sqrt_scale) over (partition by coalesce(n_docs,0) % 1)"
         ).alias("weight_ppm"),
         F.expr(
-            "sqrt_scale * 100000 div sum(sqrt_scale) over ()"
+            "sqrt_scale * 100000 div"
+            " sum(sqrt_scale) over (partition by coalesce(n_docs,0) % 1)"
         ).alias("target_docs_100k"),
     )
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.ext.dedup import shingle_hashes
@@ -872,7 +873,7 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = ranked.orderBy(
         F.asc("src_seq"), F.asc("source"), F.asc("doc_id")
     ).limit(CURRICULUM_HEAD)
-    wpos = Window.orderBy(F.asc("src_seq"), F.asc("source"), F.asc("doc_id"))
+    wpos = bounded_window("doc_id").orderBy(F.asc("src_seq"), F.asc("source"), F.asc("doc_id"))
     return head.select(
         F.row_number().over(wpos).alias("position"),
         "doc_id",

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide
@@ -247,7 +248,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_cents")
     )
     w = (
-        Window.orderBy("day")
+        bounded_window("day").orderBy("day")
         .rowsBetween(-ZS_WIN, -1)
     )
     stats = daily.select(
@@ -388,7 +389,7 @@ def order_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").cast("long").alias("net"),
         F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_opened"),
     )
-    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wd = bounded_window("day").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return per_day.select(
         "day",
         "n_opened",

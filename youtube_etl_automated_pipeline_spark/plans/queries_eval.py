@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.sources import load_wide
 
@@ -166,13 +167,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max(VOCAB_KS))
-    w_rank = Window.orderBy(F.desc("n"), F.asc("token"))
+    w_rank = bounded_window("token").orderBy(F.desc("n"), F.asc("token"))
     ranked = top.select(
         "n", F.row_number().over(w_rank).alias("rank")
     ).withColumn(
         "cum",
         F.sum("n").over(
-            Window.orderBy("rank").rowsBetween(
+            bounded_window("rank").orderBy("rank").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
         ),

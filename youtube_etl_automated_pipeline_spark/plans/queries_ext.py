@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.ext import textstats as TS
 from youtube_etl_automated_pipeline_spark.functions.compat import hround
@@ -402,7 +403,7 @@ def corpus_mix_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
     wl = Window.partitionBy("lang")
     ws = Window.partitionBy("source")
-    wt = Window.partitionBy()
+    wt = bounded_window("lang")
     return (
         cells.withColumn("n_lang", F.sum("n_docs").over(wl))
         .withColumn("n_source", F.sum("n_docs").over(ws))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.functions.compat import (
     hround,
@@ -300,7 +301,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(units(F.col("o_totalprice"), 2)).alias("cents"))
     )
     w_region = Window.partitionBy("r_name")
-    w_all = Window.partitionBy()
+    w_all = bounded_window("n_name")
     return per_nation.select(
         F.col("r_name").alias("region_name"),
         F.col("n_name").alias("nation_name"),

