@@ -103,6 +103,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
         QUERIES_ENGINE5C,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5d import (
+        QUERIES_ENGINE5D,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5e import (
+        QUERIES_ENGINE5E,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5f import (
+        QUERIES_ENGINE5F,
+    )
 
     return {
         **QUERIES,
@@ -137,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ENGINE5,
         **QUERIES_ENGINE5B,
         **QUERIES_ENGINE5C,
+        **QUERIES_ENGINE5D,
+        **QUERIES_ENGINE5E,
+        **QUERIES_ENGINE5F,
     }
 
 
@@ -220,6 +232,15 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5c import (
         ORACLES_ENGINE5C,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5d import (
+        ORACLES_ENGINE5D,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5e import (
+        ORACLES_ENGINE5E,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5f import (
+        ORACLES_ENGINE5F,
+    )
 
     return {
         **ORACLES,
@@ -254,4 +275,7 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ENGINE5,
         **ORACLES_ENGINE5B,
         **ORACLES_ENGINE5C,
+        **ORACLES_ENGINE5D,
+        **ORACLES_ENGINE5E,
+        **ORACLES_ENGINE5F,
     }
