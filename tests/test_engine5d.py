@@ -126,6 +126,10 @@ def test_debounce_chain_semantics_one_long_burst(spark):
         (2, "view", 12, (half + DEBOUNCE_SECONDS + 1) * 1_000_000),
         # user 2, other type: independent chain
         (2, "click", 13, 0),
+        # user 3: gap of EXACTLY the window -> new burst (session_window
+        # merge rule: events merge only when strictly closer than gap)
+        (3, "view", 20, 0),
+        (3, "view", 21, DEBOUNCE_SECONDS * 1_000_000),
     ]
     # build via timestamp_micros so the gap arithmetic is exact
     df = spark.createDataFrame(
@@ -152,7 +156,7 @@ def test_debounce_chain_semantics_one_long_burst(spark):
         "is_anchor",
         F.when(
             F.col("us") - F.lag("us").over(w)
-            <= F.lit(mod.DEBOUNCE_SECONDS * 1_000_000),
+            < F.lit(mod.DEBOUNCE_SECONDS * 1_000_000),
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
@@ -165,6 +169,7 @@ def test_debounce_chain_semantics_one_long_burst(spark):
     assert kept[(1, "view")] == 1  # 4x half-window chain -> one burst
     assert kept[(2, "view")] == 2  # broken chain -> two bursts
     assert kept[(2, "click")] == 1
+    assert kept[(3, "view")] == 2  # exact-boundary gap starts a burst
 
 
 def test_debounce_gate_census_consistent(spark):

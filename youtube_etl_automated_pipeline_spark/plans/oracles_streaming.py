@@ -344,3 +344,18 @@ FROM s CROSS JOIN g
 WHERE last_ms + 7200000 <= gmax - 3600000
 ORDER BY user_id
 """
+
+
+def _debounce_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5d import (
+        ORACLES_ENGINE5D,
+    )
+
+    return ORACLES_ENGINE5D["event_debounce_dedup"]
+
+
+# The streaming debounce census shares the batch twin's oracle: a
+# fully-consumed availableNow source in complete mode yields the final
+# session set, and n_kept == session count at gap = DEBOUNCE_SECONDS
+# (strict-< merge rule pinned by tests/test_engine5d.py).
+ORACLES_STREAMING["streaming_debounce_census"] = _debounce_oracle()

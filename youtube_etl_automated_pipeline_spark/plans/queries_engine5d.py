@@ -25,11 +25,14 @@ and a telemetry debounce — each with a DuckDB oracle twin.
   Gigabytes" ch.3). Bit widths come from ``length(bin(delta))`` —
   integer→binary-string, bit-identical across engines.
 - ``event_debounce_dedup`` — telemetry debounce: bursts of same
-  (user, event_type) events chained closer than DEBOUNCE_SECONDS
-  collapse to their first event (the kept anchor is chain-based, the
-  sessionization semantics, NOT a naive previous-row filter — a
-  burst longer than the window still keeps only its first event).
-  Output is the per-(user, type) kept/dropped census.
+  (user, event_type) events chained STRICTLY closer than
+  DEBOUNCE_SECONDS collapse to their first event (the kept anchor is
+  chain-based, the sessionization semantics, NOT a naive
+  previous-row filter — a burst longer than the window still keeps
+  only its first event; a gap of exactly the window starts a new
+  burst, matching Spark's ``session_window`` merge rule so the
+  streaming twin shares this oracle). Output is the per-(user, type)
+  kept/dropped census.
 
 The reference has no analogue for any of these (SURVEY §0: a linear
 fetch→clean→sheet chain); they extend the audit/indexing surface of
@@ -312,11 +315,14 @@ def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow their predecessor within DEBOUNCE_SECONDS chain into one
     burst, and only the burst's FIRST event is kept.
 
-    Chain semantics (the sessionization gap rule): a burst extends as
-    long as consecutive gaps stay within the window, so a 30-minute
-    burst of 5-second pings still collapses to ONE kept event — the
-    behavior a naive "compare to previous kept" lag filter cannot
-    express in one pass.
+    Chain semantics (the sessionization gap rule): a burst extends
+    while consecutive gaps stay STRICTLY under the window (a gap of
+    exactly DEBOUNCE_SECONDS starts a new burst — the session_window
+    merge rule, so n_kept == session count and the streaming twin
+    shares this oracle), and a 30-minute burst of 5-second pings
+    still collapses to ONE kept event — the behavior a naive
+    "compare to previous kept" lag filter cannot express in one
+    pass.
 
     Output: per (user_id, event_type) the raw event count, kept
     count, and dropped ppm. Scale shape: one lag window partitioned
@@ -338,7 +344,7 @@ def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_anchor",
         F.when(
             F.col("us") - F.lag("us").over(w)
-            <= F.lit(DEBOUNCE_SECONDS * 1_000_000),
+            < F.lit(DEBOUNCE_SECONDS * 1_000_000),
             F.lit(0),
         ).otherwise(F.lit(1)),  # first row (NULL lag) is an anchor
     )
@@ -368,7 +374,7 @@ WITH ev AS (
   SELECT user_id, event_type,
          CASE WHEN us - lag(us) OVER (
                 PARTITION BY user_id, event_type ORDER BY us, event_id
-              ) <= {DEBOUNCE_SECONDS} * 1000000
+              ) < {DEBOUNCE_SECONDS} * 1000000
               THEN 0 ELSE 1 END AS is_anchor
   FROM ev
 )

@@ -934,3 +934,53 @@ def streaming_tws_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_STREAMING["streaming_tws_inactive_users"] = streaming_tws_inactive_users
+
+
+def streaming_debounce_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The telemetry-debounce census run by the STREAMING engine:
+    n_kept per (user, event_type) is exactly the number of
+    ``session_window`` sessions at gap = DEBOUNCE_SECONDS, because a
+    debounce burst IS a session (events merge while strictly closer
+    than the gap — the session_window rule the batch twin pins with
+    an exact-boundary test). The streaming plan aggregates sessions
+    through the state store (complete mode over a fully-consumed
+    availableNow source = the final session set); the per-key census
+    rollup runs batch-side on the collected sink table. Shares
+    ``event_debounce_dedup``'s oracle verbatim.
+    """
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5d import (
+        DEBOUNCE_SECONDS,
+    )
+
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sessions = (
+        stream.withWatermark("ts", "4 days")  # the engine's standard
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.session_window("ts", f"{DEBOUNCE_SECONDS} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sunk = run_stream_to_memory(sessions, "debounce_sessions")
+    return (
+        sunk.groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .withColumn(
+            "dropped_ppm",
+            F.expr(
+                "CAST(CAST(n_events - n_kept AS DECIMAL(38,0)) * 1000000"
+                " DIV n_events AS BIGINT)"
+            ),
+        )
+    )
+
+
+QUERIES_STREAMING["streaming_debounce_census"] = streaming_debounce_census
