@@ -888,3 +888,79 @@ def test_absence_pattern_extracts_user_equi_key(spark):
     plan = plan_of(cep_absence_detection(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_size_profile_joins_count_relations_not_facts(spark):
+    """The cardinality profiler must join per-key COUNT aggregates,
+    never the fact tables: every join input in the plan is an
+    aggregate, so each join's subtree contains a HashAggregate on
+    both sides before any scan."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5d import (
+        join_size_profile,
+    )
+
+    plan = df = None
+    df = join_size_profile(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 3 profiled pairs -> >= 6 per-side key-count aggregations (partial
+    # + final pairs) sit below the joins
+    assert plan.count("HashAggregate") >= 12
+
+
+def test_postings_window_is_token_partitioned(spark):
+    """The posting-list lag window must be partitioned by token —
+    never a single-partition global window over the postings."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5d import (
+        postings_delta_encode,
+    )
+
+    df = postings_delta_encode(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_compaction_census_scans_only_metadata(spark):
+    """The file census must not decode any data column: the parquet
+    scan's ReadSchema is empty (only the constant _metadata struct
+    rides along)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5e import (
+        file_census,
+    )
+
+    df = file_census(spark, {"orders": f"{SF_SMOKE}/orders.parquet"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_no_single_partition_window_engine_wide(spark):
+    """Every single-partition window in the engine goes through
+    bounded_window (or its shared-SQL idiom), so no executed plan may
+    contain a Window directly over an Exchange SinglePartition — the
+    scan that caught vocab_coverage_curve's full-vocab window in
+    round 3, now locked for the whole batch registry."""
+    import re
+
+    import __spark_entry__ as entry
+
+    flagged = []
+    for name, fn in sorted(entry.queries().items()):
+        if name.startswith("streaming_"):
+            continue  # streaming plans are exercised by their own gates
+        try:
+            df = fn(spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # build failures are caught by the gate itself
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"\bWindow\b", ln):
+                for j in range(i + 1, min(i + 6, len(lines))):
+                    if "Exchange SinglePartition" in lines[j]:
+                        flagged.append(name)
+                        break
+                if name in flagged:
+                    break
+    assert not flagged, flagged
