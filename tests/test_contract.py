@@ -173,16 +173,39 @@ def test_query_build_time_bounded(spark):
     qs = queries()
     for fn in qs.values():
         fn(spark, SF_SMOKE)  # prime k-means/logreg memos, JVM paths
+    per_query: dict[str, float] = {}
     t0 = time.perf_counter()
-    for fn in qs.values():
+    for name, fn in qs.items():
+        t1 = time.perf_counter()
         fn(spark, SF_SMOKE)
+        per_query[name] = time.perf_counter() - t1
     elapsed = time.perf_counter() - t0
-    # all registered queries; generous CI budget — the regression we
-    # guard against is tens of seconds for a SINGLE query's build (the
-    # py4j expression-tree blowups of round 2), not shared-VM CPU
-    # steal. Streaming queries EXECUTE at build (memory-sink tables),
-    # so the whole-registry pass legitimately costs ~60s.
-    assert elapsed < 90, f"building all queries took {elapsed:.1f}s"
+    # The regression this guards against is tens of seconds for a
+    # SINGLE query's build (the py4j expression-tree blowups of round
+    # 2: one IVF-PQ formulation measured 14 s) — so the budget is
+    # per-query, which stays meaningful as the registry grows.
+    # Streaming gates EXECUTE at build (memory-sink runs, ~2-4 s of
+    # real engine each) and the iterative builders (connected
+    # components, BFS) run checkpoint actions at build — those get
+    # the looser bound. The registry-scaled total catches a broad
+    # creep no single query trips.
+    def budget(n: str) -> float:
+        return 15.0 if n.startswith("streaming_") else 8.0
+
+    # shared-VM CPU-steal tolerance: a query over budget gets ONE
+    # rebuild and keeps the min — a steal burst rarely spans both
+    # samples, a genuine expression-tree blowup always does.
+    for n in [n for n, t in per_query.items() if t > budget(n)]:
+        t1 = time.perf_counter()
+        qs[n](spark, SF_SMOKE)
+        per_query[n] = min(per_query[n], time.perf_counter() - t1)
+    slow = {
+        n: round(t, 1) for n, t in per_query.items() if t > budget(n)
+    }
+    assert not slow, f"single-query build blowup: {slow}"
+    assert elapsed < max(90.0, 0.6 * len(qs)), (
+        f"building all {len(qs)} queries took {elapsed:.1f}s"
+    )
 
 
 # Legitimately empty at sf0.001 ONLY (verified non-empty at sf0.01,
