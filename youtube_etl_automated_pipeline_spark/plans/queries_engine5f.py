@@ -50,21 +50,35 @@ def dedup_blocking_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. Nothing here scales with corpus size, only with
     duplicate count.
     """
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
     from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
         dedup_containment_pairs,
         dedup_minhash_lsh,
         dedup_simhash,
     )
 
-    mh = dedup_minhash_lsh(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_minhash")
-    )
-    sh = dedup_simhash(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_simhash")
-    )
-    ct = dedup_containment_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_containment")
-    )
+    # each detector's pair relation persists as a materialized pair
+    # index (the cluster family's posture for lsh_pairs): bounded by
+    # duplicate count, consumed by every census over it
+    mh = memo_persist(
+        spark,
+        ("venn_mh_pairs", sf_dir),
+        lambda: dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+    ).withColumn("in_minhash", F.lit(1))
+    sh = memo_persist(
+        spark,
+        ("venn_sh_pairs", sf_dir),
+        lambda: dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"),
+    ).withColumn("in_simhash", F.lit(1))
+    ct = memo_persist(
+        spark,
+        ("venn_ct_pairs", sf_dir),
+        lambda: dedup_containment_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+    ).withColumn("in_containment", F.lit(1))
     merged = (
         mh.join(sh, ["doc_a", "doc_b"], "full")
         .join(ct, ["doc_a", "doc_b"], "full")
