@@ -349,3 +349,136 @@ FROM m
 GROUP BY lower(mangled)
 ORDER BY priority
 """
+
+
+# --- Spark 4 SQL UDFs + IDENTIFIER clause (round 5) -----------------
+# Scalar and TABLE functions defined in pure SQL (CREATE TEMPORARY
+# FUNCTION ... RETURN ...) — logic shared with analysts without
+# leaving the optimizer (the body inlines into the plan, unlike a
+# Python UDF), and IDENTIFIER(:param) — injection-safe templating for
+# table/column NAMES, the dimension value parameter markers cannot
+# reach. Oracles inline the expanded bodies: a SQL UDF is
+# macro-expansion by design, so the twin is the same dataflow.
+
+_BAND_CASE = (
+    "CASE WHEN {c} < 5000000 THEN 'small'"
+    " WHEN {c} < 20000000 THEN 'mid'"
+    " ELSE 'large' END"
+)
+
+
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar SQL UDF: a revenue-band classifier created with CREATE
+    TEMPORARY FUNCTION ... RETURN <expr> and used in a rollup. The
+    body is a plain CASE over exact cents, so Catalyst inlines it
+    into whole-stage codegen — zero serialization boundary, unlike
+    any Python UDF."""
+    register_views(spark, sf_dir, tables=("orders",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION revenue_band(cents BIGINT)"
+        " RETURNS STRING RETURN " + _BAND_CASE.format(c="cents")
+    )
+    return spark.sql(
+        """
+        SELECT revenue_band(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS band,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1 ORDER BY band
+        """
+    )
+
+
+QUERIES_SQL["sql_udf_scalar"] = sql_udf_scalar
+ORACLES_SQL["sql_udf_scalar"] = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT {_BAND_CASE.format(c="c")} AS band,
+       count(*) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM cents GROUP BY 1 ORDER BY band
+"""
+
+SQL_UDF_TOPK = 10
+
+
+def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-valued SQL UDF: top-k customers by exact order revenue
+    as CREATE TEMPORARY FUNCTION ... RETURNS TABLE(...) — the
+    parameterized-view surface. The cap is a row_number predicate,
+    not LIMIT k (a function argument is not foldable, so LIMIT
+    rejects it — the same reason the engine's top-k queries ride
+    WindowGroupLimit)."""
+    register_views(spark, sf_dir, tables=("orders",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION top_spenders(k BIGINT)
+        RETURNS TABLE(o_custkey BIGINT, cents BIGINT) RETURN
+        SELECT o_custkey, cents FROM (
+          SELECT o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents,
+                 row_number() OVER (
+                   ORDER BY sum(CAST(floor(o_totalprice * 100 + 0.5)
+                     AS BIGINT)) DESC, o_custkey ASC
+                 ) AS rn
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+          GROUP BY o_custkey
+        ) WHERE rn <= k
+        """
+    )
+    return spark.sql(f"SELECT * FROM top_spenders({SQL_UDF_TOPK})")
+
+
+QUERIES_SQL["sql_udf_table"] = sql_udf_table
+ORACLES_SQL["sql_udf_table"] = f"""
+SELECT o_custkey, cents FROM (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS cents,
+         row_number() OVER (
+           ORDER BY sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             DESC, o_custkey ASC
+         ) AS rn
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+  GROUP BY o_custkey
+) x WHERE rn <= {SQL_UDF_TOPK}
+ORDER BY cents DESC, o_custkey
+"""
+
+
+def sql_identifier_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) templating: the table AND the grouping
+    column arrive as parameters but bind as identifiers, not values —
+    the injection-safe way to write one rollup over many tables that
+    string interpolation can't match. The oracle is the resolved
+    query."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS group_key, count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice IS NOT NULL
+        GROUP BY IDENTIFIER(:col) ORDER BY group_key
+        """,
+        args={"tbl": "orders", "col": "o_orderpriority"},
+    )
+
+
+QUERIES_SQL["sql_identifier_param"] = sql_identifier_param
+ORACLES_SQL["sql_identifier_param"] = """
+SELECT o_orderpriority AS group_key, count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_totalprice IS NOT NULL
+GROUP BY o_orderpriority ORDER BY group_key
+"""
