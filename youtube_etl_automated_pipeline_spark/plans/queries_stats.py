@@ -873,3 +873,112 @@ FROM pred GROUP BY 1, 2
 
 
 ORACLES_STATS["naive_bayes_lang_confusion"] = _nb_oracle()
+
+
+# --- Wald SPRT sequential monitoring (round 5) ----------------------
+# Sequential probability-ratio test on the daily urgent-order share:
+# H0: p = SPRT_P0 vs H1: p = SPRT_P1, alpha = beta = 0.05. The four
+# log terms are integer micro-unit constants computed ONCE here and
+# inlined into BOTH engines' plans (the Benford-constants pattern), so
+# no cross-engine ln() ulp can differ; everything downstream is
+# integer multiply-accumulate over the bounded day relation.
+import math as _math
+
+SPRT_P0 = 0.20
+SPRT_P1 = 0.25
+SPRT_ALPHA = 0.05
+SPRT_L1 = int(_math.floor(_math.log(SPRT_P1 / SPRT_P0) * 1e6 + 0.5))
+SPRT_L0 = int(
+    _math.floor(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1e6 + 0.5)
+)
+SPRT_UPPER = int(
+    _math.floor(_math.log((1 - SPRT_ALPHA) / SPRT_ALPHA) * 1e6 + 0.5)
+)
+SPRT_LOWER = int(
+    _math.floor(_math.log(SPRT_ALPHA / (1 - SPRT_ALPHA)) * 1e6 + 0.5)
+)
+
+
+def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT trajectory over the daily urgent-order share: one
+    row per day with the cumulative log-likelihood ratio (micro
+    units) and the sequential decision — the streaming-experiment
+    monitor that stops the moment evidence crosses a boundary
+    instead of waiting for a fixed horizon (Wald 1945).
+
+    Scale shape: one map-side-combinable day rollup over the fact
+    scan; the cumulative LLR is a prefix sum over the CALENDAR-
+    bounded day relation (bounded_window idiom spelled in shared SQL
+    form); decisions are integer comparisons against inlined
+    boundary constants. sf bound: day counts x 1e6-unit terms peak
+    ~1e13 * 13 << 9e18 — bigint-safe at any corpus scale.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("x_day"),
+    )
+    cum = daily.select(
+        "day",
+        "n_day",
+        F.col("x_day").cast("long").alias("x_day"),
+        F.expr(
+            "sum(x_day) OVER (PARTITION BY coalesce(n_day,0) % 1"
+            " ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_x"),
+        F.expr(
+            "sum(n_day) OVER (PARTITION BY coalesce(n_day,0) % 1"
+            " ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_n"),
+    )
+    llr = (
+        F.col("cum_x") * F.lit(SPRT_L1)
+        + (F.col("cum_n") - F.col("cum_x")) * F.lit(SPRT_L0)
+    ).cast("long")
+    return cum.select(
+        "day",
+        "n_day",
+        "x_day",
+        llr.alias("llr_micro"),
+        F.when(llr >= SPRT_UPPER, F.lit("accept_h1"))
+        .when(llr <= SPRT_LOWER, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+QUERIES_STATS["sprt_sequential_monitor"] = sprt_sequential_monitor
+
+ORACLES_STATS["sprt_sequential_monitor"] = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_day,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS BIGINT) AS x_day
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT day, n_day, x_day,
+         sum(x_day) OVER (PARTITION BY coalesce(n_day,0) % 1
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_x,
+         sum(n_day) OVER (PARTITION BY coalesce(n_day,0) % 1
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_n
+  FROM daily
+)
+SELECT day, CAST(n_day AS BIGINT) AS n_day, x_day,
+       CAST(cum_x * {SPRT_L1} + (cum_n - cum_x) * {SPRT_L0} AS BIGINT)
+         AS llr_micro,
+       CASE WHEN cum_x * {SPRT_L1} + (cum_n - cum_x) * {SPRT_L0}
+              >= {SPRT_UPPER} THEN 'accept_h1'
+            WHEN cum_x * {SPRT_L1} + (cum_n - cum_x) * {SPRT_L0}
+              <= {SPRT_LOWER} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum ORDER BY day
+"""
