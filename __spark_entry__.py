@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5f import (
         QUERIES_ENGINE5F,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5g import (
+        QUERIES_ENGINE5G,
+    )
 
     return {
         **QUERIES,
@@ -149,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ENGINE5D,
         **QUERIES_ENGINE5E,
         **QUERIES_ENGINE5F,
+        **QUERIES_ENGINE5G,
     }
 
 
@@ -241,6 +245,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5f import (
         ORACLES_ENGINE5F,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine5g import (
+        ORACLES_ENGINE5G,
+    )
 
     return {
         **ORACLES,
@@ -278,4 +285,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ENGINE5D,
         **ORACLES_ENGINE5E,
         **ORACLES_ENGINE5F,
+        **ORACLES_ENGINE5G,
     }
