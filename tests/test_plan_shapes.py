@@ -480,6 +480,10 @@ BOUNDED_GLOBAL_WINDOWS = {
     "seasonality_dow_profile": "7 days of week",
     "survival_kaplan_meier": "distinct lifetime weeks (horizon-bounded)",
     "vocab_coverage_curve": "top-1000 tokens (Limit-bounded, plan-tested)",
+    "sql_udf_table": (
+        "rank<=k filter rewritten by Catalyst to TakeOrderedAndProject"
+        " below the window — the window input is k=10 rows"
+    ),
 }
 
 
@@ -491,6 +495,7 @@ BOUNDED_GLOBAL_WINDOWS = {
 BOUNDED_BNL_JOINS = {
     "bitext_margin_mining": "8-query batch, then <= K*8 candidate side",
     "join_skew_diagnostics": "1-row key-count stats broadcast",
+    "dsir_importance_weights": "1-row (tot_t, tot_r) totals broadcast",
     "retrieval_mmr_rerank": "1-row collapsed pool/sims arrays",
     "quantile_normalization_scores": "1-row pooled 21-quantile array",
     "cohens_kappa_langid": "1-row totals broadcast",
