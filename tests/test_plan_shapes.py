@@ -904,7 +904,6 @@ def test_join_size_profile_joins_count_relations_not_facts(spark):
         join_size_profile,
     )
 
-    plan = df = None
     df = join_size_profile(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
@@ -950,22 +949,75 @@ def test_no_single_partition_window_engine_wide(spark):
 
     import __spark_entry__ as entry
 
+    def tree_depth(line: str) -> int:
+        """Start of the operator name past the tree-drawing prefix
+        (spaces, ':', '+', '-', '|'); children print strictly deeper."""
+        return re.match(r"^[\s:+|-]*", line).end()
+
+    def op_name(line: str) -> str:
+        """Operator name: first token past the tree prefix and the
+        optional '*(n)' whole-stage-codegen marker."""
+        rest = line[tree_depth(line):]
+        rest = re.sub(r"^\*\(\d+\)\s*", "", rest)
+        m = re.match(r"[A-Za-z]+", rest)
+        return m.group(0) if m else ""
+
+    # Nodes that neither establish nor change the input's partitioning
+    # — the window's distribution shines through them. Anything else
+    # (HashAggregate, joins, scans, a hashpartitioning Exchange, ...)
+    # owns its own distribution, so a SinglePartition exchange below
+    # THAT node belongs to a scalar/global-agg subplan (e.g. the
+    # gap-fill calendar's 1-row min/max), not to the window.
+    _TRANSPARENT = {
+        "Sort",
+        "Project",
+        "Filter",
+        "Window",
+        "WindowGroupLimit",
+        "ColumnarToRow",
+        "InputAdapter",
+        "AQEShuffleRead",
+        "ShuffleQueryStage",
+        "WholeStageCodegen",
+        "CoalescedShuffleRead",
+    }
+
     flagged = []
+    build_failures = {}
     for name, fn in sorted(entry.queries().items()):
         if name.startswith("streaming_"):
             continue  # streaming plans are exercised by their own gates
         try:
             df = fn(spark, SF_SMOKE)
             plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception:
-            continue  # build failures are caught by the gate itself
+        except Exception as exc:  # noqa: BLE001 — reported below
+            build_failures[name] = repr(exc)[:200]
+            continue
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
             if re.search(r"\bWindow\b", ln):
-                for j in range(i + 1, min(i + 6, len(lines))):
-                    if "Exchange SinglePartition" in lines[j]:
+                # walk DOWN the window's input chain through
+                # partitioning-transparent nodes only (no fixed
+                # 5-line lookahead — Project/Filter/AQE wrappers
+                # must not hide the exchange; round-5 advice #3):
+                # the first distribution-owning node decides.
+                depth = tree_depth(ln)
+                for j in range(i + 1, len(lines)):
+                    d = tree_depth(lines[j])
+                    if d <= depth:
+                        break  # left the subtree
+                    if "Exchange SinglePartition" in lines[j] or (
+                        "ReusedExchange" in lines[j]
+                        and "SinglePartition" in lines[j]
+                    ):
                         flagged.append(name)
                         break
+                    if op_name(lines[j]) not in _TRANSPARENT:
+                        break  # a distribution-owning boundary
                 if name in flagged:
                     break
+    assert not build_failures, (
+        f"queries failed to BUILD during the window sweep (sweep cannot "
+        f"vouch for their plans): {build_failures}"
+    )
     assert not flagged, flagged

@@ -505,6 +505,19 @@ ORACLES_CURATION2["ngram_novelty_score"] = _novelty_oracle()
 _BPE_MEMO: dict = {}
 
 
+def _bpe_key(sf_dir: str) -> tuple:
+    """Memo key carries the documents table's (mtime, size)
+    fingerprint: a table rewritten at the same path mid-process
+    misses the memo and retrains instead of serving a stale merge
+    table (round-5 advice — the fresh-process assumption is now
+    enforced, not assumed)."""
+    from youtube_etl_automated_pipeline_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    return ("bpe", sf_dir, table_fingerprint(sf_dir, "documents"))
+
+
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE_MERGES byte-pair-encoding merges learned from the
     corpus: (step, left_sym, right_sym, merged, pair_count). Greedy
@@ -516,8 +529,8 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is a pair-count shuffle over the word-type table (Heaps'-law
     small) + a map-only re-symbolization. Driver traffic is one
     (pair, count) row per step — the k-means-centroid pattern.
-    Training is memoized per sf_dir so repeated calls measure
-    serving."""
+    Training is memoized per (sf_dir, documents fingerprint) so
+    repeated calls measure serving and a rewritten table retrains."""
     from youtube_etl_automated_pipeline_spark.ext.bpe import (
         BPE_MAX_LEN,
         BPE_MIN_LEN,
@@ -525,7 +538,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    key = ("bpe", sf_dir)
+    key = _bpe_key(sf_dir)
     if key not in _BPE_MEMO:
         docs = load_wide(spark, sf_dir, "documents")
         words = (
@@ -637,7 +650,7 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bpe_merge_steps(spark, sf_dir)  # ensure trained + memoized
-    merges = _BPE_MEMO[("bpe", sf_dir)]
+    merges = _BPE_MEMO[_bpe_key(sf_dir)]
     docs = load_wide(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(TS.tokens(F.col("text"))).alias("word"))

@@ -197,8 +197,14 @@ def compaction_plan(files: DataFrame, target_rows: int) -> DataFrame:
     ``target_rows``-sized merge bins, size-descending, PER TABLE
     (files never merge across tables). Bin id = (running row total −
     own rows) DIV target — the deterministic next-fit-by-prefix-sum
-    rule; a file larger than the target gets a bin of its own by
-    construction. One window over the file relation, which is bounded
+    rule. The DIV rule caps each bin's START offset, not its total:
+    a bin can exceed ``target_rows`` by up to its last file's rows
+    (e.g. files [900, 800] at target 1000 share bin 0 with 1700
+    rows), and a file larger than the target still gets a bin of its
+    own because its start offset alone fills a full DIV stride. The
+    overshoot bound is acceptable for merge planning (output files
+    land in [target, 2*target)); consumers needing a hard cap should
+    post-split oversized bins. One window over the file relation, which is bounded
     by file count (10^4-10^5 entries for a 100 TB table — listing
     scale, never data scale)."""
     return files.select(

@@ -341,10 +341,21 @@ PQ_ITERS = 2
 # driver's compare pass) should measure SERVING, not re-training.
 # Safe to cache: training is a deterministic function of (sf_dir,
 # hyperparameters), so every invocation computes identical centroids.
+# Every caller's key starts with sf_dir and every model here trains on
+# the embeddings table, so _trained folds that table's (mtime, size)
+# fingerprint into the key — a table rewritten at the same path
+# mid-process misses and retrains instead of serving stale centroids
+# (round-5 advice: the fresh-process assumption is enforced, not
+# assumed). One stat() per lookup, no data read.
 _TRAINED: dict = {}
 
 
 def _trained(key: tuple, builder):
+    from youtube_etl_automated_pipeline_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    key = key + (table_fingerprint(key[0], "embeddings"),)
     if key not in _TRAINED:
         _TRAINED[key] = builder()
     return _TRAINED[key]

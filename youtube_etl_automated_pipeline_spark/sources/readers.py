@@ -98,6 +98,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """A cheap content-version token for one testdata table:
+    (mtime_ns, total_bytes) over the parquet file (or every file in a
+    parquet directory). Trained-model memos (_BPE_MEMO, the k-means
+    centroid memo) fold this into their keys so a table REWRITTEN at
+    the same path mid-process can never be served a stale model —
+    the memo misses and retrains. Costs one stat() per memo lookup;
+    table data is never read."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            mt, sz = 0, 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    mt = max(mt, st.st_mtime_ns)
+                    sz += st.st_size
+            return (mt, sz)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)  # missing path: constant key, read fails loudly later
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
     """Register testdata tables as temp views for the SQL API."""
     for name in tables:
