@@ -260,3 +260,42 @@ def test_naive_bayes_matches_python_reimplementation(spark):
         key = (r.lang, best[1])
         brute[key] = brute.get(key, 0) + 1
     assert got == brute and sum(got.values()) > 0
+
+
+def test_kmv_percentile_sample_tracks_exact_percentiles(spark):
+    """The deterministic bottom-K priority sample's order statistics
+    must land within the binomial rank-error envelope of the EXACT
+    percentiles: with K=256 the sampled p-quantile's rank error is
+    ~sqrt(p(1-p)/K) (~3% of the distribution), so comparing VALUES we
+    allow the exact quantile band p +/- 5*sqrt(p(1-p)/K) — a
+    deterministic bound at these K (no flakiness: the md5 sample is
+    fixed)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
+        KMV_Q_K,
+        kmv_percentile_stats,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    got = {r.event_type: r for r in kmv_percentile_stats(spark, SF_MID).collect()}
+    ev = load_table(spark, SF_MID, "events").select(
+        "event_type", F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents")
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.cents)
+    assert set(got) == set(by_type)
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        row = got[etype]
+        assert row.n_events == n
+        assert row.n_kept == min(n, KMV_Q_K)
+        for p, sampled in (
+            (0.50, row.p50_cents),
+            (0.95, row.p95_cents),
+            (0.99, row.p99_cents),
+        ):
+            eps = 5.0 * math.sqrt(p * (1 - p) / KMV_Q_K)
+            lo = vals[max(0, math.ceil(max(p - eps, 0.0) * n) - 1)]
+            hi = vals[min(n - 1, math.ceil(min(p + eps, 1.0) * n) - 1)]
+            assert lo <= sampled <= hi, (etype, p, sampled, lo, hi)

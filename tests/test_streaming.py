@@ -502,3 +502,92 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped >= 1, progress
+
+
+def test_streaming_linear_count_error_envelope(spark):
+    """The deterministic linear-counting streaming distinct must track
+    the exact per-window counts: unsaturated windows (occ < B) within
+    50% relative error each, and aggregate median error <= 15% — loose
+    deterministic bounds for B=64 at these cardinalities (measured:
+    median <= 7%, p95 <= 20% at sf0.01/sf0.1). The query's own
+    exact_users column is the reference (itself oracle-verified)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        LC_BUCKETS,
+        streaming_linear_count_users,
+    )
+
+    rows = streaming_linear_count_users(spark, SF_SMOKE).collect()
+    assert rows
+    rel_errs = []
+    for r in rows:
+        assert 1 <= r.occ_buckets <= LC_BUCKETS
+        err = abs(r.est_users - r.exact_users) / max(r.exact_users, 1)
+        if r.occ_buckets < LC_BUCKETS:
+            assert err <= 0.5, (r.window_start, r.event_type, r.est_users, r.exact_users)
+        rel_errs.append(err)
+    rel_errs.sort()
+    assert rel_errs[len(rel_errs) // 2] <= 0.15, rel_errs[len(rel_errs) // 2]
+
+
+def test_checkpoint_state_width_is_sticky(spark, tmp_path):
+    """MIGRATION CONTRACT (round-4 note, round-5 advice #6, verified
+    empirically here): the state partition count is frozen into a
+    checkpoint's offset-log metadata at first commit, and on resume
+    the CHECKPOINTED value silently wins over the session conf —
+    Spark neither errors nor repartitions. A width-8 checkpoint
+    resumed under the round-4 default of 2 must (a) resume cleanly,
+    (b) keep all 8 state-store partition dirs, and (c) record
+    shuffle.partitions=8 in EVERY offset-log entry including the
+    resumed one. Changing width for real requires a fresh
+    checkpoint."""
+    import glob
+    import json
+    import shutil
+
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        EVENTS_STREAM_SCHEMA,
+        stream_state_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events_file = os.path.join(SF_SMOKE, "events.parquet")
+    shutil.copy(events_file, src / "a.parquet")
+
+    def run(width):
+        with stream_state_partitions(spark, width):
+            stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+                str(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "4 days")
+                .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            q = (
+                agg.select(F.col("win.start").alias("ws"), "event_type", "n")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run(8)
+    width_8_dirs = len(glob.glob(os.path.join(ckpt, "state", "0", "*")))
+    # grow the feed so the resumed run commits a real batch with state
+    shutil.copy(events_file, src / "b.parquet")
+    run(2)  # session says 2; the checkpoint must say (and keep) 8
+
+    assert len(glob.glob(os.path.join(ckpt, "state", "0", "*"))) == width_8_dirs
+    offsets = sorted(glob.glob(os.path.join(ckpt, "offsets", "*")))
+    assert len(offsets) >= 2  # initial + resumed batch
+    for off in offsets:
+        with open(off) as fh:
+            meta_line = fh.readlines()[1]
+        conf = json.loads(meta_line).get("conf", {})
+        assert conf.get("spark.sql.shuffle.partitions") == "8", (off, conf)

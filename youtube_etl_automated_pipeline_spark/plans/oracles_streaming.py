@@ -359,3 +359,46 @@ def _debounce_oracle() -> str:
 # session set, and n_kept == session count at gap = DEBOUNCE_SECONDS
 # (strict-< merge rule pinned by tests/test_engine5d.py).
 ORACLES_STREAMING["streaming_debounce_census"] = _debounce_oracle()
+
+
+def _linear_count_oracle() -> str:
+    """Deterministic streaming distinct via linear counting: the
+    oracle rebuilds the identical bucket-occupancy sketch from the
+    batch table (a fully-consumed availableNow complete-mode run
+    equals the batch aggregate) and serves the estimate from the SAME
+    Python-computed integer table the Spark plan inlines — zero
+    runtime float ops on either side."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        LC_BUCKETS,
+        LC_EST_TABLE,
+    )
+
+    tbl = "ARRAY[" + ", ".join(str(v) for v in LC_EST_TABLE) + "]"
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % {LC_BUCKETS} AS bucket
+  FROM events
+),
+b AS (
+  SELECT window_start, event_type, bucket FROM h GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT window_start, event_type,
+         CAST(count(*) AS BIGINT) AS occ_buckets,
+         CAST(({tbl})[count(*) + 1] AS BIGINT) AS est_users
+  FROM b GROUP BY 1, 2
+),
+ex AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1, 2
+)
+SELECT e.window_start, e.event_type, occ_buckets, est_users, exact_users
+FROM est e JOIN ex USING (window_start, event_type)
+ORDER BY e.window_start, e.event_type
+"""
+
+
+ORACLES_STREAMING["streaming_linear_count_users"] = _linear_count_oracle()

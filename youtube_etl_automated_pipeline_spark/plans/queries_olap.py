@@ -460,7 +460,10 @@ def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across partitions — no global sort). Sketch output is
     engine-specific -> rows-only gate; the accuracy envelope vs the
     exact percentile is asserted in tests/test_sinks.py (same pattern
-    as the HLL and CMS sketches)."""
+    as the HLL and CMS sketches). The DETERMINISTIC oracle-gated twin
+    covering the same capability is kmv_percentile_stats
+    (queries_sketch.py): bottom-K md5-priority sample + exact order
+    statistics, bit-exact in both engines."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

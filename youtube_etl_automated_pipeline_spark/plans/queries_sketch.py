@@ -483,6 +483,126 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_SKETCH["kmv_distinct_customers"] = kmv_distinct_customers
 
+KMV_Q_K = 256  # quantile-sketch sample size per group
+
+
+def kmv_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles per event_type from a DETERMINISTIC bottom-K
+    priority sample — the oracle-gated twin of
+    ``approx_percentile_stats`` (whose KLL sketch is engine-specific
+    and therefore rows-only). Each row's priority is the portable
+    60-bit md5 of its unique event_id; keeping the K smallest
+    priorities per group is a uniform without-replacement sample that
+    BOTH engines reproduce bit-for-bit, and the reported p50/p95/p99
+    are exact type-1 order statistics of that sample (position
+    ceil(p*n) computed in INTEGER arithmetic — (p_num*n + 99) DIV 100
+    — because float/decimal ceil diverges between engines when p*n
+    lands on an integer).
+
+    Mergeable like KMV distinct: union two groups' kept sets and
+    re-truncate to the K smallest priorities — the associative merge
+    a 100 TB rollup ships between levels.
+
+    Scale shape: the bottom-K window is row_number ordered by
+    priority, which Spark executes with WindowGroupLimit — every map
+    task pre-truncates its partition to K rows per group BEFORE the
+    shuffle, so the exchange carries O(groups*K) rows, never the
+    fact stream; the full-data path is only the per-type count, a
+    map-side-combined agg. The order-statistic window then runs over
+    the <= K-row kept sample (bounded by construction). Accuracy
+    envelope vs the exact percentiles is asserted in
+    tests/test_stats.py (rank error ~ sqrt(p(1-p)/K)).
+    """
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.select(
+        "event_type",
+        "event_id",
+        md5_long(F.col("event_id").cast("string"), 15).alias("hv"),
+        units(F.col("value"), 2).alias("cents"),
+    )
+    w_keep = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    kept = (
+        sampled.withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") <= KMV_Q_K)
+        .drop("rn")
+    )
+    w_val = Window.partitionBy("event_type").orderBy("cents", "hv", "event_id")
+    w_grp = Window.partitionBy("event_type")
+    ranked = kept.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_val).alias("vr"),
+        F.count(F.lit(1)).over(w_grp).alias("n_kept"),
+    )
+
+    def pos(p_num: int):
+        # ceil(p_num * n / 100) in pure integer arithmetic
+        return F.expr(f"({p_num} * n_kept + 99) div 100")
+
+    stats = ranked.groupBy("event_type").agg(
+        F.max("n_kept").alias("n_kept"),
+        F.max(F.when(F.col("vr") == pos(50), F.col("cents"))).alias("p50_cents"),
+        F.max(F.when(F.col("vr") == pos(95), F.col("cents"))).alias("p95_cents"),
+        F.max(F.when(F.col("vr") == pos(99), F.col("cents"))).alias("p99_cents"),
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        stats.join(totals, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            "p50_cents",
+            "p95_cents",
+            "p99_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES_SKETCH["kmv_percentile_stats"] = kmv_percentile_stats
+
+ORACLES_SKETCH["kmv_percentile_stats"] = f"""
+WITH s AS (
+  SELECT event_type, event_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+keepr AS (
+  SELECT event_type, event_id, hv, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rn
+  FROM s
+),
+kept AS (
+  SELECT event_type, event_id, hv, cents FROM keepr WHERE rn <= {KMV_Q_K}
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, hv, event_id) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS n_kept
+  FROM kept
+),
+stats AS (
+  SELECT event_type,
+         CAST(max(n_kept) AS BIGINT) AS n_kept,
+         max(CASE WHEN vr = (50 * n_kept + 99) // 100 THEN cents END) AS p50_cents,
+         max(CASE WHEN vr = (95 * n_kept + 99) // 100 THEN cents END) AS p95_cents,
+         max(CASE WHEN vr = (99 * n_kept + 99) // 100 THEN cents END) AS p99_cents
+  FROM ranked GROUP BY event_type
+),
+totals AS (
+  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT s.event_type, n_events, n_kept, p50_cents, p95_cents, p99_cents
+FROM stats s JOIN totals USING (event_type)
+ORDER BY s.event_type
+"""
+
+
 ORACLES_SKETCH["kmv_distinct_customers"] = f"""
 WITH h AS (
   SELECT DISTINCT o_orderpriority AS priority,

@@ -45,6 +45,67 @@ class _PagePartition(InputPartition):
         self.page_size = page_size
 
 
+DEFAULT_MAX_RETRIES = 2
+DEFAULT_BACKOFF_MS = 0  # simulated feed: no reason to wait by default
+
+
+class _RetryOpts:
+    """Connector-level retry/backoff, modelling the reference's
+    sleep-and-retry loop (`Python-pipeline/dataprocessing.py:99-102`:
+    sleep(1) between request batches, sleep(5) + retry on quota
+    error). On Spark that behavior belongs INSIDE the partition read
+    — a transient provider error should cost one backoff'd re-request
+    of that page, not a full task (and stage) retry; Spark's task
+    retry stays as the outer safety net for non-transient failures.
+
+    Options (all per-read, strings as Spark delivers them):
+    - ``maxRetries``: re-request attempts per page after the first
+      failure (default 2; 0 disables connector-level retry).
+    - ``backoffMs``: base sleep before attempt k, scaled linearly
+      (k * backoffMs — the reference's fixed 5 s nap, made
+      proportional so repeated failures back off harder).
+    - ``failOnceDir``: fault injection for tests — first fetch of
+      each page consults ``{dir}/page_{p}`` and raises a simulated
+      transient error if the marker is absent (creating it), so the
+      retry path runs deterministically without a network."""
+
+    def __init__(self, options: dict):
+        self.max_retries = int(options.get("maxRetries", DEFAULT_MAX_RETRIES))
+        self.backoff_ms = int(options.get("backoffMs", DEFAULT_BACKOFF_MS))
+        self.fail_once_dir = options.get("failOnceDir")
+
+    def fetch_page(self, page: int, page_size: int):
+        import time
+
+        last_err = None
+        for attempt in range(self.max_retries + 1):
+            if attempt > 0 and self.backoff_ms > 0:
+                time.sleep(attempt * self.backoff_ms / 1000.0)
+            try:
+                self._maybe_inject_fault(page)
+                return _page_record_batch(page, page_size)
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                last_err = exc
+        raise RuntimeError(
+            f"page {page} failed after {self.max_retries + 1} attempts"
+        ) from last_err
+
+    def _maybe_inject_fault(self, page: int) -> None:
+        if not self.fail_once_dir:
+            return
+        import os
+
+        marker = os.path.join(self.fail_once_dir, f"page_{page}")
+        try:
+            # O_CREAT|O_EXCL: atomic first-attempt detection even if
+            # two tasks race on the same page (speculative execution)
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            return  # already failed once: succeed this time
+        raise ConnectionError(f"simulated transient API error on page {page}")
+
+
 def _page_record_batch(page: int, page_size: int):
     """One simulated page as an Arrow RecordBatch (the vectorized fast
     path — no pickled row tuples); shared by the batch and streaming
@@ -72,6 +133,7 @@ class PagedApiReader(DataSourceReader):
     def __init__(self, options: dict):
         self.pages = int(options.get("pages", DEFAULT_PAGES))
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.retry = _RetryOpts(options)
 
     def partitions(self) -> Sequence[InputPartition]:
         # one partition per page = one "request" per task; at scale
@@ -80,7 +142,7 @@ class PagedApiReader(DataSourceReader):
         return [_PagePartition(p, self.page_size) for p in range(self.pages)]
 
     def read(self, partition: _PagePartition):
-        yield _page_record_batch(partition.page, partition.page_size)
+        yield self.retry.fetch_page(partition.page, partition.page_size)
 
 
 class PagedApiStreamReader(DataSourceStreamReader):
@@ -100,6 +162,7 @@ class PagedApiStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.pages = int(options.get("pages", DEFAULT_PAGES))
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.retry = _RetryOpts(options)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -114,7 +177,7 @@ class PagedApiStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _PagePartition):
-        yield _page_record_batch(partition.page, partition.page_size)
+        yield self.retry.fetch_page(partition.page, partition.page_size)
 
     def commit(self, end: dict) -> None:
         # a real connector would release provider-side cursors here

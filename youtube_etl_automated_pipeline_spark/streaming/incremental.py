@@ -152,12 +152,19 @@ def stream_state_partitions(spark, n: int | str | None = None):
     work — narrowing those serializes it (measured slower at 2).
 
     MIGRATION (default changed 8 -> 2 in round 4): the state-store
-    partition count is frozen into a checkpoint at its first commit,
-    and Spark refuses to resume a checkpoint under a different count.
-    Any durable checkpoint created under the old default of 8 must
-    either pin ``SPARK_GRAFT_STREAM_STATE_PARTITIONS=8`` before
-    resuming or rebuild state from scratch. Gate/bench checkpoints
-    are ephemeral temp dirs, so only external callers are affected."""
+    partition count is frozen into a checkpoint at its first commit —
+    Spark records ``spark.sql.shuffle.partitions`` in the offset-log
+    metadata and on resume the CHECKPOINTED value silently wins over
+    the session conf (verified empirically; contract pinned by
+    tests/test_streaming.py::test_checkpoint_state_width_is_sticky):
+    a width-8 checkpoint resumed under the new default of 2 keeps
+    committing 8 state partitions, correctly but at the old width's
+    per-batch commit cost. So existing durable checkpoints keep
+    working unchanged after the default change; to actually GET the
+    narrower width you must start a fresh checkpoint (state cannot be
+    repartitioned in place — that is Spark's contract, not ours).
+    Gate/bench checkpoints are ephemeral temp dirs, so only external
+    callers are affected."""
     if n is None:
         n = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
     old = spark.conf.get("spark.sql.shuffle.partitions")
