@@ -1021,3 +1021,18 @@ def test_no_single_partition_window_engine_wide(spark):
         f"vouch for their plans): {build_failures}"
     )
     assert not flagged, flagged
+
+
+def test_streaming_minhash_index_probe_stays_equi_join(spark):
+    """streaming_minhash_dedup's batch side (index probe + verify)
+    must be equi-joins end to end — band-key probe on (band_id, sig),
+    verify on doc ids; a nested loop would be the all-pairs explosion
+    the LSH index exists to avoid. (The streaming side is exercised by
+    its own oracle gate; this locks the probe plan.)"""
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        streaming_minhash_dedup,
+    )
+
+    plan = plan_of(streaming_minhash_dedup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

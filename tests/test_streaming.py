@@ -591,3 +591,29 @@ def test_checkpoint_state_width_is_sticky(spark, tmp_path):
             meta_line = fh.readlines()[1]
         conf = json.loads(meta_line).get("conf", {})
         assert conf.get("spark.sql.shuffle.partitions") == "8", (off, conf)
+
+
+def test_streaming_minhash_dedup_subsets_batch_pairs(spark):
+    """The streamed-index dedup's verified pairs must be exactly the
+    batch LSH family's pairs whose left side is a bucket canon — a
+    strict subset of dedup_minhash_lsh's pair set, never inventing a
+    pair the batch dedup would not flag."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        dedup_minhash_lsh,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        streaming_minhash_dedup,
+    )
+
+    stream_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in streaming_minhash_dedup(spark, SF_SMOKE).collect()
+    }
+    batch_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    assert stream_pairs  # planted dups exist at smoke scale
+    assert set(stream_pairs) <= set(batch_pairs)
+    for k, j in stream_pairs.items():
+        assert j == batch_pairs[k]

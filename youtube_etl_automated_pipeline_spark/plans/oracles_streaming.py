@@ -402,3 +402,65 @@ ORDER BY e.window_start, e.event_type
 
 
 ORACLES_STREAMING["streaming_linear_count_users"] = _linear_count_oracle()
+
+
+def _minhash_dedup_oracle() -> str:
+    """Streaming MinHash dedup twin: a fully-consumed availableNow
+    complete-mode run makes the streamed bucket->canon index equal the
+    batch min(doc_id)-per-bucket aggregate, so the whole pipeline is
+    batch SQL. Every hash/permutation/threshold constant is imported
+    from the SAME modules the Spark plan uses (via the batch dedup
+    oracle's fragment builders) — the engines cannot drift. sigs is
+    MATERIALIZED: the band fan-out scans it N_PERM+2 times and the
+    shingle-hash expressions must not be re-derived per scan."""
+    from youtube_etl_automated_pipeline_spark.ext.dedup import N_PERM
+    from youtube_etl_automated_pipeline_spark.plans.oracles_dedup_adv import (
+        _JACC,
+        _SH_HASHES,
+        _sig,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        JACCARD_THRESHOLD,
+    )
+
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, sig_{j} AS sig FROM sigs"
+        for j in range(N_PERM)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+bands AS MATERIALIZED ({band_union}),
+buckets AS (
+  SELECT band_id, sig, min(doc_id) AS canon_doc
+  FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT bk.canon_doc AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN buckets bk USING (band_id, sig)
+  WHERE b.doc_id > bk.canon_doc
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(a.hs, b.hs)) AS n_inter,
+    len(list_distinct(list_concat(a.hs, b.hs))) AS n_union
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_a
+  JOIN sigs b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, {_JACC} AS jaccard
+FROM pairs
+WHERE ({_JACC}) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLES_STREAMING["streaming_minhash_dedup"] = _minhash_dedup_oracle()

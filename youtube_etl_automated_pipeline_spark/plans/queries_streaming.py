@@ -313,6 +313,120 @@ def streaming_linear_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_STREAM_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate detection on a DOCUMENT STREAM: the MinHash-LSH
+    signature index is maintained as STREAMING STATE. Each arriving
+    doc projects its k=8 MinHash signatures (map-only column
+    expressions — with_minhash streams untouched), explodes to 8 band
+    keys, and a streaming aggregation keeps min(doc_id) per (band,
+    sig) bucket — the canonical first-registered doc per LSH bucket,
+    merged associatively across micro-batches (min is the combine),
+    so arrival order and batch boundaries cannot change the result.
+    Batch-side, every doc's band keys probe the streamed index; a doc
+    colliding with an EARLIER canonical doc becomes a candidate pair,
+    verified by exact shingle Jaccard >= the batch family's threshold
+    (same constants imported from ext.dedup — Spark and oracle cannot
+    drift).
+
+    This is the incremental-crawl dedup shape: the bucket->canon map
+    is exactly the signature index a production pipeline checkpoints
+    (state is one row per DISTINCT band bucket — O(index), never
+    O(pairs)); new shards dedup against it without re-scanning the
+    corpus. All-pairs never materializes: candidates come from the
+    band equi-join, verification touches candidates only.
+
+    Cites the batch twin dedup_minhash_lsh
+    (plans/queries_dedup_adv.py:32) whose pair set is a superset
+    (all band collisions, not just collisions with the canon)."""
+    from youtube_etl_automated_pipeline_spark.ext.dedup import (
+        N_PERM,
+        with_minhash,
+    )
+    from youtube_etl_automated_pipeline_spark.functions.compat import hround
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        JACCARD_THRESHOLD,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_wide
+
+    def band_explode(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.col(f"sig_{j}").alias("sig"),
+                        )
+                        for j in range(N_PERM)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band_id", "b.sig")
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    s_sigs = with_minhash(stream.select("doc_id", "text")).filter(
+        F.size("_sh_hashes") >= 3
+    )
+    buckets = (
+        band_explode(s_sigs)
+        .groupBy("band_id", "sig")
+        .agg(F.min("doc_id").alias("canon_doc"))
+    )
+    index = run_stream_to_memory(buckets, "minhash_index", output_mode="complete")
+
+    docs = load_wide(spark, sf_dir, "documents")
+    base = (
+        with_minhash(docs.select("doc_id", "text"))
+        .filter(F.size("_sh_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.col("_sh_hashes").alias("hash_set"),
+            *[f"sig_{j}" for j in range(N_PERM)],
+        )
+    )
+    cand = (
+        band_explode(base)
+        .join(index, ["band_id", "sig"])
+        .filter(F.col("doc_id") > F.col("canon_doc"))
+        .select(
+            F.col("canon_doc").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("hash_set").alias("set_a")
+    )
+    sets_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("hash_set").alias("set_b")
+    )
+    verified = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hround(
+                F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+                / F.size(F.array_union(F.col("set_a"), F.col("set_b"))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def _cdc_ops(orders: DataFrame) -> DataFrame:
     """Deterministic CDC op set derived from orders (a pure function
     of o_orderkey, so the DuckDB oracle re-derives it exactly):
@@ -574,6 +688,7 @@ QUERIES_STREAMING = {
     "streaming_merge_cdc": streaming_merge_cdc,
     "streaming_windowed_distinct_users": streaming_windowed_distinct_users,
     "streaming_linear_count_users": streaming_linear_count_users,
+    "streaming_minhash_dedup": streaming_minhash_dedup,
     "streaming_incremental_agg": streaming_incremental_agg,
 }
 
