@@ -516,7 +516,11 @@ def kmv_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.functions.compat import units
 
     ev = load_table(spark, sf_dir, "events")
-    sampled = ev.select(
+    # SQL percentile convention: NULL values are excluded from the
+    # sample (also keeps every ranking column non-null, so no engine's
+    # NULLS FIRST/LAST default can enter the plan); n_events still
+    # counts all rows.
+    sampled = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         md5_long(F.col("event_id").cast("string"), 15).alias("hv"),
@@ -570,6 +574,7 @@ WITH s AS (
          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 ),
 keepr AS (
   SELECT event_type, event_id, hv, cents,
