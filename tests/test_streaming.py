@@ -617,3 +617,81 @@ def test_streaming_minhash_dedup_subsets_batch_pairs(spark):
     assert set(stream_pairs) <= set(batch_pairs)
     for k, j in stream_pairs.items():
         assert j == batch_pairs[k]
+
+
+def test_streaming_minhash_index_survives_restart(spark, tmp_path):
+    """The streamed MinHash signature index must be ARRIVAL-ORDER AND
+    RESTART invariant: ingesting the corpus as two micro-batches with
+    a stop/restart between them (real checkpoint recovery) must yield
+    exactly the index a one-shot run builds — the associative-merge
+    claim proven through the engine's state store, not algebra."""
+    import pyarrow.parquet as pq
+
+    from youtube_etl_automated_pipeline_spark.ext.dedup import (
+        N_PERM,
+        with_minhash,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
+        DOCS_STREAM_SCHEMA,
+    )
+
+    tbl = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
+    half = tbl.num_rows // 2
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, half), src / "a.parquet")
+
+    def bucket_plan(stream):
+        sigs = with_minhash(stream.select("doc_id", "text")).filter(
+            F.size("_sh_hashes") >= 3
+        )
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"),
+                            F.col(f"sig_{j}").alias("sig"),
+                        )
+                        for j in range(N_PERM)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band_id", "b.sig")
+        return bands.groupBy("band_id", "sig").agg(
+            F.min("doc_id").alias("canon_doc")
+        )
+
+    captured: list[dict] = []
+
+    def run(ckpt):
+        stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(str(src))
+
+        def sink(batch_df, _bid):
+            captured.append(
+                {(r.band_id, r.sig): r.canon_doc for r in batch_df.collect()}
+            )
+
+        q = (
+            bucket_plan(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)  # first half only
+    pq.write_table(tbl.slice(half), src / "b.parquet")
+    run(ckpt)  # RESTART: second half arrives, state recovers from ckpt
+    incremental = captured[-1]
+
+    # one-shot reference over the full corpus, fresh checkpoint
+    captured.clear()
+    run(str(tmp_path / "ckpt_ref"))
+    oneshot = captured[-1]
+
+    assert incremental == oneshot and len(oneshot) > 0
