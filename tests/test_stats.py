@@ -277,7 +277,12 @@ def test_kmv_percentile_sample_tracks_exact_percentiles(spark):
     from youtube_etl_automated_pipeline_spark.sources import load_table
 
     got = {r.event_type: r for r in kmv_percentile_stats(spark, SF_MID).collect()}
-    ev = load_table(spark, SF_MID, "events").select(
+    ev_all = load_table(spark, SF_MID, "events")
+    totals = {
+        r.event_type: r.n for r in ev_all.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    # reference mirrors the query's SQL-percentile NULL exclusion
+    ev = ev_all.filter(F.col("value").isNotNull()).select(
         "event_type", F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents")
     )
     by_type: dict[str, list[int]] = {}
@@ -288,7 +293,7 @@ def test_kmv_percentile_sample_tracks_exact_percentiles(spark):
         vals.sort()
         n = len(vals)
         row = got[etype]
-        assert row.n_events == n
+        assert row.n_events == totals[etype]  # counts ALL rows, incl null-value
         assert row.n_kept == min(n, KMV_Q_K)
         for p, sampled in (
             (0.50, row.p50_cents),

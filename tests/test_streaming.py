@@ -627,12 +627,9 @@ def test_streaming_minhash_index_survives_restart(spark, tmp_path):
     claim proven through the engine's state store, not algebra."""
     import pyarrow.parquet as pq
 
-    from youtube_etl_automated_pipeline_spark.ext.dedup import (
-        N_PERM,
-        with_minhash,
-    )
     from youtube_etl_automated_pipeline_spark.plans.queries_streaming import (
         DOCS_STREAM_SCHEMA,
+        minhash_bucket_plan,
     )
 
     tbl = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
@@ -640,28 +637,6 @@ def test_streaming_minhash_index_survives_restart(spark, tmp_path):
     src = tmp_path / "docs"
     src.mkdir()
     pq.write_table(tbl.slice(0, half), src / "a.parquet")
-
-    def bucket_plan(stream):
-        sigs = with_minhash(stream.select("doc_id", "text")).filter(
-            F.size("_sh_hashes") >= 3
-        )
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band_id"),
-                            F.col(f"sig_{j}").alias("sig"),
-                        )
-                        for j in range(N_PERM)
-                    ]
-                )
-            ).alias("b"),
-        ).select("doc_id", "b.band_id", "b.sig")
-        return bands.groupBy("band_id", "sig").agg(
-            F.min("doc_id").alias("canon_doc")
-        )
 
     captured: list[dict] = []
 
@@ -674,7 +649,7 @@ def test_streaming_minhash_index_survives_restart(spark, tmp_path):
             )
 
         q = (
-            bucket_plan(stream)
+            minhash_bucket_plan(stream)
             .writeStream.foreachBatch(sink)
             .outputMode("complete")
             .option("checkpointLocation", ckpt)

@@ -64,6 +64,28 @@ def with_minhash(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
     return out
 
 
+def band_explode(df: DataFrame) -> DataFrame:
+    """Fan a signature frame (doc_id, sig_0..sig_{k-1}, ...) out to
+    its LSH band keys: one (doc_id, band_id, sig) row per band. THE
+    single definition of the banding layout — the batch LSH queries,
+    the streaming signature index, and their tests all import this so
+    the band fan-out cannot drift between them."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.col(f"sig_{j}").alias("sig"),
+                    )
+                    for j in range(N_PERM)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.sig")
+
+
 def simhash(text: Column) -> Column:
     """60-bit SimHash over distinct tokens: per-bit majority vote of
     token-hash bits, folded into one long. Pure nested higher-order

@@ -505,40 +505,28 @@ ORACLES_CURATION2["ngram_novelty_score"] = _novelty_oracle()
 _BPE_MEMO: dict = {}
 
 
-def _bpe_key(sf_dir: str) -> tuple:
-    """Memo key carries the documents table's (mtime, size)
-    fingerprint: a table rewritten at the same path mid-process
-    misses the memo and retrains instead of serving a stale merge
-    table (round-5 advice — the fresh-process assumption is now
-    enforced, not assumed)."""
-    from youtube_etl_automated_pipeline_spark.sources.readers import (
-        table_fingerprint,
-    )
-
-    return ("bpe", sf_dir, table_fingerprint(sf_dir, "documents"))
-
-
-def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First BPE_MERGES byte-pair-encoding merges learned from the
-    corpus: (step, left_sym, right_sym, merged, pair_count). Greedy
-    left-to-right merge semantics, ties broken (count DESC, x ASC,
-    y ASC) — bit-identical to the oracle's fold (ext/bpe.py docs the
-    cross-engine argument).
-
-    Scale shape: the corpus is read ONCE (word count); every merge
-    step is a pair-count shuffle over the word-type table (Heaps'-law
-    small) + a map-only re-symbolization. Driver traffic is one
-    (pair, count) row per step — the k-means-centroid pattern.
-    Training is memoized per (sf_dir, documents fingerprint) so
-    repeated calls measure serving and a rewritten table retrains."""
+def _bpe_model(spark: SparkSession, sf_dir: str) -> list:
+    """Train-or-fetch the memoized BPE merge table. The memo key
+    carries the documents table's (mtime, size) fingerprint: a table
+    rewritten at the same path mid-process misses the memo and
+    retrains instead of serving a stale merge table (round-5 advice —
+    the fresh-process assumption is now enforced, not assumed). The
+    key is computed ONCE per call and the merges are returned
+    directly, so no consumer can re-stat the file and race a rewrite
+    into a KeyError; inserting under a new fingerprint evicts stale
+    entries for the same sf_dir (only the latest table version can
+    ever be looked up again — the memo stays O(live tables))."""
     from youtube_etl_automated_pipeline_spark.ext.bpe import (
         BPE_MAX_LEN,
         BPE_MIN_LEN,
         BPE_WORD_RE,
         train_bpe,
     )
+    from youtube_etl_automated_pipeline_spark.sources.readers import (
+        table_fingerprint,
+    )
 
-    key = _bpe_key(sf_dir)
+    key = ("bpe", sf_dir, table_fingerprint(sf_dir, "documents"))
     if key not in _BPE_MEMO:
         docs = load_wide(spark, sf_dir, "documents")
         words = (
@@ -554,9 +542,27 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> substr(word, i, 1)), '|'), '|') AS syms",
             )
         )
+        for stale in [k for k in _BPE_MEMO if k[:2] == key[:2]]:
+            del _BPE_MEMO[stale]
         _BPE_MEMO[key] = train_bpe(words)
+    return _BPE_MEMO[key]
+
+
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGES byte-pair-encoding merges learned from the
+    corpus: (step, left_sym, right_sym, merged, pair_count). Greedy
+    left-to-right merge semantics, ties broken (count DESC, x ASC,
+    y ASC) — bit-identical to the oracle's fold (ext/bpe.py docs the
+    cross-engine argument).
+
+    Scale shape: the corpus is read ONCE (word count); every merge
+    step is a pair-count shuffle over the word-type table (Heaps'-law
+    small) + a map-only re-symbolization. Driver traffic is one
+    (pair, count) row per step — the k-means-centroid pattern.
+    Training is memoized per (sf_dir, documents fingerprint) so
+    repeated calls measure serving and a rewritten table retrains."""
     return spark.createDataFrame(
-        _BPE_MEMO[key],
+        _bpe_model(spark, sf_dir),
         "step int, left_sym string, right_sym string, merged string,"
         " pair_count bigint",
     ).orderBy("step")
@@ -649,8 +655,7 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_fold_sql,
     )
 
-    bpe_merge_steps(spark, sf_dir)  # ensure trained + memoized
-    merges = _BPE_MEMO[_bpe_key(sf_dir)]
+    merges = _bpe_model(spark, sf_dir)  # train-or-fetch, key stat'd once
     docs = load_wide(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(TS.tokens(F.col("text"))).alias("word"))

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from youtube_etl_automated_pipeline_spark.ext.dedup import (
     N_PERM,
     SIMHASH_BANDS,
+    band_explode,
     connected_components,
     connected_components_two_phase,
     hamming64,
@@ -53,17 +54,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"sig_{j}" for j in range(N_PERM)],
         ),
     )
-    bands = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band_id"), F.col(f"sig_{j}").alias("sig"))
-                    for j in range(N_PERM)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.sig")
+    bands = band_explode(base)
     cand = (
         bands.alias("a")
         .join(
@@ -131,17 +122,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"sig_{j}" for j in range(N_PERM)],
         ),
     )
-    bands = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band_id"), F.col(f"sig_{j}").alias("sig"))
-                    for j in range(N_PERM)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.sig")
+    bands = band_explode(base)
     cand = (
         bands.alias("a")
         .join(
@@ -402,29 +383,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def _bands(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band_id"),
-                            F.col(f"sig_{j}").alias("sig"),
-                        )
-                        for j in range(N_PERM)
-                    ]
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.band_id", "band.sig")
-
     batch_sigs = sigs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
     corpus_sigs = sigs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
     cand = (
-        _bands(batch_sigs)
+        band_explode(batch_sigs)
         .alias("a")
         .join(
-            _bands(corpus_sigs).alias("b"),
+            band_explode(corpus_sigs).alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.sig") == F.col("b.sig")),
         )
@@ -516,17 +481,7 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"sig_{j}" for j in range(N_PERM)],
         ),
     )
-    bands = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band_id"), F.col(f"sig_{j}").alias("sig"))
-                    for j in range(N_PERM)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.sig")
+    bands = band_explode(base)
     cand = (
         bands.alias("a")
         .join(

@@ -357,6 +357,11 @@ def _trained(key: tuple, builder):
 
     key = key + (table_fingerprint(key[0], "embeddings"),)
     if key not in _TRAINED:
+        # evict models trained on superseded versions of this table:
+        # only the latest fingerprint can ever be looked up again, so
+        # keeping stale entries is a slow leak in a long-lived process
+        for stale in [k for k in _TRAINED if k[:-1] == key[:-1]]:
+            del _TRAINED[stale]
         _TRAINED[key] = builder()
     return _TRAINED[key]
 

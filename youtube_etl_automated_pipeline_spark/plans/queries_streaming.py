@@ -313,9 +313,27 @@ def streaming_linear_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_STREAM_SCHEMA = (
-    "doc_id bigint, text string, lang string, source string, n_chars bigint"
-)
+
+def minhash_bucket_plan(doc_stream: DataFrame) -> DataFrame:
+    """THE stream-side signature-index plan: MinHash signatures
+    (map-only) -> shared band fan-out (ext.dedup.band_explode — the
+    same layout the batch LSH family uses, so they cannot drift) ->
+    min(doc_id) per (band, sig) bucket. Module-level so the
+    restart-invariance test (tests/test_streaming.py) exercises the
+    SHIPPED plan, not a private copy."""
+    from youtube_etl_automated_pipeline_spark.ext.dedup import (
+        band_explode,
+        with_minhash,
+    )
+
+    sigs = with_minhash(doc_stream.select("doc_id", "text")).filter(
+        F.size("_sh_hashes") >= 3
+    )
+    return (
+        band_explode(sigs)
+        .groupBy("band_id", "sig")
+        .agg(F.min("doc_id").alias("canon_doc"))
+    )
 
 
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +363,7 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all band collisions, not just collisions with the canon)."""
     from youtube_etl_automated_pipeline_spark.ext.dedup import (
         N_PERM,
+        band_explode,
         with_minhash,
     )
     from youtube_etl_automated_pipeline_spark.functions.compat import hround
@@ -355,22 +374,6 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_THRESHOLD,
     )
     from youtube_etl_automated_pipeline_spark.sources import load_wide
-
-    def band_explode(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band_id"),
-                            F.col(f"sig_{j}").alias("sig"),
-                        )
-                        for j in range(N_PERM)
-                    ]
-                )
-            ).alias("b"),
-        ).select("doc_id", "b.band_id", "b.sig")
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
@@ -385,13 +388,8 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spans many files and the repartition is a cheap no-op-sized
     # rebalance of the batch, never of history.
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    s_sigs = with_minhash(
+    buckets = minhash_bucket_plan(
         stream.select("doc_id", "text").repartition(width)
-    ).filter(F.size("_sh_hashes") >= 3)
-    buckets = (
-        band_explode(s_sigs)
-        .groupBy("band_id", "sig")
-        .agg(F.min("doc_id").alias("canon_doc"))
     )
     index = run_stream_to_memory(buckets, "minhash_index", output_mode="complete")
 
