@@ -58,6 +58,16 @@ TABLES = (
     "embeddings",
 )
 
+# Extra columns nulled ONLY for the streaming null twin: the batch
+# fixture keeps user_id non-null (it is a grouping/join key across
+# hundreds of batch queries and nulling it there would mostly re-test
+# engine null-key defaults en masse), but the streaming family's
+# verdict-named risk is precisely a null user_id flowing through
+# stateful distinct-count / per-key state (md5(NULL) hashing, null
+# grouping keys in applyInPandasWithState), so the streaming twin
+# injects it.
+STREAMING_EXTRA: dict[str, tuple[str, ...]] = {"events": ("user_id",)}
+
 
 def _null_mask(table: str, col: str, n: int) -> list[bool]:
     return [
@@ -71,11 +81,18 @@ def _null_mask(table: str, col: str, n: int) -> list[bool]:
     ]
 
 
-def build(src_dir: str, dst_dir: str) -> str:
+def build(
+    src_dir: str,
+    dst_dir: str,
+    extra: dict[str, tuple[str, ...]] | None = None,
+) -> str:
+    to_null = dict(NULLED)
+    for t, cols in (extra or {}).items():
+        to_null[t] = tuple(dict.fromkeys(to_null.get(t, ()) + cols))
     os.makedirs(dst_dir, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
-        for col in NULLED.get(t, ()):
+        for col in to_null.get(t, ()):
             idx = tbl.schema.get_field_index(col)
             field = tbl.schema.field(idx)
             mask = _null_mask(t, col, len(tbl))

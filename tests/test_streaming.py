@@ -670,3 +670,65 @@ def test_streaming_minhash_index_survives_restart(spark, tmp_path):
     oneshot = captured[-1]
 
     assert incremental == oneshot and len(oneshot) > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming null parity (round-7 verdict item 3): the full-registry
+# null sweep (tests/test_null_parity.py) excludes streaming_* — this
+# closes that seam for the oracle-paired streaming queries whose
+# aggregations touch nullable values. The twin nulls the batch
+# fixture's value columns PLUS events.user_id (STREAMING_EXTRA): a
+# null user flowing through hashed distinct-count (md5(NULL)), null
+# grouping keys in applyInPandasWithState, and the stream-static join
+# miss path are exactly the semantics no other gate exercises.
+# Queries left out either never read a nulled column (dedup_ids /
+# session windows key on non-null event_id/ts) or are rows-only
+# (streaming_windowed_distinct_users, engine-random HLL).
+STREAM_NULL_SWEEP = [
+    # null event_type group key + SUM over null values
+    "streaming_tumbling_window",
+    # null user_id join key -> broadcast-join miss -> UNKNOWN bucket;
+    # null values inside the per-segment sum
+    "streaming_static_enrich",
+    # applyInPandasWithState with a NULL grouping key; pandas-side
+    # null-value accumulation vs SQL SUM null-skip
+    "streaming_stateful_user_stats",
+    # md5(NULL) -> null bucket in streaming state; null event_type in
+    # the window group; countDistinct null-skip on the exact side
+    "streaming_linear_count_users",
+    # null values in idempotent per-batch partial sums + compaction
+    "streaming_incremental_agg",
+    # null o_totalprice flowing through keyed MERGE state as a null
+    # price that updates/tombstones must preserve
+    "streaming_merge_cdc",
+]
+
+
+@pytest.fixture(scope="module")
+def stream_null_sf_dir(tmp_path_factory):
+    from tests.null_fixture import STREAMING_EXTRA, build
+
+    dst = tmp_path_factory.mktemp("nullfx_stream")
+    return build(SF_SMOKE, str(dst), extra=STREAMING_EXTRA)
+
+
+@pytest.fixture(scope="module")
+def stream_null_oracle_con(stream_null_sf_dir):
+    from tests.oracle_compare import duckdb_conn
+
+    con = duckdb_conn(stream_null_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STREAM_NULL_SWEEP)
+def test_streaming_null_parity(
+    spark, stream_null_sf_dir, stream_null_oracle_con, name
+):
+    from tests.oracle_compare import compare
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, stream_null_sf_dir)
+    errs = compare(df, stream_null_oracle_con, entry.oracle_sql()[name])
+    assert not errs, errs[:5]

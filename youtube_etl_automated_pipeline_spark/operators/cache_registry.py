@@ -35,11 +35,32 @@ _CAP = 8
 
 
 def memo_persist(
-    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    key: tuple,
+    build: Callable[[], DataFrame],
+    fingerprint: tuple | None = None,
 ) -> DataFrame:
     """Return a persisted DataFrame for ``key``, building it at most
-    once per (session, key); evict LRU entries beyond the cap."""
+    once per (session, key); evict LRU entries beyond the cap.
+
+    ``fingerprint`` (e.g. ``table_fingerprint(sf_dir, "documents")``)
+    is a content-version token folded into the key, matching the
+    _BPE_MEMO/_TRAINED pattern: a source table REWRITTEN at the same
+    path mid-process changes the fingerprint, so the memo misses and
+    rebuilds instead of serving stale persisted data — and the
+    superseded entry (same key, older fingerprint) is unpersisted
+    immediately rather than waiting for LRU eviction."""
     full_key = (spark.sparkContext.applicationId,) + key
+    if fingerprint is not None:
+        full_key = full_key + (fingerprint,)
+        for stale in [
+            k for k in _REG if k[:-1] == full_key[:-1] and k != full_key
+        ]:
+            old = _REG.pop(stale)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
     if full_key in _REG:
         _REG.move_to_end(full_key)
         df = _REG[full_key]

@@ -56,7 +56,10 @@ agg AS (
   FROM events GROUP BY user_id
 )
 SELECT a.user_id, a.n_events, a.sum_value, l.event_id AS last_event_id
-FROM agg a JOIN last l ON a.user_id = l.user_id AND l.rn = 1
+-- NULL-safe key match: a NULL user_id is a legitimate GROUP BY group
+-- in both engines and the stateful operator keeps it; a plain
+-- equi-join would silently drop that group from the oracle only.
+FROM agg a JOIN last l ON a.user_id IS NOT DISTINCT FROM l.user_id AND l.rn = 1
 ORDER BY a.user_id
 """,
     "streaming_stream_stream_join": """

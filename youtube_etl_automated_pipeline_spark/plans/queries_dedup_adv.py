@@ -20,9 +20,38 @@ from youtube_etl_automated_pipeline_spark.functions.compat import hround
 from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
     memo_persist,
 )
-from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
+from youtube_etl_automated_pipeline_spark.sources import (
+    load_table,
+    load_wide,
+    table_fingerprint,
+    widen_scan,
+)
 
 JACCARD_THRESHOLD = 0.2
+
+
+def minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MinHash signature index over documents — the one persisted
+    relation every MinHash consumer (batch LSH, containment, precision
+    QA, incremental probe, the streamed index's batch side) shares.
+    Columns: doc_id, hash_set (shingle hashes), sig_0..sig_{N_PERM-1}.
+    In production this is the parquet-materialized signature index;
+    here it is memoized per (session, sf_dir, table fingerprint) so a
+    documents table rewritten at the same path mid-process rebuilds
+    instead of serving stale signatures (stale entry unpersisted)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    return memo_persist(
+        spark,
+        ("minhash_base", sf_dir),
+        lambda: with_minhash(docs.select("doc_id", "text"))
+        .filter(F.size("_sh_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.col("_sh_hashes").alias("hash_set"),
+            *[f"sig_{j}" for j in range(N_PERM)],
+        ),
+        fingerprint=table_fingerprint(sf_dir, "documents"),
+    )
 # With SIMHASH_BANDS=4, banding has PERFECT recall for any pair within
 # Hamming distance 3: three differing bits can spoil at most three of
 # the four 15-bit bands, so one clean band always collides (pigeonhole).
@@ -39,21 +68,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs -> verify join pulls the two shingle sets -> exact
     Jaccard filter. All-pairs never materializes.
     """
-    docs = load_wide(spark, sf_dir, "documents")
-    # persist the signature table: it feeds the band explode AND both
+    # the shared signature index: it feeds the band explode AND both
     # sides of the verify join (3 consumers). In production this is
     # the materialized signature index you'd write to parquet.
-    base = memo_persist(
-        spark,
-        ("minhash_base", sf_dir),
-        lambda: with_minhash(docs.select("doc_id", "text"))
-        .filter(F.size("_sh_hashes") >= 3)
-        .select(
-            "doc_id",
-            F.col("_sh_hashes").alias("hash_set"),
-            *[f"sig_{j}" for j in range(N_PERM)],
-        ),
-    )
+    base = minhash_base(spark, sf_dir)
     bands = band_explode(base)
     cand = (
         bands.alias("a")
@@ -110,18 +128,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size ratios uses suffix-array / exact-substring passes
     (dedup_repeated_substring) alongside this.
     """
-    docs = load_wide(spark, sf_dir, "documents")
-    base = memo_persist(
-        spark,
-        ("minhash_base", sf_dir),
-        lambda: with_minhash(docs.select("doc_id", "text"))
-        .filter(F.size("_sh_hashes") >= 3)
-        .select(
-            "doc_id",
-            F.col("_sh_hashes").alias("hash_set"),
-            *[f"sig_{j}" for j in range(N_PERM)],
-        ),
-    )
+    base = minhash_base(spark, sf_dir)
     bands = band_explode(base)
     cand = (
         bands.alias("a")
@@ -371,17 +378,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(corpus_hashes, "th", "left_semi").select("doc_id").distinct()
     )
 
-    sigs = memo_persist(
-        spark,
-        ("minhash_base", sf_dir),
-        lambda: with_minhash(docs.select("doc_id", "text"))
-        .filter(F.size("_sh_hashes") >= 3)
-        .select(
-            "doc_id",
-            F.col("_sh_hashes").alias("hash_set"),
-            *[f"sig_{j}" for j in range(N_PERM)],
-        ),
-    )
+    sigs = minhash_base(spark, sf_dir)
 
     batch_sigs = sigs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
     corpus_sigs = sigs.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
@@ -468,19 +465,7 @@ def dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the candidate set (never all-pairs) and reports how estimate
     bands map to true similarity. All-integer arithmetic (exact ppm
     ratios) keeps it bit-exact across engines."""
-    base = memo_persist(
-        spark,
-        ("minhash_base", sf_dir),
-        lambda: with_minhash(
-            load_wide(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-        .filter(F.size("_sh_hashes") >= 3)
-        .select(
-            "doc_id",
-            F.col("_sh_hashes").alias("hash_set"),
-            *[f"sig_{j}" for j in range(N_PERM)],
-        ),
-    )
+    base = minhash_base(spark, sf_dir)
     bands = band_explode(base)
     cand = (
         bands.alias("a")

@@ -361,19 +361,12 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites the batch twin dedup_minhash_lsh
     (plans/queries_dedup_adv.py:32) whose pair set is a superset
     (all band collisions, not just collisions with the canon)."""
-    from youtube_etl_automated_pipeline_spark.ext.dedup import (
-        N_PERM,
-        band_explode,
-        with_minhash,
-    )
+    from youtube_etl_automated_pipeline_spark.ext.dedup import band_explode
     from youtube_etl_automated_pipeline_spark.functions.compat import hround
-    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
-        memo_persist,
-    )
     from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
         JACCARD_THRESHOLD,
+        minhash_base,
     )
-    from youtube_etl_automated_pipeline_spark.sources import load_wide
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
@@ -387,6 +380,17 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7.4s -> 4.3s at sf0.1). At real scale each micro-batch already
     # spans many files and the repartition is a cheap no-op-sized
     # rebalance of the batch, never of history.
+    #
+    # TWO widths live here, deliberately distinct — do not unify:
+    # this rebalance width is STATELESS (per-batch, safe to change at
+    # any restart) and tracks the session's shuffle partitions; the
+    # state-store width of the (band, sig) aggregation downstream is
+    # pinned at FIRST checkpoint and must stay sticky forever
+    # (SPARK_GRAFT_STREAM_STATE_PARTITIONS / the sticky-width contract
+    # test in tests/test_streaming.py). Under pinning they legitimately
+    # differ; "fixing" this line to the pinned width would not break
+    # anything today but would invite the reverse unification that
+    # breaks checkpoint resume.
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     buckets = minhash_bucket_plan(
         stream.select("doc_id", "text").repartition(width)
@@ -394,21 +398,11 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = run_stream_to_memory(buckets, "minhash_index", output_mode="complete")
 
     # the SAME memoized signature index the batch dedup family builds
-    # (queries_dedup_adv.py uses the identical key): the batch probe
-    # consumes it 3x (bands + both verify sides) and in production it
-    # is the parquet-materialized index — never recompute per consumer
-    docs = load_wide(spark, sf_dir, "documents")
-    base = memo_persist(
-        spark,
-        ("minhash_base", sf_dir),
-        lambda: with_minhash(docs.select("doc_id", "text"))
-        .filter(F.size("_sh_hashes") >= 3)
-        .select(
-            "doc_id",
-            F.col("_sh_hashes").alias("hash_set"),
-            *[f"sig_{j}" for j in range(N_PERM)],
-        ),
-    )
+    # (queries_dedup_adv.minhash_base — fingerprint-keyed): the batch
+    # probe consumes it 3x (bands + both verify sides) and in
+    # production it is the parquet-materialized index — never
+    # recompute per consumer
+    base = minhash_base(spark, sf_dir)
     cand = (
         band_explode(base)
         .join(index, ["band_id", "sig"])

@@ -48,15 +48,27 @@ class _PagePartition(InputPartition):
 DEFAULT_MAX_RETRIES = 2
 DEFAULT_BACKOFF_MS = 0  # simulated feed: no reason to wait by default
 
+# What counts as "transient provider trouble" worth a re-request:
+# network resets, timeouts, and OS-level I/O hiccups. TimeoutError is
+# an OSError subclass but named for readers; anything outside this
+# tuple (a code bug, bad options) fails fast instead of retrying.
+_TRANSIENT_ERRORS = (ConnectionError, TimeoutError, OSError)
+
 
 class _RetryOpts:
-    """Connector-level retry/backoff, modelling the reference's
-    sleep-and-retry loop (`Python-pipeline/dataprocessing.py:99-102`:
-    sleep(1) between request batches, sleep(5) + retry on quota
-    error). On Spark that behavior belongs INSIDE the partition read
-    — a transient provider error should cost one backoff'd re-request
-    of that page, not a full task (and stage) retry; Spark's task
-    retry stays as the outer safety net for non-transient failures.
+    """Connector-level retry/backoff. The reference's error branch
+    (`Python-pipeline/dataprocessing.py:99-102`) sleeps 5 s on a quota
+    error and then SKIPS the failed batch — the loop continues past
+    it, silently dropping those rows. This connector replaces that
+    with bounded retry + loud failure: a transient provider error
+    costs a backoff'd re-request of the page, and a page that stays
+    broken raises instead of vanishing. On Spark the retry belongs
+    INSIDE the partition read — one page re-requested, not a full
+    task (and stage) retry; Spark's task retry stays as the outer
+    safety net. Only transient error classes are retried
+    (``_TRANSIENT_ERRORS``); a deterministic failure — a bug in the
+    record-batch builder, bad options — re-raises immediately rather
+    than burning maxRetries+1 attempts of linear backoff.
 
     Options (all per-read, strings as Spark delivers them):
     - ``maxRetries``: re-request attempts per page after the first
@@ -84,7 +96,7 @@ class _RetryOpts:
             try:
                 self._maybe_inject_fault(page)
                 return _page_record_batch(page, page_size)
-            except Exception as exc:  # noqa: BLE001 — re-raised below
+            except _TRANSIENT_ERRORS as exc:
                 last_err = exc
         raise RuntimeError(
             f"page {page} failed after {self.max_retries + 1} attempts"

@@ -99,23 +99,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
-    """A cheap content-version token for one testdata table:
-    (mtime_ns, total_bytes) over the parquet file (or every file in a
-    parquet directory). Trained-model memos (_BPE_MEMO, the k-means
-    centroid memo) fold this into their keys so a table REWRITTEN at
-    the same path mid-process can never be served a stale model —
-    the memo misses and retrains. Costs one stat() per memo lookup;
-    table data is never read."""
+    """A cheap content-version token for one testdata table. Trained-
+    model memos (_BPE_MEMO, the k-means centroid memo, memo_persist's
+    fingerprint arg) fold this into their keys so a table REWRITTEN at
+    the same path mid-process can never be served a stale model — the
+    memo misses and retrains. Stat-only; table data is never read.
+
+    For a parquet DIRECTORY the token is a digest over the sorted
+    per-file (relative name, size, mtime_ns) triples plus the file
+    count — NOT an aggregate (max mtime, total bytes), which a
+    same-size file swap with preserved timestamps would collide with.
+    A single file keeps the direct (mtime_ns, size) pair."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
-            mt, sz = 0, 0
+            import hashlib
+
+            entries = []
             for root, _dirs, files in os.walk(path):
                 for f in files:
                     st = os.stat(os.path.join(root, f))
-                    mt = max(mt, st.st_mtime_ns)
-                    sz += st.st_size
-            return (mt, sz)
+                    rel = os.path.relpath(os.path.join(root, f), path)
+                    entries.append((rel, st.st_size, st.st_mtime_ns))
+            entries.sort()
+            digest = hashlib.md5(repr(entries).encode()).hexdigest()
+            return (len(entries), digest)
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
     except OSError:

@@ -26,26 +26,35 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, sum_value double, last_event_id bigint"
 )
-STATE_SCHEMA = "n bigint, sum_cents bigint, last_ts bigint, last_eid bigint"
+STATE_SCHEMA = (
+    "n bigint, n_vals bigint, sum_cents bigint, last_ts bigint, last_eid bigint"
+)
 
 
 def _user_stats(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     # value sum held as EXACT integer cents (floor(v*100+0.5), the
     # compat.units contract): cross-batch accumulation order cannot
     # drift vs the DuckDB oracle's integer sum; one division on emit.
-    (n, sum_cents, last_ts, last_eid) = (
-        state.get if state.exists else (0, 0, -1, -1)
+    # SQL SUM null semantics: parquet nulls arrive as NaN in the Arrow
+    # -> pandas float column (the testdata has no real NaN values), so
+    # NaN rows are skipped like SQL skips NULLs, n_vals tracks how
+    # many non-null values contributed, and a key that never saw a
+    # non-null value emits sum_value NULL (SUM over all-NULL), not 0.
+    (n, n_vals, sum_cents, last_ts, last_eid) = (
+        state.get if state.exists else (0, 0, 0, -1, -1)
     )
     for pdf in pdfs:
         n += len(pdf)
         v = pdf["value"].to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]
+        n_vals += int(v.size)
         sum_cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
         best = max(zip(pdf["us"], pdf["event_id"]))
         if best > (last_ts, last_eid):
             last_ts, last_eid = int(best[0]), int(best[1])
-    state.update((n, sum_cents, last_ts, last_eid))
+    state.update((n, n_vals, sum_cents, last_ts, last_eid))
     yield pd.DataFrame(
-        [(key[0], n, sum_cents / 100.0, last_eid)],
+        [(key[0], n, sum_cents / 100.0 if n_vals else None, last_eid)],
         columns=["user_id", "n_events", "sum_value", "last_event_id"],
     )
 
