@@ -528,10 +528,12 @@ BOUNDED_BNL_JOINS = {
 def _sweep_registry_plans(spark):
     """One pass over every non-streaming gate query's executed plan
     (JVM tree walk, AQE-aware): returns {query: set(node classes)}
-    plus the unpartitioned-window flag. Streaming queries are
-    excluded (they execute at build; their stateful shapes are
-    partition-pinned by stream_state_partitions and covered by the
-    streaming harness)."""
+    plus the unpartitioned-window flag. Streaming queries execute at
+    build through the streaming engine, so they are swept separately
+    over their captured micro-batch plans
+    (_sweep_streaming_plans below — every streaming gate MUST record
+    a plan there or test_every_streaming_gate_records_a_plan fails,
+    so this skip cannot silently widen)."""
     import __spark_entry__ as entry
 
     out = {}
@@ -986,7 +988,7 @@ def test_no_single_partition_window_engine_wide(spark):
     build_failures = {}
     for name, fn in sorted(entry.queries().items()):
         if name.startswith("streaming_"):
-            continue  # streaming plans are exercised by their own gates
+            continue  # swept via _sweep_streaming_plans (micro-batch plans)
         try:
             df = fn(spark, SF_SMOKE)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -1036,3 +1038,98 @@ def test_streaming_minhash_index_probe_stays_equi_join(spark):
     plan = plan_of(streaming_minhash_dedup(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Streaming micro-batch plan sweep (round-7 verdict item 4): the batch
+# registry sweep above skips streaming_* because those queries execute
+# at build through the streaming engine. The stream runners record
+# every terminated query's LAST micro-batch physical plan (and every
+# foreachBatch sink records the batch-side plan it writes) into
+# streaming.incremental.LAST_STREAM_PLANS; this sweep re-runs each
+# streaming gate once and applies the same red-flag scan to every
+# captured plan. No startswith skip remains: a query that records no
+# plan FAILS (test_every_streaming_gate_records_a_plan), so an
+# uninstrumented runner cannot silently opt out.
+
+# Streaming queries with a justified single-partition exchange /
+# nested-loop join go here WITH the boundedness proof. Currently none.
+STREAMING_BOUNDED_SINGLE_PARTITION: dict[str, str] = {}
+STREAMING_BOUNDED_BNL: dict[str, str] = {}
+
+
+def _sweep_streaming_plans(spark):
+    import __spark_entry__ as entry
+
+    from youtube_etl_automated_pipeline_spark.streaming import (
+        incremental as inc,
+    )
+
+    out = {}
+    for name, fn in sorted(entry.queries().items()):
+        if not name.startswith("streaming_"):
+            continue
+        # the registry is diagnostic state — reset per query so every
+        # captured plan is attributable to this gate (the per-key cap
+        # makes slice bookkeeping unreliable across long sessions)
+        inc.LAST_STREAM_PLANS.clear()
+        fn(spark, SF_SMOKE)
+        out[name] = [p for v in inc.LAST_STREAM_PLANS.values() for p in v]
+        inc.LAST_STREAM_PLANS.clear()
+    return out
+
+
+def _streaming_sweep(spark):
+    if "streaming" not in _SWEEP_CACHE:
+        _SWEEP_CACHE["streaming"] = _sweep_streaming_plans(spark)
+    return _SWEEP_CACHE["streaming"]
+
+
+def test_every_streaming_gate_records_a_plan(spark):
+    silent = [n for n, ps in _streaming_sweep(spark).items() if not ps]
+    assert not silent, (
+        f"streaming gates with no captured micro-batch plan: {silent} — "
+        "their runner is not instrumented (record_stream_plan / "
+        "record_batch_plan)"
+    )
+
+
+def test_streaming_no_cartesian_products(spark):
+    offenders = {
+        n
+        for n, ps in _streaming_sweep(spark).items()
+        if any("CartesianProduct" in p for p in ps)
+    }
+    assert not offenders, sorted(offenders)
+
+
+def test_streaming_bnl_joins_confined_to_allowlist(spark):
+    offenders = {
+        n
+        for n, ps in _streaming_sweep(spark).items()
+        if any("BroadcastNestedLoopJoin" in p for p in ps)
+    }
+    unexpected = offenders - set(STREAMING_BOUNDED_BNL)
+    assert not unexpected, sorted(unexpected)
+
+
+def test_streaming_no_row_at_a_time_python_udfs(spark):
+    offenders = {
+        n
+        for n, ps in _streaming_sweep(spark).items()
+        if any("BatchEvalPython" in p for p in ps)
+    }
+    assert not offenders, sorted(offenders)
+
+
+def test_streaming_no_single_partition_exchanges(spark):
+    """A SinglePartition exchange in a micro-batch plan serializes the
+    batch through one task every trigger — the streaming analog of an
+    unpartitioned window."""
+    offenders = {
+        n
+        for n, ps in _streaming_sweep(spark).items()
+        if any("Exchange SinglePartition" in p for p in ps)
+    }
+    unexpected = offenders - set(STREAMING_BOUNDED_SINGLE_PARTITION)
+    assert not unexpected, sorted(unexpected)

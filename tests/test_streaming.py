@@ -732,3 +732,44 @@ def test_streaming_null_parity(
     df = entry.queries()[name](spark, stream_null_sf_dir)
     errs = compare(df, stream_null_oracle_con, entry.oracle_sql()[name])
     assert not errs, errs[:5]
+
+
+def test_persisted_minhash_index_roundtrip_equals_oneshot(spark):
+    """The production claim behind dedup_incremental_shard: the
+    signature index written to parquet and RE-READ from disk dedups a
+    new shard identically to the one-shot plan that never persists.
+    Both paths run through the same shard_probe builder; the only
+    difference is whether the corpus side is the from-disk scan or
+    the in-memory signature relation."""
+    import hashlib
+    import os
+
+    import __spark_entry__ as entry
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        INCREMENTAL_BATCH_MOD,
+        minhash_base,
+        shard_probe,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
+
+    roundtrip = entry.queries()["dedup_incremental_shard"](
+        spark, SF_SMOKE
+    ).collect()
+
+    # the index must genuinely exist on disk, committed by Spark
+    fp_tag = hashlib.md5(
+        repr(table_fingerprint(SF_SMOKE, "documents")).encode()
+    ).hexdigest()[:12]
+    sf_tag = os.path.basename(os.path.normpath(SF_SMOKE))
+    idx_dir = os.path.join("/tmp/spark_graft_minhash_index", sf_tag, fp_tag)
+    assert os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
+
+    base = minhash_base(spark, SF_SMOKE)
+    oneshot = shard_probe(
+        base.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0),
+        base.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0),
+    ).collect()
+
+    assert len(roundtrip) > 0
+    assert sorted(map(tuple, roundtrip)) == sorted(map(tuple, oneshot))

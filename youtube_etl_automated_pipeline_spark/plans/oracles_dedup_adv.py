@@ -278,6 +278,51 @@ ORDER BY b.lang
 """
 
 
+# Persisted-index shard probe: the oracle recomputes everything from
+# the table (SQL has no "persisted index"); the parquet round-trip is
+# the Spark-side implementation detail under test, and
+# tests/test_streaming.py separately proves round-trip == one-shot.
+_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_id, sig_{j} AS sig FROM sigs"
+    for j in range(N_PERM)
+)
+ORACLES_DEDUP_ADV["dedup_incremental_shard"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+bands AS MATERIALIZED ({_BANDS_UNION}),
+idx AS (
+  SELECT band_id, sig, min(doc_id) AS canon_doc
+  FROM bands WHERE doc_id % {INCREMENTAL_BATCH_MOD} <> 0
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT i.canon_doc AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN idx i USING (band_id, sig)
+  WHERE b.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(a.hs, b.hs)) AS n_inter,
+    len(list_distinct(list_concat(a.hs, b.hs))) AS n_union
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_a
+  JOIN sigs b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, {_JACC} AS jaccard
+FROM pairs
+WHERE ({_JACC}) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # sketch-quality QA: signature-agreement estimate vs exact Jaccard
 _N_MATCH = " + ".join(
     f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)" for j in range(N_PERM)

@@ -35,6 +35,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+    record_batch_plan,
+    record_stream_plan,
+)
+
 
 def _batch_dir(state_dir: str, batch_id: int) -> str:
     return os.path.join(state_dir, f"batch={int(batch_id)}")
@@ -52,6 +57,7 @@ def write_batch_partials(
     partials = batch_df.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in measures.items()]
     )
+    record_batch_plan("agg_partials_batch", partials)
     tmp = _batch_dir(state_dir, batch_id) + ".inprogress"
     partials.write.mode("overwrite").parquet(tmp)
     final = _batch_dir(state_dir, batch_id)
@@ -138,3 +144,4 @@ def run_partials_stream(
             .start()
         )
         query.awaitTermination()
+        record_stream_plan("agg_partials_stream", query)

@@ -60,6 +60,40 @@ EVENTS_STREAM_SCHEMA = (
 
 _memsink_seq = itertools.count()
 
+# Executed-plan capture for the streaming plan sweep
+# (tests/test_plan_shapes.py::test_streaming_plans_*): every stream
+# runner records its LAST micro-batch physical plan under the sink /
+# runner name, and every foreachBatch sink records the batch-side
+# executed plan of the DataFrame it writes (foreachBatch work runs as
+# separate batch actions the stream-side explain never shows). Keyed
+# lists are capped so bench's 3x reruns cannot grow memory; capture
+# failures are swallowed — diagnostics must never fail a stream.
+LAST_STREAM_PLANS: dict[str, list[str]] = {}
+_PLAN_CAP = 8
+
+
+def _record_plan(name: str, text: str) -> None:
+    plans = LAST_STREAM_PLANS.setdefault(name, [])
+    plans.append(text)
+    del plans[:-_PLAN_CAP]
+
+
+def record_stream_plan(name: str, query) -> None:
+    """Record a terminated StreamingQuery's last executed plan."""
+    try:
+        _record_plan(name, query._jsq.explainInternal(False))
+    except Exception:
+        pass
+
+
+def record_batch_plan(name: str, df: DataFrame) -> None:
+    """Record the executed (planned, not run) batch plan of a
+    foreachBatch sink's output DataFrame."""
+    try:
+        _record_plan(name, df._jdf.queryExecution().executedPlan().toString())
+    except Exception:
+        pass
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table (S1's paginated pull
@@ -219,6 +253,7 @@ def run_stream_to_memory(
                 .start()
             )
             query.awaitTermination()
+            record_stream_plan(name, query)
         finally:
             spark.conf.set(nodata_key, nodata_prev)
     return spark.table(qname)
@@ -251,6 +286,7 @@ def foreach_batch_upsert(
         else:
             merged = batch
         deduped = keep_last(merged, list(keys), ["_batch_id", *order_by])
+        record_batch_plan("upsert_batch", deduped)
         tmp = state_dir + ".inprogress"
         deduped.write.mode("overwrite").parquet(tmp)
         if os.path.exists(state_dir):
@@ -279,6 +315,7 @@ def run_upsert_stream(
             .start()
         )
         query.awaitTermination()
+        record_stream_plan("upsert_stream", query)
 
 
 def incremental_pipeline(
@@ -324,3 +361,4 @@ def incremental_pipeline(
             .start()
         )
         query.awaitTermination()
+        record_stream_plan("incremental_pipeline", query)

@@ -35,6 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.operators.dedup import keep_last
+from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+    record_batch_plan,
+    record_stream_plan,
+)
 
 CDC_SCHEMA = "key bigint, price_cents bigint, op string, seq bigint"
 
@@ -63,6 +67,7 @@ def foreach_batch_merge(state_dir: str):
         spark = batch_df.sparkSession
         state = read_state(spark, state_dir)
         new_state = merge_batch(state, batch_df)
+        record_batch_plan("cdc_merge_batch", new_state)
         tmp = state_dir + ".inprogress"
         new_state.write.mode("overwrite").parquet(tmp)
         if os.path.exists(state_dir):
@@ -95,3 +100,4 @@ def run_cdc_merge_stream(
             .start()
         )
         query.awaitTermination()
+        record_stream_plan("cdc_merge_stream", query)
