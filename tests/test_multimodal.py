@@ -165,3 +165,18 @@ def test_phash_dedup_captures_every_exact_duplicate(spark, media):
     }
     for pair in expected:
         assert pair in got and got[pair] == 0, (pair, got.get(pair))
+
+
+def test_png_roundtrip_fused_equals_chained(spark, media):
+    """The fused one-Python-stage operator must produce exactly the
+    rows of the two-stage decode_image_features(png_encode_images(.))
+    composition (it composes the same kernels; this pins it)."""
+    from youtube_etl_automated_pipeline_spark.ext.multimodal import (
+        png_roundtrip_features,
+    )
+
+    fused = sorted(map(tuple, png_roundtrip_features(media).collect()))
+    chained = sorted(
+        map(tuple, decode_image_features(png_encode_images(media)).collect())
+    )
+    assert fused == chained and len(fused) > 0

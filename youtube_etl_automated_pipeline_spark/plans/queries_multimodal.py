@@ -22,6 +22,7 @@ from youtube_etl_automated_pipeline_spark.ext.multimodal import (
     decode_image_features,
     frame_sample,
     png_encode_images,
+    png_roundtrip_features,
     to_media_table,
 )
 from youtube_etl_automated_pipeline_spark.sources import load_table, load_wide, widen_scan
@@ -55,9 +56,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-pixels. round(x*1e6) recovers the exact integer the kernel
     # rounded to (x is the nearest double to k/1e6, so x*1e6 is within
     # an ulp of k), identically in Spark and DuckDB.
-    return decode_image_features(
-        png_encode_images(_media(spark, sf_dir))
-    ).withColumn(
+    # png_roundtrip_features = the same encode+decode kernels fused
+    # into one Python stage (one Arrow round-trip of the PNG batch).
+    return png_roundtrip_features(_media(spark, sf_dir)).withColumn(
         "thumb",
         F.concat_ws(
             "|",
