@@ -20,6 +20,50 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _fast_tmp_dir() -> str | None:
+    """tmpfs home for EPHEMERAL JVM temp state — shuffle/local dirs and
+    the temporary streaming checkpoints every gate/bench streaming
+    query creates and deletes per run. On this host /tmp is disk-backed
+    ext4, so each streaming query pays checkpoint-WAL fsyncs to disk;
+    on tmpfs those vanish (measured: streaming_tumbling_window 1.27s ->
+    1.07s min-of-5 at sf0.1 — x ~30 streaming gates ≈ 6s of suite).
+
+    Local-test posture ONLY, guarded accordingly: a real cluster puts
+    spark.local.dir on fast local disks and streaming checkpoints on
+    DURABLE shared storage (tmpfs checkpoints cannot survive a node
+    loss — fine here because gate checkpoints are created fresh and
+    deleted within one run; every recovery/restart-invariance test
+    pins its own explicit on-disk checkpoint dir). Returns None (use
+    defaults) when tmpfs is absent, unwritable, or short on headroom,
+    or when SPARK_GRAFT_NO_TMPFS=1. Stale temp from crashed runs is
+    RAM, so sweep anything older than 6h at session build."""
+    if os.environ.get("SPARK_GRAFT_NO_TMPFS") == "1":
+        return None
+    shm = "/dev/shm"
+    if not os.path.isdir(shm) or not os.access(shm, os.W_OK):
+        return None
+    try:
+        st = os.statvfs(shm)
+    except OSError:
+        return None
+    if st.f_bavail * st.f_frsize < (8 << 30):
+        return None
+    d = os.path.join(shm, "spark_graft_tmp")
+    os.makedirs(d, exist_ok=True)
+    import shutil
+    import time
+
+    cutoff = time.time() - 6 * 3600
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return d
+
+
 def ensure_protobuf() -> None:
     """Make ``google.protobuf`` importable. If the real distribution
     is installed, do nothing. Otherwise add the vendored miniproto
@@ -134,6 +178,17 @@ def get_spark(app_name: str = "youtube_etl_spark", shuffle_partitions: int | Non
         # ANSI mode would turn those into runtime errors.
         .config("spark.sql.ansi.enabled", "false")
     )
+    fast_tmp = _fast_tmp_dir()
+    if fast_tmp:
+        builder = builder.config("spark.local.dir", fast_tmp).config(
+            # java.io.tmpdir is where ResolveWriteToStream creates the
+            # temporary-* checkpoint dirs for queries without an
+            # explicit checkpointLocation (all gate/bench streaming
+            # queries); takes effect because the driver JVM has not
+            # started yet at builder time
+            "spark.driver.extraJavaOptions",
+            f"-Djava.io.tmpdir={fast_tmp}",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
