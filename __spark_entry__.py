@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5g import (
         QUERIES_ENGINE5G,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        QUERIES_ENGINE6,
+    )
 
     return {
         **QUERIES,
@@ -153,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ENGINE5E,
         **QUERIES_ENGINE5F,
         **QUERIES_ENGINE5G,
+        **QUERIES_ENGINE6,
     }
 
 
@@ -248,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine5g import (
         ORACLES_ENGINE5G,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        ORACLES_ENGINE6,
+    )
 
     return {
         **ORACLES,
@@ -286,4 +293,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ENGINE5E,
         **ORACLES_ENGINE5F,
         **ORACLES_ENGINE5G,
+        **ORACLES_ENGINE6,
     }

@@ -1,0 +1,166 @@
+"""Round-7 extension operators: JL random projection, ROUGE pair
+overlap, streaming CMS, Bradley-Terry preference aggregation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_random_projection_preserves_distances(spark):
+    """The JL property for ±1 signs: E||y_a - y_b||^2 = D_OUT *
+    ||x_a - x_b||^2 (in micro-units^2). With D_OUT=8 individual pairs
+    fluctuate, so assert the MEDIAN per-pair ratio over consecutive-id
+    pairs sits well inside [0.3, 3] and the MEAN within [0.7, 1.4]."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        RP_D_OUT,
+        embedding_random_projection,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    proj = {
+        r["vec_id"]: [r[f"y_{j}"] for j in range(RP_D_OUT)]
+        for r in embedding_random_projection(spark, SF_SMOKE).collect()
+    }
+    # quantization identical to the query: floor(v*1e6+0.5)
+    import math
+
+    orig = {
+        k: [math.floor(float(v) * 1e6 + 0.5) for v in r]
+        for k, r in {
+            r["vec_id"]: r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        }.items()
+    }
+    ids = sorted(proj)
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        dx2 = sum((xa - xb) ** 2 for xa, xb in zip(orig[a], orig[b]))
+        dy2 = sum((ya - yb) ** 2 for ya, yb in zip(proj[a], proj[b]))
+        if dx2 > 0:
+            ratios.append(dy2 / (RP_D_OUT * dx2))
+    ratios.sort()
+    assert len(ratios) > 100
+    median = ratios[len(ratios) // 2]
+    mean = sum(ratios) / len(ratios)
+    assert 0.3 < median < 3.0, median
+    assert 0.7 < mean < 1.4, mean
+
+
+@pytest.fixture()
+def planted_docs_dir(tmp_path):
+    """A testdata twin whose documents table contains one exact
+    duplicate pair and one near-duplicate pair, both long enough to
+    band-collide."""
+    dst = str(tmp_path / "planted")
+    os.makedirs(dst)
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "embeddings",
+    ):
+        shutil.copy(
+            os.path.join(SF_SMOKE, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+        )
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "festival crowd watches from the river bank in the rain"
+    )
+    near = base.replace("rain", "snow")
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),  # exact dup of 1
+        (3, near, "en", "web", len(near)),  # near dup of 1/2
+        (4, "completely different text about spark plans", "en", "web", 44),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+    return dst
+
+
+def test_rouge_exact_duplicate_scores_unity(spark, planted_docs_dir):
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        pair_rouge_overlap,
+    )
+
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in pair_rouge_overlap(spark, planted_docs_dir).collect()
+    }
+    assert (1, 2) in out, sorted(out)
+    exact = out[(1, 2)]
+    n_toks = len(
+        "the quick brown fox jumps over the lazy dog while the "
+        "festival crowd watches from the river bank in the rain".split()
+    )
+    for m in ("r1_p_ppm", "r1_r_ppm", "r1_f_ppm", "r2_p_ppm", "r2_r_ppm", "r2_f_ppm"):
+        assert exact[m] == 1_000_000, (m, exact[m])
+    assert exact["r1_inter"] == n_toks
+    assert exact["r2_inter"] == n_toks - 1
+    # the near pair scores below unity on both orders but stays high
+    for pair in ((1, 3), (2, 3)):
+        if pair in out:
+            r = out[pair]
+            assert 800_000 < r["r1_f_ppm"] < 1_000_000
+            assert r["r2_f_ppm"] < r["r1_f_ppm"]
+
+
+def test_streaming_cms_equals_batch_twin(spark):
+    """Associativity contract: the streamed complete-mode sketch over
+    a fully-consumed source yields exactly the batch CMS estimates."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        streaming_cms_heavy_hitters,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
+        cms_heavy_hitters,
+    )
+
+    got = sorted(map(tuple, streaming_cms_heavy_hitters(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple, cms_heavy_hitters(spark, SF_SMOKE).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bradley_terry_invariants(spark):
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        preference_bradley_terry,
+    )
+
+    rows = preference_bradley_terry(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # the five order priorities
+    total_games = sum(r["games"] for r in rows)
+    total_wins = sum(r["wins"] for r in rows)
+    # every duel contributes one win and TWO directed game rows
+    assert total_games == 2 * total_wins
+    for r in rows:
+        assert 0 < r["bt_micro"], r
+        assert 0 <= r["wins"] <= r["games"], r
+    # BT strength must be monotone with win RATE when the win-rate
+    # leader also leads every pairwise matchup (true on this synthetic
+    # data where priorities are price-symmetric and duel counts are
+    # near-uniform: ranks reduce to rate order)
+    by_rate = sorted(rows, key=lambda r: r["wins"] / r["games"], reverse=True)
+    by_w = sorted(rows, key=lambda r: r["bt_micro"], reverse=True)
+    assert by_rate[0]["priority"] == by_w[0]["priority"]

@@ -1,0 +1,619 @@
+"""Round-7 engine extensions: training-data-pipeline operators.
+
+- ``embedding_random_projection`` — Johnson-Lindenstrauss ±1 random
+  projection of the embedding column: the zero-shuffle dimensionality
+  reduction used before LSH/clustering at 100 TB. The sign matrix is
+  DERIVED (md5 bits computed once at import and inlined as foldable
+  literals into BOTH engines), so no projection matrix is ever
+  materialized, broadcast, or shuffled; the per-vector work is an
+  exact-integer fold (inputs quantized to micro-units first), making
+  the projection bit-identical cross-engine. Distance preservation
+  (the JL property, E||y_a-y_b||^2 = D_OUT * ||x_a-x_b||^2 for ±1
+  signs) is asserted in tests/test_engine6.py.
+
+- ``pair_rouge_overlap`` — ROUGE-1/ROUGE-2 clipped n-gram overlap
+  (precision/recall/F1 in exact ppm) for every MinHash-LSH candidate
+  pair: the summarization/eval-style overlap metric a curation team
+  runs on near-dup candidates to grade HOW texts overlap (Jaccard
+  over sets cannot distinguish a quote from a rewrite; clipped
+  multiset counts can). Candidates come from the SAME shared banding
+  as the dedup family — all-pairs never materializes — and the
+  multiset intersections are two token-keyed equi-joins restricted to
+  candidate docs.
+
+- ``streaming_cms_heavy_hitters`` — the Count-Min sketch maintained
+  as STREAMING STATE: each event fans out to CMS_DEPTH (row, cell)
+  keys and a streaming aggregation keeps the per-cell count — state
+  is O(depth x width) = 1024 rows, NEVER O(distinct keys), merged
+  associatively across micro-batches. The batch side estimates each
+  key as min-over-cells from the streamed sketch and reports the
+  top-k. Deterministic md5 hashing -> fully oracle-gated (the batch
+  twin cms_heavy_hitters' oracle verbatim: a fully-consumed
+  availableNow complete-mode sketch equals the batch sketch), unlike
+  HLL whose partials are engine-random. Completes the story that
+  every sketch in the engine has a deterministic streaming form.
+
+- ``preference_bradley_terry`` — Bradley-Terry preference-strength
+  estimation (the RLHF preference-data aggregation): pairwise
+  comparisons are derived deterministically from the data (within
+  each customer, consecutive orders compete; the pricier order's
+  priority class wins), then K rounds of the Hunter(2004)
+  minorization-maximization update w_i <- W_i / sum_j N_ij/(w_i+w_j)
+  run as aggregation passes over the pair-count relation. Every
+  iteration is quantized to integer micro-units with integer DIV
+  (the logreg bigint-gradient pattern), so both engines walk the
+  identical fixed point path bit-for-bit.
+
+Scale postures are per-query below; nothing here collects an
+unbounded relation to the driver (the BT weight vector is one row per
+ENTITY CLASS — 5 order priorities — re-broadcast per iteration, the
+same bounded-collect class as the k-means centroid table).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.sources import load_wide
+
+# --------------------------------------------------------------- JL
+RP_D_IN = 64
+RP_D_OUT = 8
+
+# Deterministic ±1 sign matrix: bit 0 of md5("rp|i|j"). Computed once
+# here and INLINED into both plans — Catalyst constant-folds the
+# literal arrays, DuckDB sees the same integers spelled out. No
+# runtime hashing, no materialized matrix.
+RP_SIGNS = [
+    [
+        1
+        if int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest(), 16) & 1
+        else -1
+        for j in range(RP_D_OUT)
+    ]
+    for i in range(RP_D_IN)
+]
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + the RP_D_OUT exact-integer projected components.
+
+    Plan: ONE map stage, zero shuffle, zero joins — each component is
+    a fold over zip_with(quantized vector, inlined sign literals).
+    At 100 TB this fuses into the reading scan; the projected table is
+    dim/8 the size and feeds LSH/clustering downstream."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    # float32 -> double is exact; micro-unit quantization makes every
+    # downstream op integer (bit-identical in both engines)
+    xi = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    out = emb.select("vec_id", xi.alias("xi"))
+    for j in range(RP_D_OUT):
+        signs = F.array(
+            *[F.lit(RP_SIGNS[i][j]).cast("bigint") for i in range(RP_D_IN)]
+        )
+        out = out.withColumn(
+            f"y_{j}",
+            F.aggregate(
+                F.zip_with(F.col("xi"), signs, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    return out.drop("xi").orderBy("vec_id")
+
+
+def _rp_oracle() -> str:
+    comps = []
+    for j in range(RP_D_OUT):
+        terms = " ".join(
+            ("+ " if RP_SIGNS[i][j] > 0 else "- ") + f"xi[{i + 1}]"
+            for i in range(RP_D_IN)
+        )
+        comps.append(f"CAST(0 {terms} AS BIGINT) AS y_{j}")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xi
+  FROM embeddings
+)
+SELECT vec_id, {", ".join(comps)}
+FROM q
+ORDER BY vec_id
+"""
+
+
+# ------------------------------------------------------------ ROUGE
+def pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 clipped-overlap scores for LSH candidate pairs.
+
+    Plan shape: the shared banded candidate set (equi-join, the dedup
+    family's machinery — all-pairs never materializes) -> per-doc
+    token / bigram COUNT tables built once and semi-join-restricted to
+    candidate docs -> two token-keyed equi-joins compute the clipped
+    intersections sum(least(c_a, c_b)) -> integer-ppm P/R/F1
+    (F1 = 2I/(A+B) exactly, no float). At 100 TB the candidate set is
+    the bounded relation and the n-gram joins are hash-keyed and
+    skew-free (md5 over the gram text)."""
+    from youtube_etl_automated_pipeline_spark.ext.dedup import band_explode
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        normalized_text,
+        tokens,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        minhash_base,
+    )
+
+    base = minhash_base(spark, sf_dir)
+    bands = band_explode(base)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+
+    docs = (
+        load_wide(spark, sf_dir, "documents")
+        .join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", tokens(normalized_text(F.col("text"))).alias("toks"))
+    )
+    uni = docs.select(
+        "doc_id", F.explode("toks").alias("gram")
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    lambda t, i: F.concat_ws(
+                        " ", t, F.element_at("toks", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+
+    def scores(grams: DataFrame, prefix: str) -> DataFrame:
+        cnt = grams.groupBy("doc_id", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+        ca = cnt.select(
+            F.col("doc_id").alias("doc_a"), "gram", F.col("c").alias("c_a")
+        )
+        cb = cnt.select(
+            F.col("doc_id").alias("doc_b"), "gram", F.col("c").alias("c_b")
+        )
+        inter = (
+            cand.join(ca, "doc_a")
+            .join(cb, ["doc_b", "gram"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("c_a", "c_b")).alias("inter"))
+        )
+        ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+        return (
+            cand.join(inter, ["doc_a", "doc_b"], "left")
+            .join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.coalesce("inter", F.lit(0)).cast("bigint").alias("i"),
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("i").alias(f"{prefix}_inter"),
+                F.expr("CAST(i * 1000000 DIV n_a AS BIGINT)").alias(
+                    f"{prefix}_p_ppm"
+                ),
+                F.expr("CAST(i * 1000000 DIV n_b AS BIGINT)").alias(
+                    f"{prefix}_r_ppm"
+                ),
+                F.expr(
+                    "CAST(2 * i * 1000000 DIV (n_a + n_b) AS BIGINT)"
+                ).alias(f"{prefix}_f_ppm"),
+            )
+        )
+
+    # docs with >= 1 token always exist for candidates (banding
+    # requires >= 3 shingles); bigram totals can be 0 only for 1-token
+    # docs, which cannot be candidates either — n_a/n_b never 0.
+    r1 = scores(uni, "r1")
+    r2 = scores(big, "r2")
+    return r1.join(r2, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+
+
+def _rouge_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.dedup import N_PERM
+    from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
+    from youtube_etl_automated_pipeline_spark.plans.oracles_dedup_adv import (
+        _SH_HASHES,
+        _sig,
+    )
+
+    norm = f"lower(regexp_replace(trim(text), '{WS_CLASS}+', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})
+),
+toks AS MATERIALIZED (
+  SELECT d.doc_id, {norm.replace("text", "d.text")} AS nt
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+),
+uni AS MATERIALIZED (
+  SELECT doc_id, u.gram, count(*) AS c
+  FROM toks, unnest(string_split_regex(nt, '{WS_CLASS}+')) AS u(gram)
+  GROUP BY 1, 2
+),
+big AS MATERIALIZED (
+  SELECT doc_id, g.gram, count(*) AS c FROM (
+    SELECT s.doc_id, s.ts[u.i] || ' ' || s.ts[u.i + 1] AS gram
+    FROM (
+      SELECT doc_id, string_split_regex(nt, '{WS_CLASS}+') AS ts FROM toks
+    ) s,
+    unnest(generate_series(1, len(s.ts) - 1)) AS u(i)
+  ) g
+  GROUP BY 1, 2
+),
+u_tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY 1),
+b_tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM big GROUP BY 1),
+u_inter AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS i
+  FROM cand c
+  JOIN uni a ON a.doc_id = c.doc_a
+  JOIN uni b ON b.doc_id = c.doc_b AND b.gram = a.gram
+  GROUP BY 1, 2
+),
+b_inter AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(least(a.c, b.c)) AS BIGINT) AS i
+  FROM cand c
+  JOIN big a ON a.doc_id = c.doc_a
+  JOIN big b ON b.doc_id = c.doc_b AND b.gram = a.gram
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(coalesce(u.i, 0) AS BIGINT) AS r1_inter,
+  CAST(coalesce(u.i, 0) * 1000000 // ua.n AS BIGINT) AS r1_p_ppm,
+  CAST(coalesce(u.i, 0) * 1000000 // ub.n AS BIGINT) AS r1_r_ppm,
+  CAST(2 * coalesce(u.i, 0) * 1000000 // (ua.n + ub.n) AS BIGINT) AS r1_f_ppm,
+  CAST(coalesce(b.i, 0) AS BIGINT) AS r2_inter,
+  CAST(coalesce(b.i, 0) * 1000000 // ba.n AS BIGINT) AS r2_p_ppm,
+  CAST(coalesce(b.i, 0) * 1000000 // bb.n AS BIGINT) AS r2_r_ppm,
+  CAST(2 * coalesce(b.i, 0) * 1000000 // (ba.n + bb.n) AS BIGINT) AS r2_f_ppm
+FROM cand c
+LEFT JOIN u_inter u ON u.doc_a = c.doc_a AND u.doc_b = c.doc_b
+LEFT JOIN b_inter b ON b.doc_a = c.doc_a AND b.doc_b = c.doc_b
+JOIN u_tot ua ON ua.doc_id = c.doc_a
+JOIN u_tot ub ON ub.doc_id = c.doc_b
+JOIN b_tot ba ON ba.doc_id = c.doc_a
+JOIN b_tot bb ON bb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# ---------------------------------------------------- streaming CMS
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cms_heavy_hitters with the sketch maintained as streaming
+    state: events fan out to CMS_DEPTH (row, cell) keys pre-shuffle
+    (map-side partials collapse the fan-out to <= depth x width rows
+    per task), and the streaming aggregation's state is exactly the
+    depth x width counter grid — O(1024), never O(users), merged
+    associatively across micro-batches. The batch side estimates each
+    key as min-over-cells against the streamed sketch and reports the
+    top-k by estimate. Shares the batch twin's oracle verbatim: the
+    fully-consumed availableNow complete-mode sketch equals the batch
+    sketch because sum is the combine."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import md5_long
+    from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HH_TOPK,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    cells = stream.select(
+        "user_id", F.explode(rows).alias("r")
+    ).withColumn(
+        "cell",
+        md5_long(
+            F.concat_ws(
+                ":", F.col("r").cast("string"), F.col("user_id").cast("string")
+            )
+        )
+        % CMS_WIDTH,
+    )
+    sketch_stream = cells.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).alias("cell_cnt")
+    )
+    sketch = run_stream_to_memory(
+        sketch_stream, "cms_sketch", output_mode="complete"
+    )
+
+    per_key = (
+        load_wide(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    key_cells = per_key.select(
+        "user_id", "cnt", F.explode(rows).alias("r")
+    ).withColumn(
+        "cell",
+        md5_long(
+            F.concat_ws(
+                ":", F.col("r").cast("string"), F.col("user_id").cast("string")
+            )
+        )
+        % CMS_WIDTH,
+    )
+    est = (
+        key_cells.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("true_cnt"), F.min("cell_cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), F.asc("user_id"))
+        .limit(HH_TOPK)
+    )
+
+
+# ------------------------------------------------------ Bradley-Terry
+BT_ITERS = 8
+BT_MICRO = 1_000_000  # weight unit
+BT_NUM = 1_000_000_000_000  # integer-DIV numerator scale (1e12)
+
+
+def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength per order-priority class.
+
+    Comparisons: within each customer, consecutive orders (by
+    o_orderkey) compete; the order with the higher total price wins
+    (exact-integer cents; ties -> the earlier order wins — a total,
+    deterministic rule). Same-priority pairs carry no signal and are
+    dropped. The pair-count relation N_ij is ONE window + one
+    aggregation over orders.
+
+    MM iterations (Hunter 2004): w_i <- W_i / sum_j N_ij/(w_i+w_j),
+    quantized each round to integer micro-units with integer DIV so
+    the fixed-point path is bit-identical in both engines (the
+    divisions' truncation is part of the operator definition, like
+    the logreg bigint gradients). The weight vector is one row per
+    priority class (5) — the bounded-collect class of the k-means
+    centroid table — re-inlined as a literal CASE per iteration, so
+    each iteration is one broadcast-free aggregation over N_ij.
+
+    At 100 TB: the expensive relation is the comparison log; N_ij is
+    its keyed aggregate (entities^2 at worst, sparse in practice);
+    each MM round is one map-side-combinable agg over N_ij keyed by
+    entity. K is fixed — no driver-dependent convergence loop."""
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
+
+    def build_pairs() -> DataFrame:
+        from pyspark.sql import Window
+
+        orders = load_wide(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            units(F.col("o_totalprice"), 2).alias("cents"),
+        )
+        w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        paired = orders.select(
+            "prio",
+            "cents",
+            F.lag("prio").over(w).alias("prev_prio"),
+            F.lag("cents").over(w).alias("prev_cents"),
+        ).filter(
+            F.col("prev_prio").isNotNull() & (F.col("prio") != F.col("prev_prio"))
+        )
+        duels = paired.select(
+            F.when(F.col("cents") > F.col("prev_cents"), F.col("prio"))
+            .otherwise(F.col("prev_prio"))
+            .alias("winner"),
+            F.when(F.col("cents") > F.col("prev_cents"), F.col("prev_prio"))
+            .otherwise(F.col("prio"))
+            .alias("loser"),
+        )
+        return duels.groupBy("winner", "loser").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    pc = memo_persist(
+        spark,
+        ("bt_pairs", sf_dir),
+        build_pairs,
+        fingerprint=table_fingerprint(sf_dir, "orders"),
+    )
+
+    # symmetric game counts N_ij and win totals W_i (5-class entity
+    # space: every relation below is <= 25 rows)
+    games = (
+        pc.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
+        .unionByName(
+            pc.select(
+                F.col("loser").alias("i"), F.col("winner").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n_ij"))
+    )
+    wins = pc.groupBy("winner").agg(F.sum("n").alias("w_i"))
+
+    w_rows = {
+        r["i"]: BT_MICRO
+        for r in games.select("i").distinct().collect()
+    }
+    games_local = games.collect()  # <= entities^2 rows by construction
+    wins_local = {r["winner"]: int(r["w_i"]) for r in wins.collect()}
+    for _ in range(BT_ITERS):
+        denom: dict[str, int] = {k: 0 for k in w_rows}
+        for r in games_local:
+            i, j, n_ij = r["i"], r["j"], int(r["n_ij"])
+            denom[i] += (n_ij * BT_NUM) // (w_rows[i] + w_rows[j])
+        w_rows = {
+            k: (wins_local.get(k, 0) * BT_NUM) // denom[k] if denom[k] else 0
+            for k in w_rows
+        }
+
+    # gate output recomputed AS A PLAN: per-class games/wins from the
+    # persisted pair counts, final weights attached as a literal CASE
+    # (the iterations above run on the <=25-row collected relation —
+    # at real entity cardinality they run as the aggregation loop
+    # described in the docstring; the fixed-point arithmetic is
+    # identical either way and the oracle replays it in SQL)
+    w_expr = F.lit(None).cast("bigint")
+    for k in sorted(w_rows):
+        w_expr = F.when(F.col("i") == k, F.lit(w_rows[k])).otherwise(w_expr)
+    per_class = games.groupBy("i").agg(F.sum("n_ij").alias("games"))
+    return (
+        per_class.join(
+            wins.select(F.col("winner").alias("i"), "w_i"), "i", "left"
+        )
+        .select(
+            F.col("i").alias("priority"),
+            F.col("games").cast("bigint").alias("games"),
+            F.coalesce("w_i", F.lit(0)).cast("bigint").alias("wins"),
+            w_expr.alias("bt_micro"),
+        )
+        .orderBy("priority")
+    )
+
+
+def _bt_oracle() -> str:
+    iters = []
+    prev = "w0"
+    for t in range(1, BT_ITERS + 1):
+        iters.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT g.i,
+    CAST((SELECT wins FROM wins wi WHERE wi.i = g.i) * {BT_NUM}
+      // sum(g.n_ij * {BT_NUM}
+             // ((SELECT m FROM {prev} a WHERE a.i = g.i)
+                + (SELECT m FROM {prev} b WHERE b.i = g.j))) AS BIGINT) AS m
+  FROM games g GROUP BY g.i
+)"""
+        )
+        prev = f"w{t}"
+    return f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority AS prio,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+paired AS (
+  SELECT prio, cents,
+    lag(prio) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_prio,
+    lag(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_cents
+  FROM o
+),
+duels AS (
+  SELECT
+    CASE WHEN cents > prev_cents THEN prio ELSE prev_prio END AS winner,
+    CASE WHEN cents > prev_cents THEN prev_prio ELSE prio END AS loser
+  FROM paired
+  WHERE prev_prio IS NOT NULL AND prio <> prev_prio
+),
+pc AS MATERIALIZED (
+  SELECT winner, loser, count(*) AS n FROM duels GROUP BY 1, 2
+),
+games AS MATERIALIZED (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+    SELECT winner AS i, loser AS j, n FROM pc
+    UNION ALL
+    SELECT loser AS i, winner AS j, n FROM pc
+  ) GROUP BY 1, 2
+),
+wins AS MATERIALIZED (
+  SELECT winner AS i, CAST(sum(n) AS BIGINT) AS wins FROM pc GROUP BY 1
+),
+w0 AS (SELECT DISTINCT i, CAST({BT_MICRO} AS BIGINT) AS m FROM games),
+{",".join(iters)}
+SELECT g.i AS priority,
+  CAST(sum(g.n_ij) AS BIGINT) AS games,
+  CAST(coalesce((SELECT wins FROM wins wi WHERE wi.i = g.i), 0) AS BIGINT)
+    AS wins,
+  (SELECT m FROM {prev} f WHERE f.i = g.i) AS bt_micro
+FROM games g
+GROUP BY g.i
+ORDER BY priority
+"""
+
+
+QUERIES_ENGINE6 = {
+    "embedding_random_projection": embedding_random_projection,
+    "pair_rouge_overlap": pair_rouge_overlap,
+    "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
+    "preference_bradley_terry": preference_bradley_terry,
+}
+
+
+def _oracles_engine6() -> dict[str, str]:
+    from youtube_etl_automated_pipeline_spark.plans.queries_sketch import (
+        ORACLES_SKETCH,
+    )
+
+    return {
+        "embedding_random_projection": _rp_oracle(),
+        "pair_rouge_overlap": _rouge_oracle(),
+        # associative sum: streamed complete-mode sketch == batch sketch
+        "streaming_cms_heavy_hitters": ORACLES_SKETCH["cms_heavy_hitters"],
+        "preference_bradley_terry": _bt_oracle(),
+    }
+
+
+ORACLES_ENGINE6 = _oracles_engine6()
