@@ -164,3 +164,51 @@ def test_bradley_terry_invariants(spark):
     by_rate = sorted(rows, key=lambda r: r["wins"] / r["games"], reverse=True)
     by_w = sorted(rows, key=lambda r: r["bt_micro"], reverse=True)
     assert by_rate[0]["priority"] == by_w[0]["priority"]
+
+
+def test_power_component_dominates_random_directions(spark):
+    """Spectral sanity: after POW_ITERS rounds the returned loading
+    vector's Rayleigh quotient on the centered data must beat every
+    one of 25 deterministic pseudo-random directions (md5-seeded) —
+    i.e. the iteration actually climbed toward the dominant
+    eigenvector instead of stalling at the all-ones start."""
+    import hashlib
+
+    import numpy as np
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        embedding_power_component,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    rows = embedding_power_component(spark, SF_SMOKE).collect()
+    v = np.array(
+        [r["loading_micro"] for r in sorted(rows, key=lambda r: r["dim_idx"])],
+        dtype=np.float64,
+    )
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    X = X - X.mean(axis=0)
+
+    def rayleigh(u):
+        u = u / np.linalg.norm(u)
+        return float(np.sum((X @ u) ** 2))
+
+    r_v = rayleigh(v)
+    # direct spectral bound: within 10% of the true top eigenvalue
+    # (the synthetic embeddings are near-isotropic — l2/l1 ~ 0.89 —
+    # which is the hard case for power iteration)
+    top = float(np.linalg.eigvalsh(X.T @ X)[-1])
+    assert r_v >= 0.9 * top, (r_v, top)
+    for k in range(25):
+        h = hashlib.md5(f"dir|{k}".encode()).digest() * 32
+        u = np.frombuffer(
+            h[: X.shape[1] * 8], dtype=np.uint64
+        ).astype(np.float64)
+        u = (u / 2**64) - 0.5
+        assert r_v >= rayleigh(u), k

@@ -594,8 +594,152 @@ ORDER BY priority
 """
 
 
+# ------------------------------------------------- power iteration
+POW_ITERS = 16  # flat synthetic spectrum (l2/l1 ~ 0.89) needs the extra rounds
+POW_SDESC = 1_000_000_000  # per-vector score descale (keeps y in int64)
+POW_MICRO = 1_000_000
+
+
+def embedding_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding column via
+    POW_ITERS distributed power iterations — the spectral step under
+    PCA whitening / spectral dedup, run entirely as aggregation
+    passes (classic distributed power iteration: per iteration one
+    scan computing s_vec = <cx_vec, v> and one keyed agg folding
+    y_i = sum_vec cx_i * s_vec).
+
+    Exactness: embeddings quantized to integer micro-units; the
+    per-dim mean uses truncating integer division (a deterministic
+    centering both engines share); per-vector scores are descaled by
+    integer DIV before the fold so no product leaves int64 at any
+    gate scale; each iterate renormalizes by max|y| (exact integer,
+    no sqrt — a scale-free substitute for L2 normalization that
+    leaves the fixed-point DIRECTION identical). The 64-loading
+    vector is driver-held between iterations (the k-means centroid
+    bounded-collect class); the oracle replays all POW_ITERS rounds
+    as MATERIALIZED CTEs on the same integers.
+
+    Output: one row per dimension with the final integer loading —
+    64 rows, fully oracle-gated, sign fixed by the all-ones start."""
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
+
+    def build_cx() -> DataFrame:
+        emb = load_wide(spark, sf_dir, "embeddings")
+        xi = F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * POW_MICRO + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        flat = emb.select(
+            "vec_id", F.posexplode(xi).alias("i", "x")
+        )
+        means = flat.groupBy("i").agg(
+            F.expr("CAST(sum(x) DIV count(1) AS BIGINT)").alias("mu")
+        )
+        return flat.join(F.broadcast(means), "i").select(
+            "vec_id", "i", (F.col("x") - F.col("mu")).alias("cx")
+        )
+
+    cx = memo_persist(
+        spark,
+        ("power_cx", sf_dir),
+        build_cx,
+        fingerprint=table_fingerprint(sf_dir, "embeddings"),
+    )
+
+    v = [POW_MICRO] * RP_D_IN
+    for _ in range(POW_ITERS):
+        v_expr = F.lit(None).cast("bigint")
+        for i, vi in enumerate(v):
+            v_expr = F.when(F.col("i") == i, F.lit(vi)).otherwise(v_expr)
+        # sum(cx*v) stays well inside double's exact-integer range
+        # (~2e14 << 2^53), so the /SDESC + floor pair is the identical
+        # IEEE op in both engines
+        scores = cx.groupBy("vec_id").agg(
+            F.floor(F.sum(F.col("cx") * v_expr) / F.lit(POW_SDESC))
+            .cast("bigint")
+            .alias("s")
+        )
+        y = (
+            cx.join(scores, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("cx") * F.col("s")).alias("y"))
+            .collect()
+        )
+        ymap = {r["i"]: int(r["y"]) for r in y}
+        ymax = max(abs(val) for val in ymap.values()) or 1
+        # renormalize y back to ~micro scale via TRUNCATING division
+        # with a descaled (positive) denominator: y*MICRO would leave
+        # int64, and DuckDB's // truncates toward zero while Python's
+        # // floors — trunc-div on both sides keeps negative loadings
+        # bit-identical
+        denom = max(ymax // POW_MICRO, 1)
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        v = [tdiv(ymap.get(i, 0), denom) for i in range(RP_D_IN)]
+
+    rows = [(i, v[i]) for i in range(RP_D_IN)]
+    return spark.createDataFrame(
+        rows, "dim_idx INT, loading_micro BIGINT"
+    ).orderBy("dim_idx")
+
+
+def _power_oracle() -> str:
+    iters = []
+    prev = "v0"
+    for t in range(1, POW_ITERS + 1):
+        iters.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT c.vec_id,
+    CAST(floor(sum(c.cx * v.m) / {POW_SDESC}.0) AS BIGINT) AS s
+  FROM cx c JOIN {prev} v USING (i) GROUP BY c.vec_id
+),
+y{t} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.cx * s.s) AS BIGINT) AS y
+  FROM cx c JOIN s{t} s USING (vec_id) GROUP BY c.i
+),
+v{t} AS MATERIALIZED (
+  SELECT i, CAST(y // (SELECT greatest(max(abs(y)) // {POW_MICRO}, 1)
+                       FROM y{t}) AS BIGINT) AS m
+  FROM y{t}
+)"""
+        )
+        prev = f"v{t}"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      v -> CAST(floor(CAST(v AS DOUBLE) * {POW_MICRO} + 0.5) AS BIGINT)) AS xi
+  FROM embeddings
+),
+flat AS MATERIALIZED (
+  SELECT vec_id, u.i - 1 AS i, q.xi[u.i] AS x
+  FROM q, unnest(generate_series(1, {RP_D_IN})) AS u(i)
+),
+means AS (
+  SELECT i, CAST(sum(x) // count(*) AS BIGINT) AS mu FROM flat GROUP BY i
+),
+cx AS MATERIALIZED (
+  SELECT f.vec_id, f.i, CAST(f.x - m.mu AS BIGINT) AS cx
+  FROM flat f JOIN means m USING (i)
+),
+v0 AS (SELECT u.i - 1 AS i, CAST({POW_MICRO} AS BIGINT) AS m
+       FROM unnest(generate_series(1, {RP_D_IN})) AS u(i)),
+{",".join(iters)}
+SELECT i AS dim_idx, m AS loading_micro FROM {prev} ORDER BY dim_idx
+"""
+
+
 QUERIES_ENGINE6 = {
     "embedding_random_projection": embedding_random_projection,
+    "embedding_power_component": embedding_power_component,
     "pair_rouge_overlap": pair_rouge_overlap,
     "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
     "preference_bradley_terry": preference_bradley_terry,
@@ -609,6 +753,7 @@ def _oracles_engine6() -> dict[str, str]:
 
     return {
         "embedding_random_projection": _rp_oracle(),
+        "embedding_power_component": _power_oracle(),
         "pair_rouge_overlap": _rouge_oracle(),
         # associative sum: streamed complete-mode sketch == batch sketch
         "streaming_cms_heavy_hitters": ORACLES_SKETCH["cms_heavy_hitters"],
