@@ -134,118 +134,149 @@ def pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1/2 clipped-overlap scores for LSH candidate pairs.
 
     Plan shape: the shared banded candidate set (equi-join, the dedup
-    family's machinery — all-pairs never materializes) -> per-doc
-    token / bigram COUNT tables built once and semi-join-restricted to
-    candidate docs -> two token-keyed equi-joins compute the clipped
-    intersections sum(least(c_a, c_b)) -> integer-ppm P/R/F1
-    (F1 = 2I/(A+B) exactly, no float). At 100 TB the candidate set is
-    the bounded relation and the n-gram joins are hash-keyed and
-    skew-free (md5 over the gram text)."""
+    family's machinery — all-pairs never materializes) is PERSISTED —
+    it feeds five consumers and an unpersisted subtree would re-run
+    the band self-join per consumer. Unigram and bigram counts are
+    built in ONE tagged pass (g = 1|2) over the candidate docs, also
+    persisted (two probe sides), so the clipped intersections
+    sum(least(c_a, c_b)) are a single pair of (g, gram)-keyed
+    equi-joins; P/R/F1 finalize as a conditional-aggregation pivot in
+    integer ppm (F1 = 2I/(A+B) exactly, no float). At 100 TB the
+    candidate set is the bounded relation and the n-gram joins are
+    hash-keyed and skew-free."""
     from youtube_etl_automated_pipeline_spark.ext.dedup import band_explode
     from youtube_etl_automated_pipeline_spark.ext.textstats import (
         normalized_text,
         tokens,
     )
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
     from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
         minhash_base,
     )
+    from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
 
-    base = minhash_base(spark, sf_dir)
-    bands = band_explode(base)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    fp = table_fingerprint(sf_dir, "documents")
+
+    def build_cand() -> DataFrame:
+        bands = band_explode(minhash_base(spark, sf_dir))
+        return (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+
+    cand = memo_persist(spark, ("lsh_cand", sf_dir), build_cand, fingerprint=fp)
+
+    def build_cnt() -> DataFrame:
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
         )
-        .distinct()
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-
-    docs = (
-        load_wide(spark, sf_dir, "documents")
-        .join(cand_docs, "doc_id", "left_semi")
-        .select("doc_id", tokens(normalized_text(F.col("text"))).alias("toks"))
-    )
-    uni = docs.select(
-        "doc_id", F.explode("toks").alias("gram")
-    )
-    big = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.slice("toks", 1, F.size("toks") - 1),
-                    lambda t, i: F.concat_ws(
-                        " ", t, F.element_at("toks", i + 2)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
-
-    def scores(grams: DataFrame, prefix: str) -> DataFrame:
-        cnt = grams.groupBy("doc_id", "gram").agg(
+        docs = (
+            load_wide(spark, sf_dir, "documents")
+            .join(cand_docs, "doc_id", "left_semi")
+            .select(
+                "doc_id", tokens(normalized_text(F.col("text"))).alias("toks")
+            )
+        )
+        bigrams = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda t, i: F.concat_ws(" ", t, F.element_at("toks", i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = docs.select(
+            "doc_id", F.lit(1).alias("g"), F.explode("toks").alias("gram")
+        ).unionByName(
+            docs.select(
+                "doc_id", F.lit(2).alias("g"), F.explode(bigrams).alias("gram")
+            )
+        )
+        return grams.groupBy("doc_id", "g", "gram").agg(
             F.count(F.lit(1)).alias("c")
         )
-        tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-        ca = cnt.select(
-            F.col("doc_id").alias("doc_a"), "gram", F.col("c").alias("c_a")
-        )
-        cb = cnt.select(
-            F.col("doc_id").alias("doc_b"), "gram", F.col("c").alias("c_b")
-        )
-        inter = (
-            cand.join(ca, "doc_a")
-            .join(cb, ["doc_b", "gram"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.least("c_a", "c_b")).alias("inter"))
-        )
-        ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-        tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-        return (
-            cand.join(inter, ["doc_a", "doc_b"], "left")
-            .join(ta, "doc_a")
-            .join(tb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.coalesce("inter", F.lit(0)).cast("bigint").alias("i"),
-                F.col("n_a").cast("bigint").alias("n_a"),
-                F.col("n_b").cast("bigint").alias("n_b"),
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                F.col("i").alias(f"{prefix}_inter"),
-                F.expr("CAST(i * 1000000 DIV n_a AS BIGINT)").alias(
-                    f"{prefix}_p_ppm"
-                ),
-                F.expr("CAST(i * 1000000 DIV n_b AS BIGINT)").alias(
-                    f"{prefix}_r_ppm"
-                ),
-                F.expr(
-                    "CAST(2 * i * 1000000 DIV (n_a + n_b) AS BIGINT)"
-                ).alias(f"{prefix}_f_ppm"),
-            )
-        )
 
-    # docs with >= 1 token always exist for candidates (banding
-    # requires >= 3 shingles); bigram totals can be 0 only for 1-token
-    # docs, which cannot be candidates either — n_a/n_b never 0.
-    r1 = scores(uni, "r1")
-    r2 = scores(big, "r2")
-    return r1.join(r2, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+    cnt = memo_persist(spark, ("rouge_cnt", sf_dir), build_cnt, fingerprint=fp)
+    tot = cnt.groupBy("doc_id", "g").agg(F.sum("c").alias("n"))
+
+    inter = (
+        cand.join(
+            cnt.select(
+                F.col("doc_id").alias("doc_a"), "g", "gram",
+                F.col("c").alias("c_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("doc_b"), "g", "gram",
+                F.col("c").alias("c_b"),
+            ),
+            ["doc_b", "g", "gram"],
+        )
+        .groupBy("doc_a", "doc_b", "g")
+        .agg(F.sum(F.least("c_a", "c_b")).alias("inter"))
+    )
+    # full (pair, g) grid so a zero-overlap order still reports i=0
+    # with real totals; docs with >= 3 shingles always have >= 1
+    # bigram, so n_a/n_b are never 0
+    pg = cand.select(
+        "doc_a", "doc_b", F.explode(F.array(F.lit(1), F.lit(2))).alias("g")
+    )
+    scored = (
+        pg.join(inter, ["doc_a", "doc_b", "g"], "left")
+        .join(
+            tot.select(
+                F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("n_a")
+            ),
+            ["doc_a", "g"],
+        )
+        .join(
+            tot.select(
+                F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("n_b")
+            ),
+            ["doc_b", "g"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "g",
+            F.coalesce("inter", F.lit(0)).cast("bigint").alias("i"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )
+
+    def pick(g: int, expr: str):
+        return F.max(F.when(F.col("g") == g, F.expr(expr))).cast("bigint")
+
+    return (
+        scored.groupBy("doc_a", "doc_b")
+        .agg(
+            pick(1, "i").alias("r1_inter"),
+            pick(1, "i * 1000000 DIV n_a").alias("r1_p_ppm"),
+            pick(1, "i * 1000000 DIV n_b").alias("r1_r_ppm"),
+            pick(1, "2 * i * 1000000 DIV (n_a + n_b)").alias("r1_f_ppm"),
+            pick(2, "i").alias("r2_inter"),
+            pick(2, "i * 1000000 DIV n_a").alias("r2_p_ppm"),
+            pick(2, "i * 1000000 DIV n_b").alias("r2_r_ppm"),
+            pick(2, "2 * i * 1000000 DIV (n_a + n_b)").alias("r2_f_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def _rouge_oracle() -> str:
@@ -601,32 +632,43 @@ POW_MICRO = 1_000_000
 
 
 def embedding_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant principal component of the embedding column via
-    POW_ITERS distributed power iterations — the spectral step under
-    PCA whitening / spectral dedup, run entirely as aggregation
-    passes (classic distributed power iteration: per iteration one
-    scan computing s_vec = <cx_vec, v> and one keyed agg folding
-    y_i = sum_vec cx_i * s_vec).
+    """Dominant principal component of the embedding column — the
+    spectral step under PCA whitening / spectral dedup — via the
+    one-pass Gram decomposition: ONE distributed scan computes the
+    EXACT integer Gram matrix G = sum_vec cx cx^T (an Arrow-batched
+    numpy kernel emits per-partition partial Grams; a 4096-key agg
+    folds them), and the POW_ITERS power rounds y = G v then run on
+    the dim x dim matrix, which is driver-held — bounded by
+    DIMENSION^2, the same bounded-collect class as the k-means
+    centroid table, never by corpus size. At 100 TB this is the only
+    shape that works: the corpus is scanned ONCE no matter how many
+    rounds, and each round is 64x64 integer arithmetic.
 
-    Exactness: embeddings quantized to integer micro-units; the
-    per-dim mean uses truncating integer division (a deterministic
-    centering both engines share); per-vector scores are descaled by
-    integer DIV before the fold so no product leaves int64 at any
-    gate scale; each iterate renormalizes by max|y| (exact integer,
-    no sqrt — a scale-free substitute for L2 normalization that
-    leaves the fixed-point DIRECTION identical). The 64-loading
-    vector is driver-held between iterations (the k-means centroid
-    bounded-collect class); the oracle replays all POW_ITERS rounds
-    as MATERIALIZED CTEs on the same integers.
+    Exactness: embeddings quantized to integer micro-units; per-dim
+    means use truncating division (deterministic centering); G is an
+    exact int64 sum (|cx| <= ~4e6 so G_ij <= ~1.6e13 * n — inside
+    int64 through sf10); the rounds run in arbitrary-precision Python
+    integers and the oracle replays them in DuckDB HUGEINT — y terms
+    reach ~1e24, exact in both. Each iterate renormalizes by max|y|
+    with TRUNCATING division (DuckDB // truncates toward zero;
+    matched explicitly — no sqrt anywhere).
 
     Output: one row per dimension with the final integer loading —
     64 rows, fully oracle-gated, sign fixed by the all-ones start."""
+    import pandas as pd
+
     from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
         memo_persist,
     )
     from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
 
-    def build_cx() -> DataFrame:
+    def tdiv(a: int, b: int) -> int:
+        quo = abs(a) // b
+        return quo if a >= 0 else -quo
+
+    def build_gram() -> DataFrame:
+        import numpy as np
+
         emb = load_wide(spark, sf_dir, "embeddings")
         xi = F.transform(
             F.col("embedding"),
@@ -634,56 +676,54 @@ def embedding_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bigint"
             ),
         )
-        flat = emb.select(
-            "vec_id", F.posexplode(xi).alias("i", "x")
-        )
-        means = flat.groupBy("i").agg(
-            F.expr("CAST(sum(x) DIV count(1) AS BIGINT)").alias("mu")
-        )
-        return flat.join(F.broadcast(means), "i").select(
-            "vec_id", "i", (F.col("x") - F.col("mu")).alias("cx")
-        )
+        q = emb.select(xi.alias("xi"))
+        sums = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("xi", i + 1)).alias(f"s_{i}")
+                for i in range(RP_D_IN)
+            ],
+        ).collect()[0]
+        n = int(sums["n"])
+        mu_py = [tdiv(int(sums[f"s_{i}"]), n) for i in range(RP_D_IN)]
+        mu = F.array(*[F.lit(m).cast("bigint") for m in mu_py])
+        cx = q.select(F.zip_with("xi", mu, lambda a, b: a - b).alias("cx"))
 
-    cx = memo_persist(
+        def gram_kernel(batches):
+            acc = np.zeros((RP_D_IN, RP_D_IN), dtype=np.int64)
+            for pdf in batches:
+                m = np.stack(pdf["cx"].to_numpy()).astype(np.int64)
+                acc += m.T @ m
+            idx = np.arange(RP_D_IN * RP_D_IN, dtype=np.int32)
+            yield pd.DataFrame({"idx": idx, "g": acc.reshape(-1)})
+
+        # per-partition partial Grams -> one 4096-key fold
+        return cx.mapInPandas(gram_kernel, "idx int, g long").groupBy(
+            "idx"
+        ).agg(F.sum("g").alias("g"))
+
+    gram_df = memo_persist(
         spark,
-        ("power_cx", sf_dir),
-        build_cx,
+        ("power_gram", sf_dir),
+        build_gram,
         fingerprint=table_fingerprint(sf_dir, "embeddings"),
     )
+    G: dict[int, int] = {
+        int(r["idx"]): int(r["g"]) for r in gram_df.collect()
+    }  # dim^2 = 4096 entries — bounded by construction
 
     v = [POW_MICRO] * RP_D_IN
     for _ in range(POW_ITERS):
-        v_expr = F.lit(None).cast("bigint")
-        for i, vi in enumerate(v):
-            v_expr = F.when(F.col("i") == i, F.lit(vi)).otherwise(v_expr)
-        # sum(cx*v) stays well inside double's exact-integer range
-        # (~2e14 << 2^53), so the /SDESC + floor pair is the identical
-        # IEEE op in both engines
-        scores = cx.groupBy("vec_id").agg(
-            F.floor(F.sum(F.col("cx") * v_expr) / F.lit(POW_SDESC))
-            .cast("bigint")
-            .alias("s")
-        )
-        y = (
-            cx.join(scores, "vec_id")
-            .groupBy("i")
-            .agg(F.sum(F.col("cx") * F.col("s")).alias("y"))
-            .collect()
-        )
-        ymap = {r["i"]: int(r["y"]) for r in y}
-        ymax = max(abs(val) for val in ymap.values()) or 1
-        # renormalize y back to ~micro scale via TRUNCATING division
-        # with a descaled (positive) denominator: y*MICRO would leave
-        # int64, and DuckDB's // truncates toward zero while Python's
-        # // floors — trunc-div on both sides keeps negative loadings
-        # bit-identical
+        y = [
+            sum(G.get(i * RP_D_IN + j, 0) * v[j] for j in range(RP_D_IN))
+            for i in range(RP_D_IN)
+        ]
+        ymax = max(abs(t) for t in y) or 1
+        # renormalize back to ~micro scale via TRUNCATING division
+        # with a descaled (positive) denominator — DuckDB's // also
+        # truncates toward zero, so the paths stay bit-identical
         denom = max(ymax // POW_MICRO, 1)
-
-        def tdiv(a: int, b: int) -> int:
-            q = abs(a) // b
-            return q if a >= 0 else -q
-
-        v = [tdiv(ymap.get(i, 0), denom) for i in range(RP_D_IN)]
+        v = [tdiv(t, denom) for t in y]
 
     rows = [(i, v[i]) for i in range(RP_D_IN)]
     return spark.createDataFrame(
@@ -696,14 +736,9 @@ def _power_oracle() -> str:
     prev = "v0"
     for t in range(1, POW_ITERS + 1):
         iters.append(
-            f"""s{t} AS MATERIALIZED (
-  SELECT c.vec_id,
-    CAST(floor(sum(c.cx * v.m) / {POW_SDESC}.0) AS BIGINT) AS s
-  FROM cx c JOIN {prev} v USING (i) GROUP BY c.vec_id
-),
-y{t} AS MATERIALIZED (
-  SELECT c.i, CAST(sum(c.cx * s.s) AS BIGINT) AS y
-  FROM cx c JOIN s{t} s USING (vec_id) GROUP BY c.i
+            f"""y{t} AS MATERIALIZED (
+  SELECT g.i, sum(CAST(g.g AS HUGEINT) * w.m) AS y
+  FROM gram g JOIN {prev} w ON w.i = g.j GROUP BY g.i
 ),
 v{t} AS MATERIALIZED (
   SELECT i, CAST(y // (SELECT greatest(max(abs(y)) // {POW_MICRO}, 1)
@@ -730,10 +765,16 @@ cx AS MATERIALIZED (
   SELECT f.vec_id, f.i, CAST(f.x - m.mu AS BIGINT) AS cx
   FROM flat f JOIN means m USING (i)
 ),
-v0 AS (SELECT u.i - 1 AS i, CAST({POW_MICRO} AS BIGINT) AS m
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.cx * b.cx) AS BIGINT) AS g
+  FROM cx a JOIN cx b USING (vec_id)
+  GROUP BY 1, 2
+),
+v0 AS (SELECT u.i - 1 AS i, CAST({POW_MICRO} AS HUGEINT) AS m
        FROM unnest(generate_series(1, {RP_D_IN})) AS u(i)),
 {",".join(iters)}
-SELECT i AS dim_idx, m AS loading_micro FROM {prev} ORDER BY dim_idx
+SELECT i AS dim_idx, CAST(m AS BIGINT) AS loading_micro
+FROM {prev} ORDER BY dim_idx
 """
 
 
