@@ -212,3 +212,65 @@ def test_power_component_dominates_random_directions(spark):
         ).astype(np.float64)
         u = (u / 2**64) - 0.5
         assert r_v >= rayleigh(u), k
+
+
+def test_two_pass_median_equals_bruteforce(spark):
+    """The histogram-refinement median must equal the lower median
+    computed by brute-force per-nation sort."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        exact_median_two_pass,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    got = {
+        r["nation_name"]: (r["n_orders"], r["median_cents"])
+        for r in exact_median_two_pass(spark, SF_SMOKE).collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    import math
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        vals[nat[cust[r["o_custkey"]]]].append(
+            math.floor(r["o_totalprice"] * 100.0 + 0.5)
+        )
+    assert set(got) == {k for k, v in vals.items() if v}
+    for name, cents in vals.items():
+        cents.sort()
+        assert got[name] == (len(cents), cents[(len(cents) + 1) // 2 - 1]), name
+
+
+def test_fs_pattern_scores_are_monotone(spark):
+    """All-agree (pattern 15) must carry the maximum weight and
+    all-disagree (pattern 0) the minimum; every per-feature agree
+    weight exceeds its disagree weight (near-dups agree more often
+    than the shifted-pair proxy on every field)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        record_linkage_fs,
+    )
+
+    rows = {
+        r["pattern"]: (r["n_pairs"], r["score_micro"])
+        for r in record_linkage_fs(spark, SF_SMOKE).collect()
+    }
+    assert rows and all(n > 0 for n, _ in rows.values())
+    scores = {p: s for p, (_, s) in rows.items()}
+    if 15 in scores:
+        assert scores[15] == max(scores.values())
+    if 0 in scores:
+        assert scores[0] == min(scores.values())
+    # monotone in the pattern lattice: adding an agreement bit never
+    # lowers the score (equivalent to w_agree >= w_disagree per field)
+    for p, s in scores.items():
+        for bit in range(4):
+            q = p | (1 << bit)
+            if q != p and q in scores:
+                assert scores[q] >= s, (p, q)

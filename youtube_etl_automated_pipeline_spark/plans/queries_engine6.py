@@ -130,25 +130,13 @@ ORDER BY vec_id
 
 
 # ------------------------------------------------------------ ROUGE
-def pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUGE-1/2 clipped-overlap scores for LSH candidate pairs.
-
-    Plan shape: the shared banded candidate set (equi-join, the dedup
-    family's machinery — all-pairs never materializes) is PERSISTED —
-    it feeds five consumers and an unpersisted subtree would re-run
-    the band self-join per consumer. Unigram and bigram counts are
-    built in ONE tagged pass (g = 1|2) over the candidate docs, also
-    persisted (two probe sides), so the clipped intersections
-    sum(least(c_a, c_b)) are a single pair of (g, gram)-keyed
-    equi-joins; P/R/F1 finalize as a conditional-aggregation pivot in
-    integer ppm (F1 = 2I/(A+B) exactly, no float). At 100 TB the
-    candidate set is the bounded relation and the n-gram joins are
-    hash-keyed and skew-free."""
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE persisted MinHash-LSH candidate-pair relation (doc_a <
+    doc_b, distinct) — shared by every pair-scoring operator in this
+    module (ROUGE, Fellegi-Sunter). Memoized per (session, sf_dir,
+    documents fingerprint): a candidate set consumed N times inside
+    one plan would otherwise re-run the band self-join N times."""
     from youtube_etl_automated_pipeline_spark.ext.dedup import band_explode
-    from youtube_etl_automated_pipeline_spark.ext.textstats import (
-        normalized_text,
-        tokens,
-    )
     from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
         memo_persist,
     )
@@ -156,8 +144,6 @@ def pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_base,
     )
     from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
-
-    fp = table_fingerprint(sf_dir, "documents")
 
     def build_cand() -> DataFrame:
         bands = band_explode(minhash_base(spark, sf_dir))
@@ -176,7 +162,39 @@ def pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    cand = memo_persist(spark, ("lsh_cand", sf_dir), build_cand, fingerprint=fp)
+    return memo_persist(
+        spark,
+        ("lsh_cand", sf_dir),
+        build_cand,
+        fingerprint=table_fingerprint(sf_dir, "documents"),
+    )
+
+
+def pair_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 clipped-overlap scores for LSH candidate pairs.
+
+    Plan shape: the shared banded candidate set (equi-join, the dedup
+    family's machinery — all-pairs never materializes) is PERSISTED —
+    it feeds five consumers and an unpersisted subtree would re-run
+    the band self-join per consumer. Unigram and bigram counts are
+    built in ONE tagged pass (g = 1|2) over the candidate docs, also
+    persisted (two probe sides), so the clipped intersections
+    sum(least(c_a, c_b)) are a single pair of (g, gram)-keyed
+    equi-joins; P/R/F1 finalize as a conditional-aggregation pivot in
+    integer ppm (F1 = 2I/(A+B) exactly, no float). At 100 TB the
+    candidate set is the bounded relation and the n-gram joins are
+    hash-keyed and skew-free."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        normalized_text,
+        tokens,
+    )
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "documents")
+    cand = lsh_candidates(spark, sf_dir)
 
     def build_cnt() -> DataFrame:
         cand_docs = (
@@ -803,3 +821,409 @@ def _oracles_engine6() -> dict[str, str]:
 
 
 ORACLES_ENGINE6 = _oracles_engine6()
+
+
+# ------------------------------------------- two-pass exact median
+MED_BUCKET_WIDTH = 4096  # cents per histogram bucket (pass-1 grain)
+
+
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-nation median order value WITHOUT a global sort — the
+    classic two-pass histogram-refinement quantile used where a full
+    per-group sort of 100 TB of values is unaffordable:
+
+    pass 1 (map-side combinable): per (nation, cents DIV width)
+    histogram — the bucket relation is bounded by groups x
+    value-range/width regardless of row count; a per-nation running
+    sum over the SMALL bucket table locates the bucket containing the
+    lower-median rank r = (n+1) DIV 2 and the in-bucket offset.
+
+    pass 2: only rows landing in each nation's median bucket (one
+    broadcast semi-join; selectivity ~ 1/buckets) are ranked BY VALUE
+    within the (nation, bucket) partition, and the row at the offset
+    is the exact median. Ties in cents are safe: any tie order yields
+    the same VALUE at the offset. All-integer arithmetic end to end.
+
+    Output: nation_name, n_orders, median_cents, median_price."""
+    from youtube_etl_automated_pipeline_spark.functions.compat import units
+    from pyspark.sql import Window
+
+    cust = load_wide(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = load_wide(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation_name")
+    )
+    # SQL percentile convention: NULL values carry no rank — exclude
+    # them (both twins), so n and the target rank count real values
+    orders = (
+        load_wide(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_custkey", units(F.col("o_totalprice"), 2).alias("cents"))
+        .join(F.broadcast(cust), "o_custkey")
+        .select("c_nationkey", "cents")
+    )
+    hist = orders.withColumn(
+        "b", F.expr(f"CAST(cents DIV {MED_BUCKET_WIDTH} AS BIGINT)")
+    ).groupBy("c_nationkey", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    w = Window.partitionBy("c_nationkey").orderBy("b")
+    cum = hist.select(
+        "c_nationkey",
+        "b",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    n_per = hist.groupBy("c_nationkey").agg(F.sum("cnt").alias("n"))
+    target = n_per.select(
+        "c_nationkey", "n", F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("r")
+    )
+    pick = (
+        cum.join(target, "c_nationkey")
+        .filter((F.col("below") < F.col("r")) & (F.col("r") <= F.col("cum")))
+        .select(
+            "c_nationkey",
+            "b",
+            "n",
+            (F.col("r") - F.col("below")).alias("off"),
+        )
+    )
+
+    w2 = Window.partitionBy("c_nationkey", "b").orderBy("cents")
+    med = (
+        orders.withColumn(
+            "b", F.expr(f"CAST(cents DIV {MED_BUCKET_WIDTH} AS BIGINT)")
+        )
+        .join(F.broadcast(pick), ["c_nationkey", "b"])
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.col("off"))
+        .select("c_nationkey", "n", F.col("cents").alias("median_cents"))
+    )
+    return (
+        med.join(F.broadcast(nat), med.c_nationkey == nat.n_nationkey)
+        .select(
+            "nation_name",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("median_cents").cast("bigint").alias("median_cents"),
+            (F.col("median_cents") / 100.0).alias("median_price"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+_MEDIAN_ORACLE = f"""
+WITH o AS (
+  SELECT c.c_nationkey,
+    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer c ON c.c_custkey = o_custkey
+  WHERE o_totalprice IS NOT NULL
+),
+ranked AS (
+  SELECT c_nationkey, cents,
+    row_number() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rn,
+    count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM o
+)
+SELECT nn.n_name AS nation_name,
+  CAST(n AS BIGINT) AS n_orders,
+  CAST(cents AS BIGINT) AS median_cents,
+  cents / 100.0 AS median_price
+FROM ranked JOIN nation nn ON nn.n_nationkey = ranked.c_nationkey
+WHERE rn = (n + 1) // 2
+ORDER BY nation_name
+"""
+
+QUERIES_ENGINE6["exact_median_two_pass"] = exact_median_two_pass
+ORACLES_ENGINE6["exact_median_two_pass"] = _MEDIAN_ORACLE
+
+
+# ------------------------------------------- Fellegi-Sunter linkage
+FS_LEN_BUCKET = 256
+FS_TOK_BUCKET = 32
+# The shared ln fragment (DSIR / Kaplan-Meier exposure argument): ONE
+# textually-identical expression evaluated by BOTH engines on
+# identical integer counts — a rounding flip needs the true value
+# within ~2 ulp of a .5 micro boundary. Add-one smoothing keeps every
+# ratio finite even when a proxy set is empty or saturated.
+_FS_W_AGREE = (
+    "CAST(floor(ln((CAST(a_m + 1 AS DOUBLE) * (n_u + 2))"
+    " / (CAST(a_u + 1 AS DOUBLE) * (n_m + 2))) * 1e6 + 0.5) AS BIGINT)"
+)
+_FS_W_DISAGREE = (
+    "CAST(floor(ln((CAST(n_m + 1 - a_m AS DOUBLE) * (n_u + 2))"
+    " / (CAST(n_u + 1 - a_u AS DOUBLE) * (n_m + 2))) * 1e6 + 0.5) AS BIGINT)"
+)
+_FS_FEATURES = ("lang", "source", "len_b", "tok_b")
+
+
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring — the
+    entity-resolution operator that turns per-field agreement into a
+    calibrated match weight (the backbone of production dedup linkers
+    like Splink). Fields: lang, source, length bucket, token-count
+    bucket (null-safe equality: missing == missing counts as
+    agreement, identically in both engines).
+
+    m-probabilities are estimated from a MATCH PROXY — the LSH
+    candidate pairs whose exact shingle Jaccard clears the dedup
+    family's threshold; u-probabilities from a NON-MATCH PROXY — the
+    deterministic rank-shift pairing (doc at sorted position r vs
+    r + n/2: a fixed, reproducible "random pairs" stand-in). Both are
+    one aggregation each (4 conditional sums + a count). Per-feature
+    agree/disagree log-weights evaluate the SAME ln text on the same
+    integers in both engines (DSIR exposure argument), floored to
+    integer micro-units.
+
+    Because the score is a function of the 4-bit agreement PATTERN
+    alone, the gate output is the complete pattern census over all
+    candidate pairs: (pattern, n_pairs, score_micro) — at most 16
+    rows. Scale shape: candidates come from the shared persisted
+    banding (never all-pairs); proxies and censuses are map-side
+    combinable aggs; the weight table is one broadcast row."""
+    from youtube_etl_automated_pipeline_spark.ext.textstats import (
+        normalized_text,
+        tokens,
+    )
+    from youtube_etl_automated_pipeline_spark.functions.compat import hround
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        JACCARD_THRESHOLD,
+        minhash_base,
+    )
+
+    cand = lsh_candidates(spark, sf_dir)
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = tokens(normalized_text(F.col("text")))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"CAST(n_chars DIV {FS_LEN_BUCKET} AS BIGINT)").alias("len_b"),
+        F.floor(F.size(toks) / F.lit(FS_TOK_BUCKET))
+        .cast("bigint")
+        .alias("tok_b"),
+    )
+
+    def agree_bits(pairs: DataFrame) -> DataFrame:
+        fa = feats.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f).alias(f"{f}_a") for f in _FS_FEATURES],
+        )
+        fb = feats.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f).alias(f"{f}_b") for f in _FS_FEATURES],
+        )
+        out = pairs.join(fa, "doc_a").join(fb, "doc_b")
+        for f in _FS_FEATURES:
+            out = out.withColumn(
+                f"ag_{f}",
+                F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")).cast("int"),
+            )
+        return out.select(
+            "doc_a", "doc_b", *[f"ag_{f}" for f in _FS_FEATURES]
+        )
+
+    # match proxy: Jaccard-verified near-dup candidate pairs
+    base = minhash_base(spark, sf_dir)
+    sets_a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("hash_set").alias("set_a")
+    )
+    sets_b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("hash_set").alias("set_b")
+    )
+    m_pairs = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .filter(
+            hround(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                4,
+            )
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    # non-match proxy: deterministic id-shift pairing (doc i vs doc
+    # i + n/2, inner equi-join on the shifted key — no global window,
+    # no sequence; on a sparse id space the inner join simply yields
+    # the ids whose shifted partner exists, which stays deterministic)
+    half = docs.count() // 2  # one scalar — bounded by construction
+    ids = docs.select("doc_id")
+    u_pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + F.lit(half),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+    def proxy_counts(pairs: DataFrame, n_name: str, a_prefix: str) -> DataFrame:
+        bits = agree_bits(pairs)
+        return bits.agg(
+            F.count(F.lit(1)).alias(n_name),
+            *[
+                F.sum(f"ag_{f}").alias(f"{a_prefix}_{f}")
+                for f in _FS_FEATURES
+            ],
+        )
+
+    counts = proxy_counts(m_pairs, "n_m", "am").crossJoin(
+        proxy_counts(u_pairs, "n_u", "au")
+    )  # 1 row x 1 row — the scalar-broadcast pattern
+
+    census = (
+        agree_bits(cand)
+        .select(
+            F.expr(
+                "CAST("
+                + " + ".join(
+                    f"ag_{f} * {1 << (len(_FS_FEATURES) - 1 - k)}"
+                    for k, f in enumerate(_FS_FEATURES)
+                )
+                + " AS INT)"
+            ).alias("pattern"),
+            *[F.col(f"ag_{f}") for f in _FS_FEATURES],
+        )
+        .groupBy("pattern", *[f"ag_{f}" for f in _FS_FEATURES])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    scored = census.crossJoin(F.broadcast(counts))
+    score = None
+    for f in _FS_FEATURES:
+        wa = _FS_W_AGREE.replace("a_m", f"am_{f}").replace("a_u", f"au_{f}")
+        wd = _FS_W_DISAGREE.replace("a_m", f"am_{f}").replace(
+            "a_u", f"au_{f}"
+        )
+        term = F.expr(f"CASE WHEN ag_{f} = 1 THEN {wa} ELSE {wd} END")
+        score = term if score is None else score + term
+    return (
+        scored.select(
+            "pattern",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            score.cast("bigint").alias("score_micro"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def _fs_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.ext.dedup import N_PERM
+    from youtube_etl_automated_pipeline_spark.ext.textstats import WS_CLASS
+    from youtube_etl_automated_pipeline_spark.plans.oracles_dedup_adv import (
+        _JACC,
+        _SH_HASHES,
+        _sig,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        JACCARD_THRESHOLD,
+    )
+
+    toks = f"string_split_regex(trim(text), '{WS_CLASS}+')"
+    tok_cnt = (
+        f"CASE WHEN text IS NULL OR trim(text) = '' THEN 0"
+        f" ELSE len({toks}) END"
+    )
+    ag = {
+        "lang": "fa.lang IS NOT DISTINCT FROM fb.lang",
+        "source": "fa.source IS NOT DISTINCT FROM fb.source",
+        "len_b": "fa.len_b IS NOT DISTINCT FROM fb.len_b",
+        "tok_b": "fa.tok_b IS NOT DISTINCT FROM fb.tok_b",
+    }
+    bit_cols = ", ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS ag_{f}"
+        for f, cond in ag.items()
+    )
+    pattern = " + ".join(
+        f"ag_{f} * {1 << (len(_FS_FEATURES) - 1 - k)}"
+        for k, f in enumerate(_FS_FEATURES)
+    )
+    score_terms = []
+    for f in _FS_FEATURES:
+        wa = _FS_W_AGREE.replace("a_m", f"am_{f}").replace("a_u", f"au_{f}")
+        wd = _FS_W_DISAGREE.replace("a_m", f"am_{f}").replace(
+            "a_u", f"au_{f}"
+        )
+        score_terms.append(f"CASE WHEN ag_{f} = 1 THEN {wa} ELSE {wd} END")
+    agg_m = ", ".join(
+        f"CAST(sum(ag_{f}) AS BIGINT) AS am_{f}" for f in _FS_FEATURES
+    )
+    agg_u = ", ".join(
+        f"CAST(sum(ag_{f}) AS BIGINT) AS au_{f}" for f in _FS_FEATURES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SH_HASHES} AS hs
+  FROM documents
+  WHERE len({_SH_HASHES}) >= 3
+),
+sigs AS MATERIALIZED (
+  SELECT doc_id, hs,
+    {", ".join(f"{_sig(j)} AS sig_{j}" for j in range(N_PERM))}
+  FROM base
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.doc_id < b.doc_id
+   AND ({" OR ".join(f"a.sig_{j} = b.sig_{j}" for j in range(N_PERM))})
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+    CAST(n_chars // {FS_LEN_BUCKET} AS BIGINT) AS len_b,
+    CAST(({tok_cnt}) // {FS_TOK_BUCKET} AS BIGINT) AS tok_b
+  FROM documents
+),
+cand_bits AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, {bit_cols}
+  FROM cand c JOIN feats fa ON fa.doc_id = c.doc_a
+  JOIN feats fb ON fb.doc_id = c.doc_b
+),
+m_pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN base a ON a.doc_id = c.doc_a
+  JOIN base b ON b.doc_id = c.doc_b
+  WHERE ({_JACC.replace("n_inter", "len(list_intersect(a.hs, b.hs))")
+            .replace("n_union",
+                     "len(list_distinct(list_concat(a.hs, b.hs)))")})
+        >= {JACCARD_THRESHOLD}
+),
+m_bits AS (
+  SELECT {bit_cols}
+  FROM m_pairs c JOIN feats fa ON fa.doc_id = c.doc_a
+  JOIN feats fb ON fb.doc_id = c.doc_b
+),
+u_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + (SELECT count(*) // 2 FROM documents)
+),
+u_bits AS (
+  SELECT {bit_cols}
+  FROM u_pairs c JOIN feats fa ON fa.doc_id = c.doc_a
+  JOIN feats fb ON fb.doc_id = c.doc_b
+),
+counts AS (
+  SELECT * FROM
+    (SELECT CAST(count(*) AS BIGINT) AS n_m, {agg_m} FROM m_bits),
+    (SELECT CAST(count(*) AS BIGINT) AS n_u, {agg_u} FROM u_bits)
+),
+census AS (
+  SELECT CAST({pattern} AS INT) AS pattern,
+    {", ".join(f"ag_{f}" for f in _FS_FEATURES)},
+    CAST(count(*) AS BIGINT) AS n_pairs
+  FROM cand_bits
+  GROUP BY ALL
+)
+SELECT pattern, n_pairs,
+  CAST({" + ".join(score_terms)} AS BIGINT) AS score_micro
+FROM census, counts
+ORDER BY pattern
+"""
+
+
+QUERIES_ENGINE6["record_linkage_fs"] = record_linkage_fs
+ORACLES_ENGINE6["record_linkage_fs"] = _fs_oracle()
