@@ -496,6 +496,7 @@ BOUNDED_BNL_JOINS = {
     "bitext_margin_mining": "8-query batch, then <= K*8 candidate side",
     "join_skew_diagnostics": "1-row key-count stats broadcast",
     "dsir_importance_weights": "1-row (tot_t, tot_r) totals broadcast",
+    "record_linkage_fs": "1-row m/u proxy-count broadcast onto a <=16-row census",
     "retrieval_mmr_rerank": "1-row collapsed pool/sims arrays",
     "quantile_normalization_scores": "1-row pooled 21-quantile array",
     "cohens_kappa_langid": "1-row totals broadcast",
