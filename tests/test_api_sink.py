@@ -135,3 +135,51 @@ def test_api_stream_sink_publishes_per_batch_manifests(spark, tmp_path):
         os.path.join(target, "batch=*", "*.jsonl")
     )
     assert back.count() == n
+
+
+def test_api_sink_late_write_after_abort_leaves_no_zombie(tmp_path):
+    """Round-8 regression for the abort race: a task still DRAINING
+    when the driver aborts must not leave a zombie staged file (or a
+    recreated empty ``_staging`` dir) behind. The driver-side
+    ``abort()`` touches a job-scoped marker BEFORE sweeping staging;
+    ``write()`` re-checks the marker after staging, so a write that
+    lands after the rmtree self-cleans and fails the task.
+
+    Driven directly against the writer object (no Spark job) so the
+    interleaving is deterministic: abort first, then the late write."""
+    import pyarrow as pa
+
+    from youtube_etl_automated_pipeline_spark.sources.api_sink import (
+        BatchedApiWriter,
+        _staging_dir,
+    )
+
+    target = str(tmp_path / "sink")
+    os.makedirs(target)
+    writer = BatchedApiWriter({"path": target, "batch_size": 10}, False)
+
+    # Driver aborts while (conceptually) a task is mid-drain.
+    writer.abort([])
+    assert not os.path.exists(_staging_dir(target))
+
+    # The straggler task's write() now lands: pre-check refuses.
+    batch = pa.record_batch({"k": pa.array([1, 2, 3])})
+    with pytest.raises(RuntimeError, match="aborted"):
+        writer.write(iter([batch]))
+    assert not os.path.exists(_staging_dir(target))
+
+    # Worst-case interleaving: the task passes the pre-check, stages
+    # its file, and only THEN does the driver abort (marker + rmtree).
+    # Simulate by having the row iterator itself fire the abort
+    # mid-drain — the post-staging marker check must sweep the
+    # recreated staging dir (zombie file included) and fail the task.
+    writer2 = BatchedApiWriter({"path": target, "batch_size": 10}, False)
+
+    def draining_batches():
+        yield batch  # task is mid-drain: staging file exists now
+        writer2.abort([])  # driver aborts underneath it
+        yield batch  # straggler keeps writing after the rmtree
+
+    with pytest.raises(RuntimeError, match="aborted during write"):
+        writer2.write(draining_batches())
+    assert not os.path.exists(_staging_dir(target))

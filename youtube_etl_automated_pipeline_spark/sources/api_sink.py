@@ -57,14 +57,31 @@ def _staging_dir(target: str) -> str:
     return os.path.join(target, "_staging")
 
 
+def _abort_marker(target: str, token: str) -> str:
+    # The marker lives OUTSIDE _staging so aborting can both signal
+    # (touch marker) and clean (rmtree staging) without the signal
+    # being destroyed by the cleanup.
+    return os.path.join(target, f".abort-{token}")
+
+
 class BatchedApiWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.target = options["path"]
         self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
         self.overwrite = overwrite
+        # Job-unique abort token, minted driver-side when the writer is
+        # constructed and pickled into every task. abort() touches the
+        # marker BEFORE sweeping staging; write() re-checks it AFTER
+        # staging its file, so a task still draining when the driver
+        # aborts cannot leave a zombie file (or a recreated empty
+        # _staging dir) behind — it sees the marker and self-cleans.
+        self.abort_token = options.get("_abort_token") or uuid.uuid4().hex
 
     # -- executor side -------------------------------------------------
     def write(self, iterator: Iterator) -> ApiSinkCommit:
+        marker = _abort_marker(self.target, self.abort_token)
+        if os.path.exists(marker):
+            raise RuntimeError("api_batch_sink: job already aborted")
         os.makedirs(_staging_dir(self.target), exist_ok=True)
         # uuid per task ATTEMPT: a retried task stages a fresh file and
         # only the message the driver receives gets published.
@@ -77,6 +94,13 @@ class BatchedApiWriter(DataSourceArrowWriter):
                     f.write(json.dumps(rec, sort_keys=True, default=str))
                     f.write("\n")
                 rows += batch.num_rows
+        if os.path.exists(marker):
+            # Abort raced our staging: everything under _staging is
+            # doomed regardless of owner, so sweep it (including the
+            # dir itself, in case our makedirs recreated it after the
+            # driver's rmtree) and fail the task.
+            shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
+            raise RuntimeError("api_batch_sink: job aborted during write")
         requests = math.ceil(rows / self.batch_size) if rows else 0
         return ApiSinkCommit(staged_file=fname, rows=rows, requests=requests)
 
@@ -102,8 +126,26 @@ class BatchedApiWriter(DataSourceArrowWriter):
         with open(os.path.join(self.target, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
+        # Sweep stale abort markers from PRIOR aborted jobs against the
+        # same target (this job's own marker can't exist: commit and
+        # abort are mutually exclusive for one job).
+        for entry in os.listdir(self.target):
+            if entry.startswith(".abort-"):
+                try:
+                    os.remove(os.path.join(self.target, entry))
+                except OSError:
+                    pass
 
     def abort(self, messages: List[Optional[ApiSinkCommit]]) -> None:
+        # Marker FIRST, sweep second: any write() that stages (or
+        # recreates _staging) after this rmtree must also observe the
+        # marker in its post-write check and self-clean, so no zombie
+        # staged file or empty _staging dir can outlive the abort.
+        try:
+            with open(_abort_marker(self.target, self.abort_token), "w"):
+                pass
+        except OSError:
+            pass  # target dir itself gone — nothing to protect
         shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
 
 
@@ -119,10 +161,19 @@ class BatchedApiStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict):
         self.target = options["path"]
         self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+        # One token per stream-writer instance (i.e. per query run); a
+        # restarted query gets a fresh token, so a stale marker from an
+        # aborted prior run never blocks the replay.
+        self.abort_token = uuid.uuid4().hex
 
     def write(self, iterator: Iterator) -> ApiSinkCommit:
         return BatchedApiWriter(
-            {"path": self.target, "batch_size": self.batch_size}, False
+            {
+                "path": self.target,
+                "batch_size": self.batch_size,
+                "_abort_token": self.abort_token,
+            },
+            False,
         ).write(iterator)
 
     def commit(self, messages: List[Optional[ApiSinkCommit]], batchId: int) -> None:
@@ -144,8 +195,21 @@ class BatchedApiStreamWriter(DataSourceStreamArrowWriter):
         }
         with open(os.path.join(batch_dir, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        for entry in os.listdir(self.target):
+            if entry.startswith(".abort-"):
+                try:
+                    os.remove(os.path.join(self.target, entry))
+                except OSError:
+                    pass
 
     def abort(self, messages: List[Optional[ApiSinkCommit]], batchId: int) -> None:
+        # Same marker-first protocol as the batch writer (see
+        # BatchedApiWriter.abort): draining tasks self-clean.
+        try:
+            with open(_abort_marker(self.target, self.abort_token), "w"):
+                pass
+        except OSError:
+            pass
         shutil.rmtree(_staging_dir(self.target), ignore_errors=True)
 
 
