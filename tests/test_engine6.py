@@ -166,6 +166,31 @@ def test_bradley_terry_invariants(spark):
     assert by_rate[0]["priority"] == by_w[0]["priority"]
 
 
+def test_bradley_terry_distributed_matches_collected(spark):
+    """Round 8: the in-engine MM trainer (joins + keyed aggs over the
+    games relation, weight relation localCheckpoint-ed per round, NO
+    games.collect()) walks the identical integer fixed point as the
+    collected driver loop — row-for-row equality, and the distributed
+    plan carries the checkpointed weight relation (ExistingRDD) rather
+    than an inlined literal CASE over driver-computed weights."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        preference_bradley_terry,
+        preference_bradley_terry_distributed,
+    )
+
+    dist = preference_bradley_terry_distributed(spark, SF_SMOKE)
+    got = sorted(map(tuple, dist.collect()))
+    want = sorted(
+        map(tuple, preference_bradley_terry(spark, SF_SMOKE).collect())
+    )
+    assert got == want and len(got) == 5
+    # plan witness: final weights come from a checkpointed RDD scan,
+    # not a driver-inlined CASE WHEN literal chain
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert "CASE WHEN (i =" not in plan, plan
+
+
 def test_power_component_dominates_random_directions(spark):
     """Spectral sanity: after POW_ITERS rounds the returned loading
     vector's Rayleigh quotient on the centered data must beat every
@@ -274,3 +299,70 @@ def test_fs_pattern_scores_are_monotone(spark):
             q = p | (1 << bit)
             if q != p and q in scores:
                 assert scores[q] >= s, (p, q)
+
+
+def test_median_bucket_relation_is_range_invariant(spark):
+    """Round 8: the fixed-bucket histogram median must (a) stay exact
+    on a heavy-tailed column spanning ~1e16, and (b) keep its bucket
+    relation bounded by groups x MED_BUCKETS — range-INVARIANT, where
+    the round-7 value DIV width grain would have needed ~1e12 buckets."""
+    from pyspark.sql import functions as F
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        MED_BUCKETS,
+        _median_base,
+        _median_hist,
+        group_median_exact,
+    )
+
+    # deterministic heavy tail: v = id^3 * 1009 + id, span ~ 8.1e15
+    df = spark.range(20001).select(
+        (F.col("id") % 7).cast("int").alias("c_nationkey"),
+        (F.col("id") * F.col("id") * F.col("id") * 1009 + F.col("id")).alias(
+            "v"
+        ),
+    )
+    got = {
+        r["c_nationkey"]: (r["n"], r["median_val"])
+        for r in group_median_exact(df, "v").collect()
+    }
+    # brute force lower median per group
+    want = {}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in df.collect():
+        groups[r["c_nationkey"]].append(r["v"])
+    for k, vs in groups.items():
+        vs.sort()
+        want[k] = (len(vs), vs[(len(vs) + 1) // 2 - 1])
+    assert got == want
+
+    # bucket-relation bound at the 1e16 span: groups x MED_BUCKETS max
+    base, _ = _median_base(df, "v", MED_BUCKETS)
+    hist_rows = _median_hist(base, "b1").count()
+    assert hist_rows <= 7 * MED_BUCKETS, hist_rows
+    # and b1 never escapes [0, B)
+    mm = base.agg(F.min("b1").alias("lo"), F.max("b1").alias("hi")).first()
+    assert 0 <= mm["lo"] and mm["hi"] < MED_BUCKETS, mm
+
+
+def test_group_median_single_value_and_tiny_groups(spark):
+    """Degenerate spans: all-equal values (span=1 -> every row lands
+    in bucket 0 at both rounds) and 1-2 row groups still return the
+    exact lower median."""
+    from pyspark.sql import functions as F
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        group_median_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 42), (0, 42), (0, 42), (1, 7), (2, 5), (2, 9)],
+        "c_nationkey int, v long",
+    )
+    got = {
+        r["c_nationkey"]: (r["n"], r["median_val"])
+        for r in group_median_exact(df, "v").collect()
+    }
+    assert got == {0: (3, 42), 1: (1, 7), 2: (2, 5)}

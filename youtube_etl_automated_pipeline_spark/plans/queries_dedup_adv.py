@@ -455,6 +455,67 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_DEDUP_ADV["dedup_incremental_batch"] = dedup_incremental_batch
 
 
+def _index_root() -> str:
+    """Root dir for the persisted signature index. Env-overridable
+    (``SPARK_GRAFT_INDEX_DIR`` — a real deployment points this at the
+    index's durable home); the local default is a per-uid 0700 dir so
+    no other local user can pre-plant data at a predictable path. If
+    the default path exists but is not ours / not private, fall back
+    to a fresh private mkdtemp for this process rather than trust it."""
+    import tempfile
+
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_minhash_index-{os.getuid()}"
+    )
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            raise OSError("untrusted index root")
+    except OSError:
+        global _FALLBACK_INDEX_ROOT
+        if _FALLBACK_INDEX_ROOT is None:
+            _FALLBACK_INDEX_ROOT = tempfile.mkdtemp(prefix="spark_graft_idx-")
+        return _FALLBACK_INDEX_ROOT
+    _sweep_stale_builds(d)
+    return d
+
+
+def _sweep_stale_builds(root: str) -> None:
+    """Bound index-root growth: drop crashed builders' ``.build-*``
+    leftovers (>1h old) and published fingerprints unused for 7 days —
+    a rewritten table or changed params re-keys, so old keys are dead."""
+    import shutil
+    import time
+
+    import os
+
+    now = time.time()
+    for sf_tag in os.listdir(root):
+        sub = os.path.join(root, sf_tag)
+        if not os.path.isdir(sub):
+            continue
+        for name in os.listdir(sub):
+            p = os.path.join(sub, name)
+            try:
+                age = now - os.path.getmtime(p)
+                if ".build-" in name and age > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+                elif age > 7 * 86400:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+
+_FALLBACK_INDEX_ROOT = None
+
+
 def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup a NEW shard against a PERSISTED signature index — the
     parquet round-trip the production story promises ("the index
@@ -485,18 +546,36 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     base = minhash_base(spark, sf_dir)
+    # Cache key = (table fingerprint) x (code/parameter version salt):
+    # a change to the permutation count, shard modulus, shingle width,
+    # or the index schema itself must MISS, never serve a stale index
+    # built under the old parameters across process runs.
+    version_salt = repr(
+        (N_PERM, INCREMENTAL_BATCH_MOD, JACCARD_THRESHOLD, "shingle=3",
+         tuple(sorted(base.columns)))
+    )
     fp_tag = hashlib.md5(
-        repr(table_fingerprint(sf_dir, "documents")).encode()
-    ).hexdigest()[:12]
+        (repr(table_fingerprint(sf_dir, "documents")) + version_salt).encode()
+    ).hexdigest()[:16]
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = os.path.join("/tmp/spark_graft_minhash_index", sf_tag, fp_tag)
-    # one write per (sf_dir, table fingerprint): a rewritten documents
-    # table changes fp_tag and rebuilds; _SUCCESS is Spark's own
-    # commit marker, so a killed half-write is never trusted
+    idx_dir = os.path.join(_index_root(), sf_tag, fp_tag)
+    # one write per (sf_dir, fingerprint, params): _SUCCESS is Spark's
+    # own commit marker, so a killed half-write is never trusted; the
+    # PUBLISH is write-to-private-tmp + atomic rename, so concurrent
+    # builders (parallel test workers) race benignly — first rename
+    # wins, losers discard their build and read the winner's.
     if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        import shutil
+        import uuid as _uuid
+
+        tmp_dir = f"{idx_dir}.build-{_uuid.uuid4().hex}"
         base.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0).write.mode(
             "overwrite"
-        ).parquet(idx_dir)
+        ).parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, idx_dir)
+        except OSError:  # lost the publish race: keep the winner's
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     corpus = spark.read.parquet(idx_dir)  # fresh from-disk scan plan
     shard = base.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
     return shard_probe(corpus, shard)

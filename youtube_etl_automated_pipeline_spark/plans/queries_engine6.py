@@ -463,29 +463,17 @@ BT_MICRO = 1_000_000  # weight unit
 BT_NUM = 1_000_000_000_000  # integer-DIV numerator scale (1e12)
 
 
-def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bradley-Terry strength per order-priority class.
+def _bt_relations(spark: SparkSession, sf_dir: str):
+    """The shared Bradley-Terry input relations: persisted duel pair
+    counts ``pc(winner, loser, n)``, the symmetric game-count relation
+    ``games(i, j, n_ij)``, and win totals ``wins(winner, w_i)``. The
+    duel log is ONE window + one aggregation over orders (consecutive
+    same-customer orders of different priority duel; higher exact-cent
+    total wins, ties -> the earlier order). Shared by the collected
+    and the distributed MM trainers so both provably start from the
+    same relation."""
+    from pyspark.sql import Window
 
-    Comparisons: within each customer, consecutive orders (by
-    o_orderkey) compete; the order with the higher total price wins
-    (exact-integer cents; ties -> the earlier order wins — a total,
-    deterministic rule). Same-priority pairs carry no signal and are
-    dropped. The pair-count relation N_ij is ONE window + one
-    aggregation over orders.
-
-    MM iterations (Hunter 2004): w_i <- W_i / sum_j N_ij/(w_i+w_j),
-    quantized each round to integer micro-units with integer DIV so
-    the fixed-point path is bit-identical in both engines (the
-    divisions' truncation is part of the operator definition, like
-    the logreg bigint gradients). The weight vector is one row per
-    priority class (5) — the bounded-collect class of the k-means
-    centroid table — re-inlined as a literal CASE per iteration, so
-    each iteration is one broadcast-free aggregation over N_ij.
-
-    At 100 TB: the expensive relation is the comparison log; N_ij is
-    its keyed aggregate (entities^2 at worst, sparse in practice);
-    each MM round is one map-side-combinable agg over N_ij keyed by
-    entity. K is fixed — no driver-dependent convergence loop."""
     from youtube_etl_automated_pipeline_spark.functions.compat import units
     from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
         memo_persist,
@@ -493,8 +481,6 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
 
     def build_pairs() -> DataFrame:
-        from pyspark.sql import Window
-
         orders = load_wide(spark, sf_dir, "orders").select(
             "o_custkey",
             "o_orderkey",
@@ -528,9 +514,6 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_pairs,
         fingerprint=table_fingerprint(sf_dir, "orders"),
     )
-
-    # symmetric game counts N_ij and win totals W_i (5-class entity
-    # space: every relation below is <= 25 rows)
     games = (
         pc.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
         .unionByName(
@@ -542,6 +525,33 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_ij"))
     )
     wins = pc.groupBy("winner").agg(F.sum("n").alias("w_i"))
+    return games, wins, pc
+
+
+def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength per order-priority class.
+
+    Comparisons: within each customer, consecutive orders (by
+    o_orderkey) compete; the order with the higher total price wins
+    (exact-integer cents; ties -> the earlier order wins — a total,
+    deterministic rule). Same-priority pairs carry no signal and are
+    dropped. The pair-count relation N_ij is ONE window + one
+    aggregation over orders.
+
+    MM iterations (Hunter 2004): w_i <- W_i / sum_j N_ij/(w_i+w_j),
+    quantized each round to integer micro-units with integer DIV so
+    the fixed-point path is bit-identical in both engines (the
+    divisions' truncation is part of the operator definition, like
+    the logreg bigint gradients). The weight vector is one row per
+    priority class (5) — the bounded-collect class of the k-means
+    centroid table — re-inlined as a literal CASE per iteration, so
+    each iteration is one broadcast-free aggregation over N_ij.
+
+    At 100 TB: the expensive relation is the comparison log; N_ij is
+    its keyed aggregate (entities^2 at worst, sparse in practice);
+    each MM round is one map-side-combinable agg over N_ij keyed by
+    entity. K is fixed — no driver-dependent convergence loop."""
+    games, wins, pc = _bt_relations(spark, sf_dir)
 
     w_rows = {
         r["i"]: BT_MICRO
@@ -583,17 +593,106 @@ def preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def preference_bradley_terry_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry with the MM rounds run IN-ENGINE — the shape the
+    collected variant's docstring promises for real entity
+    cardinality, now runnable (round 8; the logreg-trainer pattern of
+    per-round in-engine aggregation, applied to a keyed weight
+    RELATION instead of a scalar model row). Same duel log, same
+    integer fixed point, same oracle as ``preference_bradley_terry``
+    — `tests/test_engine6.py` asserts the two queries are row-identical.
+
+    Each MM round w_i <- W_i*S // sum_j (N_ij*S // (w_i + w_j)) is:
+    games ⋈ w on i ⋈ w on j (both joins broadcast the ≤entities-row
+    weight relation), one map-side-combinable sum keyed by i, a left
+    join to wins (coalesced to 0 — zero-win classes pin m = 0, the
+    same contract the oracle's coalesce replays). The weight relation
+    is ``localCheckpoint``-ed each round: lineage would otherwise
+    double per round (w_t references w_{t-1} twice), and checkpointing
+    keeps the per-round plan flat — 8 tiny jobs over an
+    entities-bounded relation, with NO ``games.collect()`` anywhere.
+
+    At 100 TB: N_ij is entities² at worst (sparse in practice) and
+    stays fully distributed; the weight relation is entities-bounded
+    (shuffle-join instead of broadcast if entities outgrow the
+    broadcast threshold — same plan, Spark picks); driver memory is
+    O(1). K fixed — no convergence-dependent driver loop."""
+    games, wins, _ = _bt_relations(spark, sf_dir)
+    games = games.localCheckpoint(eager=False)  # reused 2x/round + final
+
+    w = games.select("i").distinct().select(
+        "i", F.lit(BT_MICRO).cast("bigint").alias("m")
+    )
+    wins_i = wins.select(F.col("winner").alias("i"), "w_i")
+    for _ in range(BT_ITERS):
+        # integer DIV via expr so truncation matches Python // on the
+        # all-positive operands (the fixed-point definition)
+        denom = (
+            games.join(w.select("i", F.col("m").alias("m_i")), "i")
+            .join(
+                w.select(F.col("i").alias("j"), F.col("m").alias("m_j")), "j"
+            )
+            .select(
+                "i",
+                F.expr(f"n_ij * CAST({BT_NUM} AS BIGINT) div (m_i + m_j)").alias(
+                    "term"
+                ),
+            )
+            .groupBy("i")
+            .agg(F.sum("term").alias("den"))
+        )
+        w = (
+            denom.join(wins_i, "i", "left")
+            .select(
+                "i",
+                F.when(
+                    F.col("den") > 0,
+                    F.expr(
+                        f"coalesce(w_i, 0) * CAST({BT_NUM} AS BIGINT) div den"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    per_class = games.groupBy("i").agg(F.sum("n_ij").alias("games"))
+    return (
+        per_class.join(wins_i, "i", "left")
+        .join(w, "i")
+        .select(
+            F.col("i").alias("priority"),
+            F.col("games").cast("bigint").alias("games"),
+            F.coalesce("w_i", F.lit(0)).cast("bigint").alias("wins"),
+            F.col("m").alias("bt_micro"),
+        )
+        .orderBy("priority")
+    )
+
+
 def _bt_oracle() -> str:
     iters = []
     prev = "w0"
     for t in range(1, BT_ITERS + 1):
+        # wins is COALESCED to 0 (a zero-win class's m must become 0,
+        # not NULL — an un-coalesced NULL would poison every other
+        # class's denominator subquery next round and SQL sum() would
+        # silently DROP those n_ij terms, diverging from the engine's
+        # wins_local.get(k, 0) path); the denominator m lookups are
+        # coalesced too so the oracle replays the engine's zero-win
+        # fixed point exactly even if a future edit re-breaks one side.
         iters.append(
             f"""w{t} AS MATERIALIZED (
   SELECT g.i,
-    CAST((SELECT wins FROM wins wi WHERE wi.i = g.i) * {BT_NUM}
+    CAST(coalesce((SELECT wins FROM wins wi WHERE wi.i = g.i), 0) * {BT_NUM}
       // sum(g.n_ij * {BT_NUM}
-             // ((SELECT m FROM {prev} a WHERE a.i = g.i)
-                + (SELECT m FROM {prev} b WHERE b.i = g.j))) AS BIGINT) AS m
+             // (coalesce((SELECT m FROM {prev} a WHERE a.i = g.i), 0)
+                + coalesce((SELECT m FROM {prev} b WHERE b.i = g.j), 0)))
+      AS BIGINT) AS m
   FROM games g GROUP BY g.i
 )"""
         )
@@ -710,6 +809,8 @@ def embedding_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         def gram_kernel(batches):
             acc = np.zeros((RP_D_IN, RP_D_IN), dtype=np.int64)
             for pdf in batches:
+                if not len(pdf):  # zero-row Arrow batch: nothing to stack
+                    continue
                 m = np.stack(pdf["cx"].to_numpy()).astype(np.int64)
                 acc += m.T @ m
             idx = np.arange(RP_D_IN * RP_D_IN, dtype=np.int32)
@@ -802,6 +903,7 @@ QUERIES_ENGINE6 = {
     "pair_rouge_overlap": pair_rouge_overlap,
     "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
     "preference_bradley_terry": preference_bradley_terry,
+    "preference_bradley_terry_distributed": preference_bradley_terry_distributed,
 }
 
 
@@ -817,6 +919,8 @@ def _oracles_engine6() -> dict[str, str]:
         # associative sum: streamed complete-mode sketch == batch sketch
         "streaming_cms_heavy_hitters": ORACLES_SKETCH["cms_heavy_hitters"],
         "preference_bradley_terry": _bt_oracle(),
+        # the distributed MM trainer replays the SAME fixed point
+        "preference_bradley_terry_distributed": _bt_oracle(),
     }
 
 
@@ -824,30 +928,73 @@ ORACLES_ENGINE6 = _oracles_engine6()
 
 
 # ------------------------------------------- two-pass exact median
-MED_BUCKET_WIDTH = 4096  # cents per histogram bucket (pass-1 grain)
+MED_BUCKETS = 1024  # FIXED buckets per round: histogram size is
+# groups x MED_BUCKETS regardless of the value column's RANGE (round 8;
+# the round-7 cents-DIV-width grain grew linearly with range)
+
+
+def _median_hist(base: DataFrame, bucket_col: str) -> DataFrame:
+    """Per-(group, bucket) count histogram — map-side combinable; at
+    most groups x MED_BUCKETS rows by construction of the bucket
+    expressions (both b1 and b2 live in [0, MED_BUCKETS))."""
+    return base.groupBy("c_nationkey", bucket_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _locate(hist: DataFrame, bucket_col: str, rank_col: str) -> DataFrame:
+    """Running-sum bucket location over the SMALL histogram relation:
+    returns (c_nationkey, <bucket_col>, off) where off is the target
+    rank's offset INSIDE the located bucket. rank_col must be present
+    on hist (joined in by the caller)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(bucket_col)
+    cum = hist.select(
+        "c_nationkey",
+        bucket_col,
+        rank_col,
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("below"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    return cum.filter(
+        (F.col("below") < F.col(rank_col)) & (F.col(rank_col) <= F.col("cum"))
+    ).select(
+        "c_nationkey", bucket_col, (F.col(rank_col) - F.col("below")).alias("off")
+    )
 
 
 def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-nation median order value WITHOUT a global sort — the
-    classic two-pass histogram-refinement quantile used where a full
-    per-group sort of 100 TB of values is unaffordable:
+    classic histogram-refinement quantile used where a full per-group
+    sort of 100 TB of values is unaffordable, now RANGE-INDEPENDENT
+    (round 8): every histogram round uses MED_BUCKETS fixed buckets
+    over the group's [lo, hi] value range, so the bucket relation is
+    groups x MED_BUCKETS no matter how heavy-tailed the value column —
+    a 100x corpus with a 10^15 value span costs the same bucket rows
+    as cents-bounded order totals (range-invariance pinned in
+    tests/test_engine6.py on a synthetic 10^15-span column).
 
-    pass 1 (map-side combinable): per (nation, cents DIV width)
-    histogram — the bucket relation is bounded by groups x
-    value-range/width regardless of row count; a per-nation running
-    sum over the SMALL bucket table locates the bucket containing the
-    lower-median rank r = (n+1) DIV 2 and the in-bucket offset.
-
-    pass 2: only rows landing in each nation's median bucket (one
-    broadcast semi-join; selectivity ~ 1/buckets) are ranked BY VALUE
-    within the (nation, bucket) partition, and the row at the offset
-    is the exact median. Ties in cents are safe: any tie order yields
-    the same VALUE at the offset. All-integer arithmetic end to end.
+    Rounds (each map-side combinable; all-integer arithmetic):
+    0. per-group (min, max, n) — locates the range and the lower-median
+       rank r = (n+1) DIV 2;
+    1. b1 = (x-lo)*B DIV span histogram -> running sum over the SMALL
+       bucket table finds the median bucket and the in-bucket offset;
+    2. REFINEMENT: only rows in the median bucket (selectivity ~1/B;
+       the broadcast hash join's runtime filter prunes the rest — on a
+       real cluster this is a dynamic partition/bloom prune against
+       the scan) re-bucket by the scaled remainder
+       b2 = ((x-lo)*B - b1*span)*B DIV span into B sub-buckets;
+    3. rows in the refined sub-bucket (~1/B^2 of the group) are ranked
+       BY VALUE and the row at the offset is the exact median. Ties in
+       cents are safe: any tie order yields the same VALUE.
 
     Output: nation_name, n_orders, median_cents, median_price."""
     from youtube_etl_automated_pipeline_spark.functions.compat import units
+
     from pyspark.sql import Window
 
+    B = MED_BUCKETS
     cust = load_wide(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
@@ -863,51 +1010,86 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), "o_custkey")
         .select("c_nationkey", "cents")
     )
-    hist = orders.withColumn(
-        "b", F.expr(f"CAST(cents DIV {MED_BUCKET_WIDTH} AS BIGINT)")
-    ).groupBy("c_nationkey", "b").agg(F.count(F.lit(1)).alias("cnt"))
-
-    w = Window.partitionBy("c_nationkey").orderBy("b")
-    cum = hist.select(
-        "c_nationkey",
-        "b",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("below"),
-        F.sum("cnt").over(w).alias("cum"),
-    )
-    n_per = hist.groupBy("c_nationkey").agg(F.sum("cnt").alias("n"))
-    target = n_per.select(
-        "c_nationkey", "n", F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("r")
-    )
-    pick = (
-        cum.join(target, "c_nationkey")
-        .filter((F.col("below") < F.col("r")) & (F.col("r") <= F.col("cum")))
-        .select(
-            "c_nationkey",
-            "b",
-            "n",
-            (F.col("r") - F.col("below")).alias("off"),
-        )
-    )
-
-    w2 = Window.partitionBy("c_nationkey", "b").orderBy("cents")
-    med = (
-        orders.withColumn(
-            "b", F.expr(f"CAST(cents DIV {MED_BUCKET_WIDTH} AS BIGINT)")
-        )
-        .join(F.broadcast(pick), ["c_nationkey", "b"])
-        .withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == F.col("off"))
-        .select("c_nationkey", "n", F.col("cents").alias("median_cents"))
-    )
+    med = group_median_exact(orders, value_col="cents", buckets=B)
     return (
         med.join(F.broadcast(nat), med.c_nationkey == nat.n_nationkey)
         .select(
             "nation_name",
             F.col("n").cast("bigint").alias("n_orders"),
-            F.col("median_cents").cast("bigint").alias("median_cents"),
-            (F.col("median_cents") / 100.0).alias("median_price"),
+            F.col("median_val").cast("bigint").alias("median_cents"),
+            (F.col("median_val") / 100.0).alias("median_price"),
         )
         .orderBy("nation_name")
+    )
+
+
+def _median_base(rows: DataFrame, value_col: str, buckets: int):
+    """Round-0 stats + the round-1 bucketed base relation. b1 =
+    (v-lo)*B DIV span is in [0, B) by construction — (v-lo) < span so
+    (v-lo)*B < span*B — which is what makes the histogram relation
+    range-invariant (asserted directly in tests)."""
+    vals = rows.select("c_nationkey", F.col(value_col).alias("v"))
+    stats = vals.groupBy("c_nationkey").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "c_nationkey",
+        "lo",
+        "n",
+        (F.col("hi") - F.col("lo") + 1).alias("span"),
+        F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("r"),
+    )
+    base = vals.join(F.broadcast(stats), "c_nationkey").withColumn(
+        "b1", F.expr(f"(v - lo) * {buckets} div span")
+    )
+    return base, stats
+
+
+def group_median_exact(
+    rows: DataFrame, value_col: str, buckets: int = MED_BUCKETS
+) -> DataFrame:
+    """The reusable range-independent exact-median operator over a
+    (c_nationkey, <value_col>) relation — see exact_median_two_pass
+    for the round-by-round shape. Returns (c_nationkey, n,
+    median_val). Exposed separately so tests can drive it with
+    synthetic wide-range columns."""
+    from pyspark.sql import Window
+
+    B = buckets
+    base, stats = _median_base(rows, value_col, B)
+
+    pick1 = _locate(
+        _median_hist(base, "b1").join(
+            stats.select("c_nationkey", "r"), "c_nationkey"
+        ),
+        "b1",
+        "r",
+    )
+    # refinement round: only the median bucket's rows, re-bucketed by
+    # the scaled remainder t = (v-lo)*B - b1*span in [0, span)
+    ref = base.join(F.broadcast(pick1.select("c_nationkey", "b1")), [
+        "c_nationkey", "b1"
+    ]).withColumn("b2", F.expr(f"((v - lo) * {B} - b1 * span) * {B} div span"))
+    pick2 = _locate(
+        _median_hist(ref, "b2").join(
+            pick1.select("c_nationkey", F.col("off").alias("r1")),
+            "c_nationkey",
+        ),
+        "b2",
+        "r1",
+    )
+
+    w2 = Window.partitionBy("c_nationkey", "b2").orderBy("v")
+    return (
+        ref.join(F.broadcast(pick2), ["c_nationkey", "b2"])
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.col("off"))
+        .select(
+            "c_nationkey",
+            F.col("n"),
+            F.col("v").alias("median_val"),
+        )
     )
 
 

@@ -48,19 +48,37 @@ def _fast_tmp_dir() -> str | None:
         return None
     if st.f_bavail * st.f_frsize < (8 << 30):
         return None
-    d = os.path.join(shm, "spark_graft_tmp")
-    os.makedirs(d, exist_ok=True)
+    root = os.path.join(shm, "spark_graft_tmp")
+    os.makedirs(root, exist_ok=True)
     import shutil
     import time
+    import uuid
 
+    # Each session gets its OWN pid-named subdir, and the sweep only
+    # reclaims subdirs whose owning pid is dead — never by mtime, which
+    # would delete the live shuffle/blockmgr dirs of a concurrent
+    # session older than the cutoff (blockmgr dir mtimes are set at
+    # creation and not refreshed while in use). Legacy un-named entries
+    # (pre round-8 layout) still fall back to a conservative 6h mtime
+    # sweep so old RAM is eventually reclaimed.
     cutoff = time.time() - 6 * 3600
-    for name in os.listdir(d):
-        p = os.path.join(d, name)
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
         try:
-            if os.path.getmtime(p) < cutoff:
+            if name.startswith("pid-"):
+                owner = int(name.split("-")[1])
+                try:
+                    os.kill(owner, 0)  # signal 0: existence probe only
+                except ProcessLookupError:
+                    shutil.rmtree(p, ignore_errors=True)
+                except PermissionError:
+                    pass  # pid alive, owned by someone else: keep
+            elif os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
-        except OSError:
+        except (OSError, ValueError):
             pass
+    d = os.path.join(root, f"pid-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
     return d
 
 
