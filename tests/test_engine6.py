@@ -366,3 +366,66 @@ def test_group_median_single_value_and_tiny_groups(spark):
         for r in group_median_exact(df, "v").collect()
     }
     assert got == {0: (3, 42), 1: (1, 7), 2: (2, 5)}
+
+
+def test_rouge_inflated_candidate_mass_stays_banded(spark, tmp_path):
+    """Round 8 (r07 verdict item 7): when the banding threshold is
+    effectively inflated — planted groups of IDENTICAL docs collide in
+    every band — the candidate relation must stay exactly the banded
+    census (C(k,2) per group, pairs distinct across bands), never
+    all-pairs across groups, and every within-group pair scores unity
+    ROUGE. This pins the 'linear in candidate mass' scaling claim in
+    PLANS.md at ~20x this corpus's organic pair density."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
+        lsh_candidates,
+        pair_rouge_overlap,
+    )
+
+    dst = str(tmp_path / "inflated")
+    os.makedirs(dst)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        shutil.copy(
+            os.path.join(SF_SMOKE, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+        )
+    texts = [
+        "the festival crowd gathered along the river bank to watch "
+        "the lantern boats drift past the old stone bridge at dusk",
+        "a completely different report about spark physical plans and "
+        "shuffle partitioning strategies for large scale aggregation",
+        "third corpus text describing tokenizer vocabularies byte "
+        "pair encodings and the statistics of subword segmentation",
+    ]
+    K = 15  # docs per identical group -> C(15,2) = 105 pairs/group
+    rows = [
+        (g * 100 + i, texts[g]) for g in range(len(texts)) for i in range(K)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(dst, "documents.parquet"))
+
+    cand = lsh_candidates(spark, dst).collect()
+    per_group = K * (K - 1) // 2
+    # banded census exactly: identical docs collide in ALL 8 bands but
+    # pairs are distinct; different groups never collide
+    assert len(cand) == len(texts) * per_group, len(cand)
+    for r in cand:
+        assert r["doc_a"] // 100 == r["doc_b"] // 100, tuple(r)
+
+    out = pair_rouge_overlap(spark, dst).collect()
+    assert len(out) == len(texts) * per_group
+    for r in out:
+        assert r["r1_f_ppm"] == 1_000_000 and r["r2_f_ppm"] == 1_000_000

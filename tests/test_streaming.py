@@ -701,6 +701,12 @@ STREAM_NULL_SWEEP = [
     # null o_totalprice flowing through keyed MERGE state as a null
     # price that updates/tombstones must preserve
     "streaming_merge_cdc",
+    # round 8 (r07 verdict item 5): NULL event_type feeding the TWS
+    # MapState key — Spark crashes on null map keys, so the engine
+    # pins the '<null>' sentinel BEFORE the processor (the same
+    # contract as the batch twin user_event_type_map); plus a null
+    # user_id TWS grouping key flowing through RocksDB state
+    "streaming_tws_type_counts",
 ]
 
 

@@ -328,9 +328,10 @@ ORDER BY user_id
 """
 
 ORACLES_STREAMING["streaming_tws_type_counts"] = """
-SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+SELECT user_id, COALESCE(event_type, '<null>') AS event_type,
+       CAST(count(*) AS BIGINT) AS n
 FROM events
-GROUP BY user_id, event_type
+GROUP BY 1, 2
 ORDER BY user_id, event_type
 """
 

@@ -619,11 +619,16 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     order priority, in exact cents — the baseline every real
     forecasting model must beat, and the harness that measures it.
 
-    Scale shape: ONE per-(priority, day) rollup reused for both
-    sides of a self-equi-join on (priority, day-7) — day gaps mean a
-    lag-7-ROWS window would silently compare wrong weekdays, so the
-    join keys the CALENDAR, not row adjacency. No window anywhere;
-    the final rollup is 5 rows. MAE in milli-cents via decimal DIV.
+    Scale shape (round 8 reshape): the per-(priority, day) rollup is
+    computed ONCE, then each daily row is exploded into its two roles
+    — actual at `day`, prediction at `day + 7` — and a second keyed
+    agg pairs them back up, keeping only days with both. Day gaps mean
+    a lag-7-ROWS window would silently compare wrong weekdays, so the
+    pairing keys the CALENDAR, not row adjacency; and the explode
+    replaces the old self-equi-join, whose unpersisted daily subtree
+    re-executed the orders rollup twice (the round-7 bench watch item:
+    0.56s -> ~0.35s after the reshape). No window anywhere; the final
+    rollup is 5 rows. MAE in milli-cents via decimal DIV.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull()
@@ -636,15 +641,32 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("rev_cents")
     )
-    actual = daily.select(
-        "priority", "day", F.col("rev_cents").alias("actual_cents")
-    )
-    pred = daily.select(
+    roles = daily.select(
         "priority",
-        F.date_add("day", SNB_LAG_DAYS).alias("day"),
-        F.col("rev_cents").alias("pred_cents"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("day"), F.col("rev_cents").alias("a"),
+                    F.lit(None).cast("long").alias("p"),
+                ),
+                F.struct(
+                    F.date_add("day", SNB_LAG_DAYS).alias("day"),
+                    F.lit(None).cast("long").alias("a"),
+                    F.col("rev_cents").alias("p"),
+                ),
+            )
+        ).alias("r"),
+    ).select("priority", "r.day", "r.a", "r.p")
+    scored = (
+        roles.groupBy("priority", "day")
+        .agg(
+            F.max("a").alias("actual_cents"), F.max("p").alias("pred_cents")
+        )
+        .filter(
+            F.col("actual_cents").isNotNull()
+            & F.col("pred_cents").isNotNull()
+        )
     )
-    scored = actual.join(pred, ["priority", "day"])
     err = F.col("actual_cents") - F.col("pred_cents")
     return (
         scored.groupBy("priority")

@@ -134,15 +134,49 @@ def _tws_processor():
     )()
 
 
+TWS_NULL_KEY = -1  # sentinel grouping key for NULL user_id; user ids
+# are nonnegative in the data model so -1 is unoccupied.
+#
+# WHY A SENTINEL IS MANDATORY for transformWithStateInPandas (round 8,
+# found by the streaming null-parity sweep): a NULL grouping key is
+# not rejected — it SILENTLY CORRUPTS. Measured on Spark 4.1: rows
+# with NULL user_id were both merged into an unrelated live user's
+# state (inflating that user's counts by exactly the null-row census)
+# AND emitted as separate null-keyed rows — double-counted and
+# misattributed at once. applyInPandasWithState handles null keys
+# correctly (streaming_stateful_user_stats is parity-green); only the
+# TWS path is affected, so every TWS wrapper below quarantines the
+# null key at entry and restores it on the way out.
+
+
+def _null_safe_user_key(events: DataFrame, *cols) -> DataFrame:
+    """Pin NULL user_id to TWS_NULL_KEY before a TWS groupBy."""
+    return events.select(
+        F.coalesce("user_id", F.lit(TWS_NULL_KEY)).alias("user_id"), *cols
+    )
+
+
+def _restore_null_user_key(out: DataFrame) -> DataFrame:
+    """Map the sentinel back to NULL so the output contract (and the
+    batch/oracle twin, which keeps a NULL group) is unchanged."""
+    return out.withColumn(
+        "user_id",
+        F.when(F.col("user_id") == TWS_NULL_KEY, F.lit(None).cast("bigint"))
+        .otherwise(F.col("user_id")),
+    )
+
+
 def tws_user_peaks(events: DataFrame) -> DataFrame:
     """Apply the transformWithStateInPandas peak tracker to a
     STREAMING events DataFrame (update mode, no event-time timers)."""
-    keyed = events.select("user_id", "value")
-    return keyed.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_tws_processor(),
-        outputStructType=TWS_OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
+    keyed = _null_safe_user_key(events, F.col("value"))
+    return _restore_null_user_key(
+        keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_processor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
 
 
@@ -203,12 +237,14 @@ def _tws_topk_processor():
 def tws_user_topk(events: DataFrame) -> DataFrame:
     """Apply the ListState top-K tracker to a STREAMING events
     DataFrame (update mode)."""
-    keyed = events.select("user_id", "value")
-    return keyed.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_tws_topk_processor(),
-        outputStructType=TWS_TOPK_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
+    keyed = _null_safe_user_key(events, F.col("value"))
+    return _restore_null_user_key(
+        keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_topk_processor(),
+            outputStructType=TWS_TOPK_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
 
 
@@ -258,13 +294,23 @@ def _tws_typemap_processor():
 
 def tws_user_type_counts(events: DataFrame) -> DataFrame:
     """Apply the MapState per-type counter to a STREAMING events
-    DataFrame (update mode)."""
-    keyed = events.select("user_id", "event_type")
-    return keyed.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_tws_typemap_processor(),
-        outputStructType=TWS_TYPEMAP_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
+    DataFrame (update mode). A NULL event_type is pinned to the same
+    '<null>' sentinel as the batch twin (user_event_type_map) BEFORE
+    it reaches the processor: a null can never be a MapState key
+    (Spark raises NULL_MAP_KEY), and pandas value_counts would
+    otherwise silently DROP the NaN rows — the sentinel keeps dirty
+    rows counted, identically in both the streaming state path and
+    the batch/oracle path (streaming null-parity gate pins this)."""
+    keyed = _null_safe_user_key(
+        events, F.coalesce("event_type", F.lit("<null>")).alias("event_type")
+    )
+    return _restore_null_user_key(
+        keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_typemap_processor(),
+            outputStructType=TWS_TYPEMAP_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
 
 
@@ -326,12 +372,16 @@ def _tws_inactive_processor():
 def tws_inactive_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Apply the event-time-timer inactivity flagger to a STREAMING
     events DataFrame (append mode — rows come from timer firings)."""
-    keyed = events.withWatermark("ts", watermark).select(
-        "user_id", F.unix_micros("ts").alias("us"), "ts"
+    keyed = _null_safe_user_key(
+        events.withWatermark("ts", watermark),
+        F.unix_micros("ts").alias("us"),
+        F.col("ts"),
     )
-    return keyed.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_tws_inactive_processor(),
-        outputStructType=TWS_INACTIVE_SCHEMA,
-        outputMode="Append",
-        timeMode="EventTime",
+    return _restore_null_user_key(
+        keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_inactive_processor(),
+            outputStructType=TWS_INACTIVE_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
     )
