@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
         QUERIES_ENGINE6,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine7 import (
+        QUERIES_ENGINE7,
+    )
 
     return {
         **QUERIES,
@@ -157,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ENGINE5F,
         **QUERIES_ENGINE5G,
         **QUERIES_ENGINE6,
+        **QUERIES_ENGINE7,
     }
 
 
@@ -255,6 +259,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine6 import (
         ORACLES_ENGINE6,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine7 import (
+        ORACLES_ENGINE7,
+    )
 
     return {
         **ORACLES,
@@ -294,4 +301,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ENGINE5F,
         **ORACLES_ENGINE5G,
         **ORACLES_ENGINE6,
+        **ORACLES_ENGINE7,
     }

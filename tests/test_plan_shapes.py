@@ -510,6 +510,8 @@ BOUNDED_BNL_JOINS = {
     "lm_perplexity_buckets": "1-row corpus totals",
     "naive_bayes_lang_confusion": "per-lang priors (5 rows)",
     "association_rules_parts": "1-row basket-count scalar",
+    "heavy_hitters_exact_twopass": "1-row corpus-total scalar",
+    "kneser_ney_bigrams": "1-row bigram-type-total scalar",
     "pagerank_trade_graph": "1-row dangling-mass scalar",
     "retrieval_maxsim_multivector": "MAXSIM_N_Q=4 query-vector batch",
     "psi_revenue_drift": "1-row era totals",

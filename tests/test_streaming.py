@@ -707,6 +707,10 @@ STREAM_NULL_SWEEP = [
     # contract as the batch twin user_event_type_map); plus a null
     # user_id TWS grouping key flowing through RocksDB state
     "streaming_tws_type_counts",
+    # round 8: null event_type as a FROM group / dropped as a TO type
+    # (the batch twin's lead()-filter contract) carried through
+    # ValueState (in-state null encoding), plus the null-key sentinel
+    "streaming_transition_matrix",
 ]
 
 

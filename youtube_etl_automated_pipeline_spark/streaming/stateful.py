@@ -385,3 +385,93 @@ def tws_inactive_users(events: DataFrame, watermark: str = "1 hour") -> DataFram
             timeMode="EventTime",
         )
     )
+
+
+# ------------------------------------------------ transition matrix
+TWS_TRANSITION_SCHEMA = "from_type string, to_type string, n bigint"
+# null event_type encoded inside ValueState (miniproto state tuples
+# carry no per-field null marker; \x00 cannot occur in event data)
+_ETYPE_NULL = "\x00null\x00"
+
+
+class TransitionDeltaProcessor:
+    """Per-user event-transition deltas with a ValueState boundary:
+    the state remembers the user's LAST (ts_us, event_id, event_type);
+    each batch sorts its rows by (ts_us, event_id), stitches the
+    boundary transition from state onto the front, emits the batch's
+    (from_type, to_type, count) deltas, and advances the state to the
+    batch's last row. Deltas are additive, so ANY batch split sums to
+    the one-shot census — the restart-invariance contract. Transitions
+    INTO a null event_type are skipped (the batch twin's
+    next_type IS NOT NULL filter); transitions OUT of a null type are
+    kept (from_type is a real NULL group in both engines)."""
+
+    def init(self, handle) -> None:
+        self._last = handle.getValueState(
+            "last", "ts_us bigint, event_id bigint, etype string"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        pdfs = [p for p in rows if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        types = [
+            None if t is None or (isinstance(t, float) and np.isnan(t)) else str(t)
+            for t in pdf["event_type"].tolist()
+        ]
+        prev: str | None = None
+        have_prev = False
+        if self._last.exists():
+            st = self._last.get()
+            prev = None if st[2] == _ETYPE_NULL else str(st[2])
+            have_prev = True
+        counts: dict[tuple, int] = {}
+        for t in types:
+            if have_prev and t is not None:
+                counts[(prev, t)] = counts.get((prev, t), 0) + 1
+            prev, have_prev = t, True
+        last_row = pdf.iloc[-1]
+        self._last.update(
+            (
+                int(last_row["us"]),
+                int(last_row["event_id"]),
+                _ETYPE_NULL if types[-1] is None else types[-1],
+            )
+        )
+        if counts:
+            yield pd.DataFrame(
+                [(a, b, n) for (a, b), n in counts.items()],
+                columns=["from_type", "to_type", "n"],
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_transition_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "TransitionDeltaStatefulProcessor",
+        (TransitionDeltaProcessor, StatefulProcessor),
+        {},
+    )()
+
+
+def tws_transition_deltas(events: DataFrame) -> DataFrame:
+    """Apply the transition-delta processor to a STREAMING events
+    DataFrame (update mode). Same null-key quarantine as every TWS
+    wrapper; user_id is not re-emitted (deltas aggregate globally)."""
+    keyed = _null_safe_user_key(
+        events,
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_tws_transition_processor(),
+        outputStructType=TWS_TRANSITION_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
