@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine7 import (
         QUERIES_ENGINE7,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        QUERIES_ENGINE8,
+    )
 
     return {
         **QUERIES,
@@ -161,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **QUERIES_ENGINE5G,
         **QUERIES_ENGINE6,
         **QUERIES_ENGINE7,
+        **QUERIES_ENGINE8,
     }
 
 
@@ -262,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
     from youtube_etl_automated_pipeline_spark.plans.queries_engine7 import (
         ORACLES_ENGINE7,
     )
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        ORACLES_ENGINE8,
+    )
 
     return {
         **ORACLES,
@@ -302,4 +309,5 @@ def oracle_sql() -> dict[str, str]:
         **ORACLES_ENGINE5G,
         **ORACLES_ENGINE6,
         **ORACLES_ENGINE7,
+        **ORACLES_ENGINE8,
     }

@@ -711,6 +711,10 @@ STREAM_NULL_SWEEP = [
     # (the batch twin's lead()-filter contract) carried through
     # ValueState (in-state null encoding), plus the null-key sentinel
     "streaming_transition_matrix",
+    # round 8 batch 2: null values and null user_id excluded
+    # pre-keying on BOTH sides (a sequential recursion has no
+    # identity without a key; the oracle pins the same predicate)
+    "streaming_ewma_user_value",
 ]
 
 

@@ -1,0 +1,884 @@
+"""Round-8 engine extensions, batch 2.
+
+Extension surface beyond the reference's own operator inventory (the
+reference pipeline, ``/root/reference``, stops at grouped rollups and
+merges); these add the robust-statistics / sequence-pattern / data-
+pruning classes a production analytics engine ships, each with a
+DuckDB oracle and the house integer-exactness discipline.
+
+- ``theil_sen_trend`` — robust trend per nation over the WEEKLY
+  revenue series: Theil-Sen median slope (lower median of all
+  pairwise slopes, quantized to integer micro-cents-per-week) and the
+  Mann-Kendall S statistic / tau (pure sign arithmetic, exact). The
+  pair expansion runs on the CALENDAR-BOUNDED weekly rollup (weeks^2
+  per nation, independent of row count), never on the corpus.
+
+- ``sequence_funnel_regex`` — MATCH_RECOGNIZE-lite: each user's
+  event-type history becomes a compact symbol string (one char per
+  event, (ts, event_id)-ordered) and a regex counts non-overlapping
+  view->(click|error)*->purchase conversion runs. The pattern has a
+  unique match extent at any start position (the [CE]* run can only
+  end at the literal P), so Java-regex and RE2 agree exactly.
+
+- ``changepoint_variance_split`` — offline change-point detection:
+  the single split of each nation's weekly revenue series maximizing
+  the between-segment variance reduction S_l^2/n_l + S_r^2/n_r.
+  Exact integer argmax: the series is calendar-bounded, so a grouped
+  applyInPandas kernel scans each nation's series once with
+  unbounded-int Python arithmetic; the oracle replays it in HUGEINT.
+
+- ``coreset_kcenter_sample`` — k-center greedy coreset selection
+  (the classic data-pruning / active-learning picker): K=8 farthest-
+  point rounds over micro-unit-quantized embeddings; each round ONE
+  scan folds min-distance-so-far against the newly chosen center and
+  argmax picks the next (ties -> min vec_id). Oracle = 8 unrolled
+  MATERIALIZED CTEs.
+
+- ``hmm_viterbi_decode`` — Viterbi decoding of a fixed 3-state HMM
+  over each user's event-type sequence in integer micro-nat costs:
+  the dynamic-programming class (state depends on previous state) no
+  window function expresses. Grouped applyInPandas forward pass +
+  backtrack per user; the oracle is a forward recursive CTE storing
+  backpointers and a second backward recursive CTE replaying them.
+
+- ``streaming_ewma_user_value`` — the ewma_user_value recursion
+  through REAL transformWithStateInPandas state: state = (ewma
+  cents, n_events); each micro-batch folds its arrivals in order
+  starting from state. Any order-respecting batch split replays the
+  identical integer recursion, so stream == batch == oracle (NULL
+  user_id excluded on both sides — no identity, no recursion).
+
+Scale postures are documented per query; every pair/DP expansion is
+bounded by calendar weeks, per-user activity, or K — never by corpus
+row count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_etl_automated_pipeline_spark.sources import load_table
+
+QUERIES_ENGINE8: dict = {}
+ORACLES_ENGINE8: dict = {}
+
+
+# --------------------------------------------------- weekly revenue
+def _weekly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation_name, wk, rev_cents): weekly revenue per nation.
+
+    wk = epoch-day DIV 7 — an engine-neutral integer week index (both
+    engines share the 1970-01-01 epoch), immune to locale week-start
+    conventions. Revenue in exact cents. The corpus-sized work ends
+    here: orders shuffles once on the grouping key; customer/nation
+    broadcast. Everything downstream operates on the calendar-bounded
+    (nations x weeks) relation.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_custkey").isNotNull()
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') DIV 7"
+            ).alias("wk"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("nation_name", "wk")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+
+
+_WEEKLY_SQL = """
+  SELECT n_name AS nation_name,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_custkey IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------- Theil-Sen + Mann-Kendall
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-nation revenue trend: Theil-Sen median slope +
+    Mann-Kendall S / tau over the weekly revenue series.
+
+    Exactness: each pairwise slope is quantized to integer
+    micro-cents-per-week ((c2-c1)*1e6 DIV (wk2-wk1), truncating
+    division — identical in both engines incl. negative diffs), and
+    the statistic is the LOWER MEDIAN (rank (n+1) DIV 2) of that
+    quantized multiset — deterministic, no float ordering anywhere.
+    Mann-Kendall S is a pure sign sum; tau_ppm = S*1e6 DIV n_pairs.
+
+    Scale: the pair self-join runs on the weekly rollup — weeks^2
+    pairs per nation, bounded by the CALENDAR (a 100 TB corpus has
+    more rows per week, not more weeks), and the rollup itself is the
+    only corpus-sized shuffle. The per-nation median window ranks the
+    bounded pair relation.
+    """
+    weekly = _weekly_nation_revenue(spark, sf_dir)
+    a = weekly.alias("a")
+    b = weekly.alias("b")
+    pairs = (
+        a.join(b, "nation_name")
+        .where(F.col("a.wk") < F.col("b.wk"))
+        .select(
+            "nation_name",
+            F.expr(
+                "(b.rev_cents - a.rev_cents) * 1000000L DIV (b.wk - a.wk)"
+            ).alias("slope_micro"),
+            F.expr(
+                "CASE WHEN b.rev_cents > a.rev_cents THEN 1 "
+                "WHEN b.rev_cents < a.rev_cents THEN -1 ELSE 0 END"
+            ).alias("sgn"),
+        )
+    )
+    ranked = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("nation_name").orderBy("slope_micro")
+        ),
+    )
+    stats = pairs.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("mk_s"),
+    )
+    med = (
+        ranked.join(stats, "nation_name")
+        .where(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("nation_name", F.col("slope_micro").alias("sen_slope_micro"))
+    )
+    n_weeks = weekly.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_weeks")
+    )
+    return (
+        stats.join(med, "nation_name")
+        .join(n_weeks, "nation_name")
+        .select(
+            "nation_name",
+            "n_weeks",
+            "n_pairs",
+            "mk_s",
+            F.expr("mk_s * 1000000L DIV n_pairs").alias("tau_ppm"),
+            "sen_slope_micro",
+        )
+        .orderBy("nation_name")
+    )
+
+
+QUERIES_ENGINE8["theil_sen_trend"] = theil_sen_trend
+
+ORACLES_ENGINE8["theil_sen_trend"] = f"""
+WITH weekly AS ({_WEEKLY_SQL}),
+pairs AS (
+  SELECT a.nation_name,
+         (b.rev_cents - a.rev_cents) * 1000000 // (b.wk - a.wk)
+           AS slope_micro,
+         CASE WHEN b.rev_cents > a.rev_cents THEN 1
+              WHEN b.rev_cents < a.rev_cents THEN -1 ELSE 0 END AS sgn
+  FROM weekly a
+  JOIN weekly b
+    ON a.nation_name = b.nation_name AND a.wk < b.wk
+),
+ranked AS (
+  SELECT nation_name, slope_micro,
+         row_number() OVER (
+           PARTITION BY nation_name ORDER BY slope_micro) AS rn
+  FROM pairs
+),
+stats AS (
+  SELECT nation_name, count(*) AS n_pairs,
+         CAST(SUM(sgn) AS BIGINT) AS mk_s
+  FROM pairs GROUP BY 1
+),
+med AS (
+  SELECT r.nation_name, r.slope_micro AS sen_slope_micro
+  FROM ranked r JOIN stats s ON r.nation_name = s.nation_name
+  WHERE r.rn = (s.n_pairs + 1) // 2
+),
+wkn AS (
+  SELECT nation_name, count(*) AS n_weeks FROM weekly GROUP BY 1
+)
+SELECT s.nation_name,
+       w.n_weeks,
+       s.n_pairs,
+       s.mk_s,
+       s.mk_s * 1000000 // s.n_pairs AS tau_ppm,
+       m.sen_slope_micro
+FROM stats s
+JOIN med m ON s.nation_name = m.nation_name
+JOIN wkn w ON s.nation_name = w.nation_name
+ORDER BY s.nation_name
+"""
+
+
+# -------------------------------------------- sequence regex funnel
+_FUNNEL_RE = "V[CE]*P"
+
+
+def sequence_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern matching over per-user
+    event-type sequences.
+
+    Each user's history compresses to one char per event (C/E/P/S/V —
+    the five event types have distinct initials), ordered by
+    (ts, event_id); `V[CE]*P` then counts non-overlapping
+    view->(click|error)*->purchase conversion runs, and the longest
+    run length is the max over extracted matches. The pattern's match
+    extent is UNIQUE at any start (the [CE]* run can only terminate at
+    the literal P), so Java regex (Spark) and RE2 (DuckDB) agree
+    bit-for-bit; a planted-sequence test pins the semantics.
+
+    Scale: one hash shuffle on user_id builds the per-user string via
+    grouped aggregation (sequence length = that user's activity, the
+    same per-key bound every sessionization query in the engine
+    carries); the regex runs JVM-side per row — no Python, no second
+    shuffle. Output is one row per user with >=1 event.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("upper(substring(event_type, 1, 1))").alias("sym"),
+        )
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(ts, event_id, sym))), x -> x.sym), '')"
+        ).alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            F.expr(f"regexp_count(seq, '{_FUNNEL_RE}')").alias(
+                "n_conversions"
+            ),
+            F.expr(
+                "coalesce(array_max(transform("
+                f"regexp_extract_all(seq, '{_FUNNEL_RE}', 0),"
+                " x -> length(x))), 0)"
+            ).alias("longest_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES_ENGINE8["sequence_funnel_regex"] = sequence_funnel_regex
+
+ORACLES_ENGINE8["sequence_funnel_regex"] = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(upper(substring(event_type, 1, 1)), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS seq_len,
+       CAST(length(regexp_extract_all(seq, '{_FUNNEL_RE}'))
+            AS INT) AS n_conversions,
+       CAST(coalesce((SELECT max(length(m))
+                      FROM unnest(regexp_extract_all(seq, '{_FUNNEL_RE}'))
+                        AS u(m)), 0) AS INT) AS longest_run
+FROM seqs
+ORDER BY user_id
+"""
+
+
+# ------------------------------------------ change-point detection
+_CP_SCHEMA = (
+    "nation_name string, n_weeks int, split_wk bigint, left_n int, "
+    "right_n int, left_mean_cents bigint, right_mean_cents bigint, "
+    "mean_shift_cents bigint"
+)
+
+
+def _cp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact best-split scan for one nation's weekly series.
+
+    All arithmetic is unbounded-int Python; the ranking statistic is
+    the QUANTIZED gain (S_l^2*1e6)//n_l + (S_r^2*1e6)//n_r (all terms
+    non-negative, so floor == trunc == DuckDB's HUGEINT //), argmax
+    with earliest-week tie-break — the oracle replays the identical
+    integers, so the picked split is deterministic cross-engine.
+    """
+    pdf = pdf.sort_values("wk")
+    wks = [int(w) for w in pdf["wk"]]
+    cs = [int(c) for c in pdf["rev_cents"]]
+    n = len(cs)
+    if n < 2:
+        return pd.DataFrame(
+            columns=[
+                "nation_name", "n_weeks", "split_wk", "left_n", "right_n",
+                "left_mean_cents", "right_mean_cents", "mean_shift_cents",
+            ]
+        )
+    total = sum(cs)
+    best_gain = -1
+    best_k = -1
+    s_l = 0
+    for k in range(1, n):  # left = first k points
+        s_l += cs[k - 1]
+        s_r = total - s_l
+        gain = (s_l * s_l * 1_000_000) // k + (
+            s_r * s_r * 1_000_000
+        ) // (n - k)
+        if gain > best_gain:
+            best_gain, best_k = gain, k
+    s_l = sum(cs[:best_k])
+    s_r = total - s_l
+    lm = s_l // best_k
+    rm = s_r // (n - best_k)
+    return pd.DataFrame(
+        [
+            {
+                "nation_name": pdf["nation_name"].iloc[0],
+                "n_weeks": n,
+                "split_wk": wks[best_k - 1],
+                "left_n": best_k,
+                "right_n": n - best_k,
+                "left_mean_cents": lm,
+                "right_mean_cents": rm,
+                "mean_shift_cents": rm - lm,
+            }
+        ]
+    )
+
+
+def changepoint_variance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection: the single split of each
+    nation's weekly revenue series that maximizes the between-segment
+    variance reduction S_l^2/n_l + S_r^2/n_r (equivalently minimizes
+    total within-segment SSE) — the binary-segmentation step.
+
+    Exactness: the gain is quantized to (S^2*1e6)//n integer terms
+    (non-negative, trunc == floor) so BOTH engines rank the identical
+    integers; ties break to the earliest split week. The oracle
+    replays the scan in HUGEINT via cumulative-sum windows + QUALIFY.
+
+    Scale: the corpus-sized work is the weekly rollup's single
+    shuffle; the split scan runs per nation over a CALENDAR-BOUNDED
+    series (~weeks rows) inside one grouped Arrow batch — adding data
+    adds rows per week, not weeks. The integer envelope holds while a
+    nation's total revenue stays under 1e16 cents (gain ~ S^2*1e6 <
+    1e38, inside HUGEINT); a 100 TB ledger would bucket to coarser
+    units first.
+    """
+    weekly = _weekly_nation_revenue(spark, sf_dir)
+    return (
+        weekly.groupBy("nation_name")
+        .applyInPandas(_cp_kernel, _CP_SCHEMA)
+        .orderBy("nation_name")
+    )
+
+
+QUERIES_ENGINE8["changepoint_variance_split"] = changepoint_variance_split
+
+ORACLES_ENGINE8["changepoint_variance_split"] = f"""
+WITH weekly AS ({_WEEKLY_SQL}),
+ordered AS (
+  SELECT nation_name, wk, rev_cents,
+         row_number() OVER w AS k,
+         CAST(SUM(rev_cents) OVER w AS HUGEINT) AS s_l,
+         CAST(SUM(rev_cents) OVER (PARTITION BY nation_name) AS HUGEINT)
+           AS total,
+         CAST(count(*) OVER (PARTITION BY nation_name) AS HUGEINT) AS n
+  FROM weekly
+  WINDOW w AS (PARTITION BY nation_name ORDER BY wk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+best AS (
+  SELECT nation_name, n, k, wk, s_l, total - s_l AS s_r
+  FROM ordered
+  WHERE k < n AND n >= 2
+  QUALIFY row_number() OVER (
+    PARTITION BY nation_name
+    ORDER BY (s_l * s_l * 1000000) // k
+             + ((total - s_l) * (total - s_l) * 1000000) // (n - k) DESC,
+             wk ASC) = 1
+)
+SELECT nation_name,
+       CAST(n AS INT) AS n_weeks,
+       CAST(wk AS BIGINT) AS split_wk,
+       CAST(k AS INT) AS left_n,
+       CAST(n - k AS INT) AS right_n,
+       CAST(s_l // k AS BIGINT) AS left_mean_cents,
+       CAST(s_r // (n - k) AS BIGINT) AS right_mean_cents,
+       CAST(s_r // (n - k) - s_l // k AS BIGINT) AS mean_shift_cents
+FROM best
+ORDER BY nation_name
+"""
+
+
+# ------------------------------------------- k-center coreset pick
+_KC_ROUNDS = 8
+
+
+def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-center greedy coreset selection over the embedding corpus —
+    the classic data-pruning / active-learning picker: seed with the
+    min vec_id, then K-1 farthest-point rounds; each round's farthest
+    distance IS the coverage radius of the current center set, so the
+    output (round, center_vec_id, radius_q) doubles as the coverage
+    curve a curation pipeline reads to choose its budget.
+
+    Exactness: embeddings quantize to micro-units (the engine-wide
+    convention), distances are exact integer squared-L2 folds, and the
+    farthest pick breaks ties to the min vec_id — both engines walk
+    the identical argmax path. Oracle = K unrolled MATERIALIZED CTEs.
+
+    Scale: each round is ONE narrow map pass + TakeOrdered — the
+    <=K center vectors ride in as a single broadcast DATA row (an
+    array<array> column, the bounded-BNL class) and the per-point
+    min-distance folds through nested array lambdas, so the corpus
+    is NEVER shuffled and the plan SHAPE is identical every round
+    (no per-round codegen recompile, the embedding_power_component
+    lesson) at the cost of K^2/2 total distance evals — K=8 makes
+    that 4x one pass. The only collect is one (vec_id, xi, radius)
+    row per round; nothing per-point persists between rounds.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("xi"),
+    )
+    emb = emb.persist()
+    try:
+        seed = emb.orderBy("vec_id").limit(1).collect()[0]
+        centers = [(int(seed["vec_id"]), list(seed["xi"]))]
+        out_rows = []
+        for r in range(1, _KC_ROUNDS + 1):
+            # ONE job per round, zero shuffles: the center set is a
+            # single broadcast data row, min-dist folds via nested
+            # array lambdas, and the TakeOrdered winner carries its
+            # vector so the next center needs no lookup scan
+            cdf = spark.createDataFrame(
+                [([cxi for _, cxi in centers],)],
+                "cs array<array<bigint>>",
+            )
+            far = (
+                emb.crossJoin(F.broadcast(cdf))
+                .select(
+                    "vec_id",
+                    "xi",
+                    F.array_min(
+                        F.transform(
+                            "cs",
+                            lambda c: F.aggregate(
+                                F.zip_with(
+                                    "xi",
+                                    c,
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0).cast("bigint"),
+                                lambda acc, x: acc + x,
+                            ),
+                        )
+                    ).alias("min_d"),
+                )
+                .orderBy(F.col("min_d").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            out_rows.append((r, centers[-1][0], int(far["min_d"])))
+            if r < _KC_ROUNDS:
+                centers.append((int(far["vec_id"]), list(far["xi"])))
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(
+        out_rows, "round int, center_vec_id bigint, radius_q bigint"
+    ).orderBy("round")
+
+
+QUERIES_ENGINE8["coreset_kcenter_sample"] = coreset_kcenter_sample
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xi
+  FROM embeddings
+),
+c1 AS MATERIALIZED (
+  SELECT vec_id, xi FROM q ORDER BY vec_id LIMIT 1
+),
+mind1 AS MATERIALIZED (
+  SELECT q.vec_id,
+         (SELECT SUM((q.xi[u.i] - c.xi[u.i]) * (q.xi[u.i] - c.xi[u.i]))
+          FROM unnest(generate_series(1, len(q.xi))) AS u(i)) AS d
+  FROM q, c1 c
+)"""
+    ]
+    for r in range(1, _KC_ROUNDS):
+        parts.append(
+            f""",
+c{r + 1} AS MATERIALIZED (
+  SELECT q.vec_id, q.xi
+  FROM q JOIN (SELECT vec_id FROM mind{r}
+               ORDER BY d DESC, vec_id ASC LIMIT 1) p
+    ON q.vec_id = p.vec_id
+),
+mind{r + 1} AS MATERIALIZED (
+  SELECT m.vec_id,
+         least(m.d,
+           (SELECT SUM((q.xi[u.i] - c.xi[u.i]) * (q.xi[u.i] - c.xi[u.i]))
+            FROM unnest(generate_series(1, len(q.xi))) AS u(i))) AS d
+  FROM mind{r} m JOIN q ON m.vec_id = q.vec_id, c{r + 1} c
+)"""
+        )
+    selects = []
+    for r in range(1, _KC_ROUNDS + 1):
+        selects.append(
+            f"SELECT {r} AS round, (SELECT vec_id FROM c{r}) AS"
+            f" center_vec_id, (SELECT MAX(d) FROM mind{r}) AS radius_q"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + (
+        "\nORDER BY round"
+    )
+
+
+ORACLES_ENGINE8["coreset_kcenter_sample"] = _kcenter_oracle()
+
+
+# ------------------------------------------------ HMM Viterbi decode
+# Fixed 3-state HMM over the 5 event symbols, costs in integer
+# micro-nat-scaled units (negative log-probabilities quantized once,
+# offline). The SAME literal tables drive the Python kernel and the
+# generated oracle SQL, so both engines walk the identical DP lattice.
+_HMM_STATES = 3
+_HMM_INIT = [0, 200, 500]
+_HMM_TRANS = [
+    [100, 300, 600],
+    [350, 80, 320],
+    [500, 250, 120],
+]
+_HMM_EMIT = {  # symbol -> cost per state
+    "C": [150, 120, 300],
+    "E": [400, 500, 60],
+    "P": [700, 150, 800],
+    "S": [300, 250, 400],
+    "V": [80, 200, 350],
+}
+
+_VIT_SCHEMA = (
+    "user_id bigint, n_steps int, path_cost bigint, final_state int, "
+    "n_state_changes int, occ_s0 int, occ_s1 int, occ_s2 int"
+)
+
+
+def _viterbi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Viterbi forward pass + backtrack for one user's sequence.
+
+    Pure-integer DP; argmin ties break to the SMALLEST state index at
+    every step (including the final state), mirrored in the oracle's
+    CASE chains.
+    """
+    pdf = pdf.sort_values(["ts", "event_id"])
+    syms = list(pdf["sym"])
+    n = len(syms)
+    emit = _HMM_EMIT
+    dp = [
+        _HMM_INIT[s] + emit[syms[0]][s] for s in range(_HMM_STATES)
+    ]
+    bps: list[list[int]] = []
+    for t in range(1, n):
+        nxt = []
+        bp = []
+        for s in range(_HMM_STATES):
+            best_c, best_p = None, -1
+            for p in range(_HMM_STATES):
+                c = dp[p] + _HMM_TRANS[p][s]
+                if best_c is None or c < best_c:
+                    best_c, best_p = c, p
+            nxt.append(best_c + emit[syms[t]][s])
+            bp.append(best_p)
+        dp = nxt
+        bps.append(bp)
+    final_state = min(range(_HMM_STATES), key=lambda s: (dp[s], s))
+    path = [final_state]
+    for t in range(n - 2, -1, -1):
+        path.append(bps[t][path[-1]])
+    path.reverse()
+    occ = [path.count(s) for s in range(_HMM_STATES)]
+    changes = sum(1 for i in range(1, n) if path[i] != path[i - 1])
+    return pd.DataFrame(
+        [
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "n_steps": n,
+                "path_cost": dp[final_state],
+                "final_state": final_state,
+                "n_state_changes": changes,
+                "occ_s0": occ[0],
+                "occ_s1": occ[1],
+                "occ_s2": occ[2],
+            }
+        ]
+    )
+
+
+def hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a fixed 3-state HMM over each user's
+    event-symbol sequence — the sequential dynamic-programming class
+    (cost depends on the PREVIOUS step's full state vector) that no
+    window function expresses, in exact integer cost units.
+
+    Per user: forward DP over the (ts, event_id)-ordered symbols with
+    pinned smallest-state tie-breaks, then a backtrack; the output is
+    the decoded-path summary (cost, final state, occupancy census,
+    change count). The oracle replays the SAME lattice in SQL: a
+    forward recursive CTE carries the 3 DP costs + 3 backpointers per
+    step, a second backward recursive CTE walks the backpointers down
+    from the argmin final state, and the path census aggregates the
+    walked states.
+
+    Scale: one hash shuffle on user_id; each user's DP is
+    activity-bounded and runs inside a grouped Arrow batch (the
+    ewma_user_value posture). State space is a 3x3 literal — the
+    kernel is O(steps x 9) integer adds.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("upper(substring(event_type, 1, 1))").alias("sym"),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_viterbi_kernel, _VIT_SCHEMA)
+        .orderBy("user_id")
+    )
+
+
+QUERIES_ENGINE8["hmm_viterbi_decode"] = hmm_viterbi_decode
+
+
+def _viterbi_oracle() -> str:
+    emit_case = {
+        s: "CASE sym "
+        + " ".join(
+            f"WHEN '{sym}' THEN {costs[s]}"
+            for sym, costs in sorted(_HMM_EMIT.items())
+        )
+        + " END"
+        for s in range(_HMM_STATES)
+    }
+
+    def step_cost(s: int) -> str:
+        # min over predecessor states of dp[p] + trans[p][s]
+        terms = [f"(f.d{p} + {_HMM_TRANS[p][s]})" for p in range(3)]
+        return f"least({', '.join(terms)})"
+
+    def step_bp(s: int) -> str:
+        t0, t1, t2 = (f"(f.d{p} + {_HMM_TRANS[p][s]})" for p in range(3))
+        return (
+            f"CASE WHEN {t0} <= {t1} AND {t0} <= {t2} THEN 0 "
+            f"WHEN {t1} <= {t2} THEN 1 ELSE 2 END"
+        )
+
+    final_state = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 "
+        "WHEN d1 <= d2 THEN 1 ELSE 2 END"
+    )
+    return f"""
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id,
+         upper(substring(event_type, 1, 1)) AS sym,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+),
+f AS (
+  SELECT user_id, rn,
+         {_HMM_INIT[0]} + {emit_case[0]} AS d0,
+         {_HMM_INIT[1]} + {emit_case[1]} AS d1,
+         {_HMM_INIT[2]} + {emit_case[2]} AS d2,
+         -1 AS b0, -1 AS b1, -1 AS b2
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         {step_cost(0)} + {emit_case[0].replace("sym", "e.sym")} AS d0,
+         {step_cost(1)} + {emit_case[1].replace("sym", "e.sym")} AS d1,
+         {step_cost(2)} + {emit_case[2].replace("sym", "e.sym")} AS d2,
+         {step_bp(0)} AS b0, {step_bp(1)} AS b1, {step_bp(2)} AS b2
+  FROM f JOIN ev e ON f.user_id = e.user_id AND e.rn = f.rn + 1
+),
+fin AS MATERIALIZED (
+  SELECT user_id, rn AS n_steps,
+         least(d0, d1, d2) AS path_cost,
+         {final_state} AS final_state
+  FROM f
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY rn DESC) = 1
+),
+walk AS (
+  SELECT user_id, n_steps AS rn, final_state AS state FROM fin
+  UNION ALL
+  SELECT w.user_id, w.rn - 1,
+         CASE w.state WHEN 0 THEN f.b0 WHEN 1 THEN f.b1 ELSE f.b2 END
+  FROM walk w JOIN f ON w.user_id = f.user_id AND w.rn = f.rn
+  WHERE w.rn > 1
+),
+path AS MATERIALIZED (
+  SELECT user_id, rn, state,
+         lag(state) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+  FROM walk
+),
+census AS MATERIALIZED (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND state <> prev
+                       THEN 1 ELSE 0 END) AS INT) AS n_state_changes,
+         CAST(SUM(CASE WHEN state = 0 THEN 1 ELSE 0 END) AS INT) AS occ_s0,
+         CAST(SUM(CASE WHEN state = 1 THEN 1 ELSE 0 END) AS INT) AS occ_s1,
+         CAST(SUM(CASE WHEN state = 2 THEN 1 ELSE 0 END) AS INT) AS occ_s2
+  FROM path GROUP BY user_id
+)
+SELECT fin.user_id,
+       CAST(fin.n_steps AS INT) AS n_steps,
+       CAST(fin.path_cost AS BIGINT) AS path_cost,
+       CAST(fin.final_state AS INT) AS final_state,
+       c.n_state_changes, c.occ_s0, c.occ_s1, c.occ_s2
+FROM fin JOIN census c ON fin.user_id = c.user_id
+ORDER BY fin.user_id
+"""
+
+
+ORACLES_ENGINE8["hmm_viterbi_decode"] = _viterbi_oracle()
+
+
+# ---------------------------------------------- streaming EWMA twin
+def streaming_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ewma_user_value sequential recursion maintained through
+    REAL transformWithStateInPandas state: a ValueState carries each
+    user's (ewma_cents, n_events); every micro-batch folds its
+    (ts, event_id)-sorted arrivals from state with the IDENTICAL
+    integer step the batch kernel uses, so any order-respecting batch
+    split lands on the same fixed point — stream == batch == oracle
+    (ewma_user_value's oracle plus a pinned NULL-user exclusion both
+    sides carry, since a NULL group cannot thread the recursive
+    CTE's equi-join and a recursion has no identity without a key;
+    the 2-batch
+    restart == one-shot == batch-twin identity is pinned in
+    tests/test_engine8.py).
+
+    Scale: state is ONE 2-int row per user (watermark-free); each
+    batch's work is one state-partition shuffle plus an O(rows)
+    integer fold. The rollup keeps each user's LAST emission via a
+    keep-max on the strictly-increasing n_events — a deterministic
+    collapse of the update-mode output."""
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        read_events_stream,
+        run_stream_to_memory,
+        tws_state_partitions,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_ewma_user_value,
+    )
+
+    ensure_protobuf_on_session(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_stream_to_memory(
+            tws_ewma_user_value(stream),
+            "tws_ewma",
+            output_mode="update",
+            skip_nodata=True,
+            state_partitions=tws_state_partitions(),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    last = out.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma_cents")).alias("s")
+    )
+    return last.select(
+        "user_id",
+        F.col("s.n_events").cast("bigint").alias("n_events"),
+        F.col("s.ewma_cents").alias("ewma_cents"),
+        (F.col("s.ewma_cents").cast("double") / 100.0).alias("ewma"),
+    ).orderBy("user_id")
+
+
+QUERIES_ENGINE8["streaming_ewma_user_value"] = streaming_ewma_user_value
+
+
+def _ewma_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.queries_analytics import (
+        ORACLES_ANALYTICS,
+    )
+
+    # the streamed recursion shares the batch twin's oracle, with ONE
+    # pinned delta: NULL user_id rows are excluded (a sequential
+    # recursion has no sequence identity without a key, and a NULL
+    # group cannot thread the recursive CTE's equi-join) — mirrored
+    # by the engine wrapper's user_id IS NOT NULL filter
+    return ORACLES_ANALYTICS["ewma_user_value"].replace(
+        "WHERE value IS NOT NULL",
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL",
+    )
+
+
+ORACLES_ENGINE8["streaming_ewma_user_value"] = _ewma_oracle()

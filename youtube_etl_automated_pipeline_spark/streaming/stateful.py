@@ -475,3 +475,87 @@ def tws_transition_deltas(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TWS_EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_cents bigint"
+
+
+class EwmaStateProcessor:
+    """The ewma_user_value integer recursion (e_0 = v_0; e_i =
+    (3*e_{i-1} + v_i) // 4 on cents) carried through a TWS ValueState:
+    state = (ewma_cents, n_events). Each batch sorts its arrivals by
+    (ts, event_id) and folds them starting from state, so ANY
+    order-respecting batch split replays the EXACT integer fixed
+    point of the one-shot batch kernel — stream == batch == oracle.
+    Emits the post-batch (user_id, n_events, ewma_cents); n_events is
+    strictly increasing per emission, so the rollup's keep-max
+    collapse is deterministic."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState(
+            "ewma", "ewma_cents bigint, n_events bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        pdfs = [p for p in rows if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
+            "int64"
+        )
+        if self._st.exists():
+            e, n = (int(x) for x in self._st.get())
+            start = 0
+        else:
+            e, n = int(cents[0]), 1
+            start = 1
+        for i in range(start, len(cents)):
+            e = (3 * e + int(cents[i])) // 4
+            n += 1
+        self._st.update((e, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "ewma_cents": [e],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_ewma_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "EwmaStatefulProcessor", (EwmaStateProcessor, StatefulProcessor), {}
+    )()
+
+
+def tws_ewma_user_value(events: DataFrame) -> DataFrame:
+    """Apply the EWMA recursion processor to a STREAMING events
+    DataFrame (update mode). NULL-value rows carry no signal and are
+    filtered BEFORE keying (the batch twin's value IS NOT NULL), and
+    a sequential recursion is undefined without a sequence identity,
+    so NULL user_id rows are excluded on BOTH sides (the oracle adds
+    the same predicate — a NULL group cannot thread a recursive CTE's
+    equi-join). The sentinel quarantine still wraps the groupBy as
+    the engine-wide TWS entry contract (vacuously, post-filter)."""
+    keyed = _null_safe_user_key(
+        events.filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        ),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    return _restore_null_user_key(
+        keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_ewma_processor(),
+            outputStructType=TWS_EWMA_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
