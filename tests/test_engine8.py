@@ -424,3 +424,236 @@ def test_streaming_ewma_restart_equals_oneshot_and_batch(spark, tmp_path):
         for r in ewma_user_value(spark, SF_SMOKE).collect()
     }
     assert incremental == batch
+
+
+def test_weighted_median_matches_bruteforce_and_degrades_to_unweighted(
+    spark,
+):
+    """(a) The histogram-refinement weighted median must equal the
+    brute-force 'smallest v with 2*cumw >= W' on a synthetic skewed
+    relation; (b) with all weights 1 it must equal the plain lower
+    median — the degradation contract."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        group_weighted_median_exact,
+    )
+
+    df = spark.range(9973).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * F.col("id") * 31 % 1_000_003).alias("v"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    rows = df.collect()
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r["g"]].append((int(r["v"]), int(r["w"])))
+
+    def brute(pairs):
+        pairs = sorted(pairs)
+        tot = sum(w for _, w in pairs)
+        t = (tot + 1) // 2
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= t:
+                return v, tot
+
+    got = {
+        r["g"]: (r["wmedian_val"], r["wsum"])
+        for r in group_weighted_median_exact(df, "v", "w", ["g"]).collect()
+    }
+    for g, pairs in by_g.items():
+        v, tot = brute(pairs)
+        assert got[g] == (v, tot), g
+
+    ones = df.withColumn("w", F.lit(1))
+    got1 = {
+        r["g"]: r["wmedian_val"]
+        for r in group_weighted_median_exact(ones, "v", "w", ["g"]).collect()
+    }
+    for g, pairs in by_g.items():
+        vs = sorted(v for v, _ in pairs)
+        assert got1[g] == vs[(len(vs) + 1) // 2 - 1], g
+
+
+def test_holt_matches_independent_recursion(spark):
+    """The grouped kernel must equal an independent Python replay of
+    the Holt recursion (trunc division) over the collected weekly
+    series, including the backtest MAE window (t >= 3)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        holt_linear_backtest,
+    )
+
+    series = _weekly_series(spark)
+    got = {
+        r["nation_name"]: r
+        for r in holt_linear_backtest(spark, SF_SMOKE).collect()
+    }
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for nat, pts in series.items():
+        ys = [c for _, c in pts]
+        n = len(ys)
+        if n < 3:
+            assert nat not in got
+            continue
+        lvl, tr, err = ys[0], ys[1] - ys[0], 0
+        for t in range(1, n):
+            yhat = lvl + tr
+            if t >= 2:
+                err += abs(ys[t] - yhat)
+            nl = tdiv(ys[t] + 3 * (lvl + tr), 4)
+            tr = tdiv((nl - lvl) + 3 * tr, 4)
+            lvl = nl
+        r = got[nat]
+        assert r["n_weeks"] == n
+        assert r["mae_cents"] == tdiv(err, n - 2)
+        assert (r["final_level"], r["final_trend"]) == (lvl, tr)
+        assert r["forecast_next"] == lvl + tr
+
+
+def test_lpa_deterministic_and_sane(spark):
+    """Synchronous LPA on a planted two-clique graph must converge to
+    exactly two communities labeled by each clique's smallest node,
+    and the engine run must be reproducible (deterministic
+    tie-breaks)."""
+    from pyspark.sql import Window
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        LPA_ROUNDS,
+    )
+
+    # two 6-cliques bridged by one edge; symmetric edge list
+    import itertools
+
+    def clique(nodes):
+        return [
+            (a, b) for a, b in itertools.permutations(nodes, 2) if a != b
+        ]
+
+    edges_rows = clique(range(1, 7)) + clique(range(101, 107))
+    edges_rows += [(6, 101), (101, 6)]
+    edges = spark.createDataFrame(edges_rows, "src bigint, dst bigint")
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+    out = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert {out[n] for n in range(1, 7)} == {1}
+    assert {out[n] for n in range(101, 107)} == {101}
+
+
+def test_streaming_funnel_restart_equals_oneshot_and_batch(
+    spark, tmp_path
+):
+    """Two micro-batches with a stop/restart between them must equal
+    the one-shot run and the batch twin — the accumulated symbol
+    string survives checkpoint recovery."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        sequence_funnel_regex,
+    )
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        EVENTS_STREAM_SCHEMA,
+        stream_state_partitions,
+        tws_state_partitions,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_funnel_seq,
+    )
+
+    ensure_protobuf_on_session(spark)
+    tbl = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    import pyarrow.compute as pc
+
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+        )
+    )
+    half = tbl.num_rows // 2
+    src = tmp_path / "events"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, half), src / "a.parquet")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    latest: dict = {}
+    try:
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+
+            def sink(batch_df, _bid):
+                for r in batch_df.collect():
+                    u = r["user_id"]
+                    row = (
+                        int(r["seq_len"]),
+                        int(r["n_conversions"]),
+                        int(r["longest_run"]),
+                    )
+                    if u not in latest or row[0] > latest[u][0]:
+                        latest[u] = row
+
+            with stream_state_partitions(spark, tws_state_partitions()):
+                q = (
+                    tws_funnel_seq(stream)
+                    .writeStream.foreachBatch(sink)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        run(str(tmp_path / "ckpt"))
+        pq.write_table(tbl.slice(half), src / "b.parquet")
+        run(str(tmp_path / "ckpt"))  # RESTART: string state recovers
+        incremental = dict(latest)
+
+        latest.clear()
+        run(str(tmp_path / "ckpt_ref"))  # one-shot over both files
+        oneshot = dict(latest)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    assert incremental == oneshot and len(oneshot) > 0
+    batch = {
+        r["user_id"]: (
+            int(r["seq_len"]),
+            int(r["n_conversions"]),
+            int(r["longest_run"]),
+        )
+        for r in sequence_funnel_regex(spark, SF_SMOKE).collect()
+    }
+    assert incremental == batch

@@ -715,6 +715,10 @@ STREAM_NULL_SWEEP = [
     # pre-keying on BOTH sides (a sequential recursion has no
     # identity without a key; the oracle pins the same predicate)
     "streaming_ewma_user_value",
+    # round 8 batch 3: the batch twin's participation filter
+    # (user_id/ts/event_type non-null) pre-keying; null user_id rows
+    # dropped identically on both sides
+    "streaming_funnel_regex",
 ]
 
 

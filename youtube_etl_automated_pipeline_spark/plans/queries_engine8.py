@@ -48,9 +48,30 @@ DuckDB oracle and the house integer-exactness discipline.
   identical integer recursion, so stream == batch == oracle (NULL
   user_id excluded on both sides — no identity, no recursion).
 
+Batch 3 (same file):
+
+- ``weighted_median_two_pass`` — exact WEIGHT-rank median (quantity-
+  weighted median unit price) via the range-independent histogram
+  refinement generalized from row ranks to weight ranks; degrades to
+  the unweighted lower median when every weight is 1.
+
+- ``holt_linear_backtest`` — Holt's linear (double exponential)
+  smoothing per nation in truncating integer arithmetic (signed
+  trend state, trunc-vs-floor pinned), with a one-step-ahead
+  backtest MAE and next-week forecast; recursive-CTE oracle.
+
+- ``label_propagation_communities`` — deterministic synchronous LPA
+  over the memo-persisted trade graph (smallest-label ties, K=4
+  rounds); oracle = unrolled MATERIALIZED CTEs with QUALIFY argmax.
+
+- ``streaming_funnel_regex`` — the funnel regex census through TWS
+  ValueState (the user's accumulated symbol string), re-scanned per
+  batch with the same unique-extent pattern; restart == one-shot ==
+  batch twin.
+
 Scale postures are documented per query; every pair/DP expansion is
-bounded by calendar weeks, per-user activity, or K — never by corpus
-row count.
+bounded by calendar weeks, per-user activity, degree, or K — never
+by corpus row count.
 """
 
 from __future__ import annotations
@@ -882,3 +903,487 @@ def _ewma_oracle() -> str:
 
 
 ORACLES_ENGINE8["streaming_ewma_user_value"] = _ewma_oracle()
+
+
+# ------------------------------------------- exact weighted median
+WM_BUCKETS = 1024  # fixed per round — range-independent, the
+# exact_median_two_pass convention (queries_engine6)
+
+
+def group_weighted_median_exact(
+    rows: DataFrame, value_col: str, weight_col: str, keys: list
+) -> DataFrame:
+    """Range-independent EXACT weighted median per group: the
+    histogram-refinement machinery of group_median_exact
+    (queries_engine6) generalized from row ranks to WEIGHT ranks —
+    every histogram aggregates sum(w) instead of count(*), the target
+    is t = (W+1) DIV 2 (reduces to the unweighted lower median when
+    every w = 1), and the final pass picks the value whose cumulative
+    weight crosses the in-bucket offset. Returns (keys..., n, wsum,
+    wmedian_val). Weights must be positive integers (pinned by the
+    caller), so the crossing row is unique; ties in value are safe
+    because only the VALUE is emitted and a tie run crossing the
+    offset yields the same value under any internal order."""
+    B = WM_BUCKETS
+    vals = rows.select(
+        *keys, F.col(value_col).alias("v"), F.col(weight_col).alias("w")
+    )
+    stats = (
+        vals.groupBy(*keys)
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("wsum"),
+        )
+        .select(
+            *keys,
+            "lo",
+            "n",
+            "wsum",
+            (F.col("hi") - F.col("lo") + 1).alias("span"),
+            F.expr("CAST((wsum + 1) DIV 2 AS BIGINT)").alias("t"),
+        )
+    )
+    base = vals.join(F.broadcast(stats), keys).withColumn(
+        "b1", F.expr(f"(v - lo) * {B} div span")
+    )
+
+    def whist(df: DataFrame, bcol: str) -> DataFrame:
+        return df.groupBy(*keys, bcol).agg(F.sum("w").alias("wt"))
+
+    def wlocate(hist: DataFrame, bcol: str, rank_col: str) -> DataFrame:
+        win = Window.partitionBy(*keys).orderBy(bcol)
+        cum = hist.select(
+            *keys,
+            bcol,
+            rank_col,
+            (F.sum("wt").over(win) - F.col("wt")).alias("below"),
+            F.sum("wt").over(win).alias("cum"),
+        )
+        return cum.filter(
+            (F.col("below") < F.col(rank_col))
+            & (F.col(rank_col) <= F.col("cum"))
+        ).select(
+            *keys, bcol, (F.col(rank_col) - F.col("below")).alias("off")
+        )
+
+    pick1 = wlocate(
+        whist(base, "b1").join(stats.select(*keys, "t"), keys), "b1", "t"
+    )
+    ref = base.join(
+        F.broadcast(pick1.select(*keys, "b1")), [*keys, "b1"]
+    ).withColumn("b2", F.expr(f"((v - lo) * {B} - b1 * span) * {B} div span"))
+    pick2 = wlocate(
+        whist(ref, "b2").join(
+            pick1.select(*keys, F.col("off").alias("r1")), keys
+        ),
+        "b2",
+        "r1",
+    )
+    w2 = Window.partitionBy(*keys, "b2").orderBy("v")
+    return (
+        ref.join(F.broadcast(pick2), [*keys, "b2"])
+        .withColumn("cumw", F.sum("w").over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(
+            (F.col("cumw") >= F.col("off"))
+            & (F.col("cumw") - F.col("w") < F.col("off"))
+        )
+        .select(*keys, "n", "wsum", F.col("v").alias("wmedian_val"))
+    )
+
+
+def weighted_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median unit price per (returnflag,
+    linestatus) — "the price at which half the shipped QUANTITY was
+    cheaper" — without a global sort: the range-independent
+    histogram-refinement median generalized to weight ranks (see
+    group_weighted_median_exact). With all weights 1 it degrades to
+    the lower median, which the brute-force test also pins.
+
+    Scale: identical posture to exact_median_two_pass — two corpus
+    scans (pass 1 histogram, pass 2 refinement restricted to ~1/B of
+    each group by the broadcast bucket pick), every aggregation
+    map-side combinable, histogram relations groups x 1024 rows flat
+    regardless of the price range. NULL price/quantity rows carry no
+    weight rank and are excluded on both sides.
+
+    Output: l_returnflag, l_linestatus, n_items, qty_total,
+    wmedian_cents, wmedian_price."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+            F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("qty"),
+        )
+    )
+    med = group_weighted_median_exact(
+        li, "cents", "qty", ["l_returnflag", "l_linestatus"]
+    )
+    return med.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("wsum").cast("bigint").alias("qty_total"),
+        F.col("wmedian_val").cast("bigint").alias("wmedian_cents"),
+        (F.col("wmedian_val") / 100.0).alias("wmedian_price"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+QUERIES_ENGINE8["weighted_median_two_pass"] = weighted_median_two_pass
+
+ORACLES_ENGINE8["weighted_median_two_pass"] = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+g AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n, SUM(qty) AS wsum
+  FROM li GROUP BY 1, 2
+),
+perv AS (
+  SELECT l_returnflag, l_linestatus, cents, SUM(qty) AS wv
+  FROM li GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT l_returnflag, l_linestatus, cents,
+         SUM(wv) OVER (PARTITION BY l_returnflag, l_linestatus
+                       ORDER BY cents) AS cumw
+  FROM perv
+),
+pick AS (
+  SELECT c.l_returnflag, c.l_linestatus, MIN(c.cents) AS wmedian_cents
+  FROM cum c JOIN g ON c.l_returnflag = g.l_returnflag
+               AND c.l_linestatus = g.l_linestatus
+  WHERE c.cumw >= (g.wsum + 1) // 2
+  GROUP BY 1, 2
+)
+SELECT g.l_returnflag, g.l_linestatus,
+       CAST(g.n AS BIGINT) AS n_items,
+       CAST(g.wsum AS BIGINT) AS qty_total,
+       p.wmedian_cents,
+       p.wmedian_cents / 100.0 AS wmedian_price
+FROM g JOIN pick p
+  ON g.l_returnflag = p.l_returnflag AND g.l_linestatus = p.l_linestatus
+ORDER BY g.l_returnflag, g.l_linestatus
+"""
+
+
+# --------------------------------------------- Holt linear backtest
+_HOLT_SCHEMA = (
+    "nation_name string, n_weeks int, mae_cents bigint, "
+    "final_level bigint, final_trend bigint, forecast_next bigint"
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — Spark's DIV and
+    DuckDB's integer `//` convention; Python's `//` floors, which
+    diverges on the negative trend terms this recursion produces."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _holt_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Holt's linear (double exponential) smoothing in integer cents
+    with rational alpha = beta = 1/4:
+      l_t = (y_t + 3*(l_{t-1} + b_{t-1})) tdiv 4
+      b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) tdiv 4
+    seeded l_1 = y_1, b_1 = y_2 - y_1; one-step-ahead backtest over
+    t >= 3 with yhat_t = l_{t-1} + b_{t-1}. All divisions truncate
+    toward zero (_tdiv) to match the oracle's `//` exactly."""
+    pdf = pdf.sort_values("wk")
+    ys = [int(c) for c in pdf["rev_cents"]]
+    n = len(ys)
+    if n < 3:
+        return pd.DataFrame(
+            columns=[
+                "nation_name", "n_weeks", "mae_cents",
+                "final_level", "final_trend", "forecast_next",
+            ]
+        )
+    lvl, tr = ys[0], ys[1] - ys[0]
+    # process t=2 (index 1) from the seed state
+    err_sum = 0
+    for t in range(1, n):
+        yhat = lvl + tr
+        if t >= 2:
+            err_sum += abs(ys[t] - yhat)
+        new_l = _tdiv(ys[t] + 3 * (lvl + tr), 4)
+        tr = _tdiv((new_l - lvl) + 3 * tr, 4)
+        lvl = new_l
+    return pd.DataFrame(
+        [
+            {
+                "nation_name": pdf["nation_name"].iloc[0],
+                "n_weeks": n,
+                "mae_cents": _tdiv(err_sum, n - 2),
+                "final_level": lvl,
+                "final_trend": tr,
+                "forecast_next": lvl + tr,
+            }
+        ]
+    )
+
+
+def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per nation over the
+    weekly revenue series, with a one-step-ahead forecast backtest
+    (MAE in exact cents) and the next-week forecast — the
+    trend-aware upgrade of the engine's EWMA / seasonal-naive family,
+    in the same bit-exact integer-recursion discipline: rational
+    alpha = beta = 1/4 make every step two truncating integer
+    divisions, so the oracle's recursive CTE replays the identical
+    fixed point (including negative trend values, where trunc-vs-
+    floor matters — pinned by _tdiv).
+
+    Scale: the ewma posture — the corpus-sized work is the weekly
+    rollup's one shuffle; the recursion runs per nation over the
+    CALENDAR-BOUNDED series inside one grouped Arrow batch. Nations
+    need n >= 3 weeks (seed + at least one backtest point), pinned on
+    both sides."""
+    weekly = _weekly_nation_revenue(spark, sf_dir)
+    return (
+        weekly.groupBy("nation_name")
+        .applyInPandas(_holt_kernel, _HOLT_SCHEMA)
+        .orderBy("nation_name")
+    )
+
+
+QUERIES_ENGINE8["holt_linear_backtest"] = holt_linear_backtest
+
+ORACLES_ENGINE8["holt_linear_backtest"] = f"""
+WITH RECURSIVE weekly AS MATERIALIZED ({_WEEKLY_SQL}),
+ev AS MATERIALIZED (
+  SELECT nation_name, rev_cents AS y,
+         row_number() OVER (PARTITION BY nation_name ORDER BY wk) AS rn,
+         count(*) OVER (PARTITION BY nation_name) AS n
+  FROM weekly
+),
+r AS (
+  SELECT e1.nation_name, CAST(2 AS BIGINT) AS rn, e1.n,
+         -- state AFTER consuming t=2 from the seed (l1=y1, b1=y2-y1)
+         (e2.y + 3 * (e1.y + (e2.y - e1.y))) // 4 AS l,
+         (((e2.y + 3 * (e1.y + (e2.y - e1.y))) // 4 - e1.y)
+            + 3 * (e2.y - e1.y)) // 4 AS b,
+         (e1.y + (e2.y - e1.y)) AS l_prev_plus_b_prev,
+         CAST(0 AS BIGINT) AS err_sum
+  FROM ev e1 JOIN ev e2
+    ON e1.nation_name = e2.nation_name AND e1.rn = 1 AND e2.rn = 2
+  WHERE e1.n >= 3
+  UNION ALL
+  SELECT r.nation_name, r.rn + 1, r.n,
+         (e.y + 3 * (r.l + r.b)) // 4,
+         (((e.y + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4,
+         r.l + r.b,
+         r.err_sum + abs(e.y - (r.l + r.b))
+  FROM r JOIN ev e ON e.nation_name = r.nation_name AND e.rn = r.rn + 1
+)
+SELECT nation_name,
+       CAST(n AS INT) AS n_weeks,
+       CAST(err_sum // (n - 2) AS BIGINT) AS mae_cents,
+       CAST(l AS BIGINT) AS final_level,
+       CAST(b AS BIGINT) AS final_trend,
+       CAST(l + b AS BIGINT) AS forecast_next
+FROM r
+QUALIFY row_number() OVER (PARTITION BY nation_name ORDER BY rn DESC) = 1
+ORDER BY nation_name
+"""
+
+
+# ------------------------------------- label propagation communities
+LPA_ROUNDS = 4
+LPA_TOP = 25
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection on the symmetrized customer-supplier trade
+    graph via synchronous label propagation (LPA): every node starts
+    as its own label; each round a node adopts the label most frequent
+    among its NEIGHBORS, ties broken to the smallest label — a fully
+    deterministic synchronous schedule (the classic async coin-flips
+    are exactly what an oracle-paired engine cannot ship). Output is
+    the top-25 community census after LPA_ROUNDS rounds.
+
+    Scale: per round ONE shuffle join (labels onto edges by src), one
+    map-combinable (dst, lbl) count, and a per-node window over the
+    node's DISTINCT NEIGHBOR LABELS (degree-bounded, shrinking as
+    labels coalesce). The edge relation is the memo-persisted
+    trade-graph staging table shared with PageRank/BFS; label lineage
+    is truncated per round so the plan stays flat across iterations.
+    Oracle = LPA_ROUNDS unrolled MATERIALIZED CTEs with QUALIFY
+    argmax."""
+    from youtube_etl_automated_pipeline_spark.operators.lineage import (
+        truncate_lineage,
+    )
+    from youtube_etl_automated_pipeline_spark.plans.queries_graph import (
+        _edges,
+    )
+
+    edges = _edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        labels = truncate_lineage(labels, eager=False)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("lbl").alias("community_label"), "n_members")
+        .orderBy(F.desc("n_members"), F.asc("community_label"))
+        .limit(LPA_TOP)
+    )
+
+
+QUERIES_ENGINE8["label_propagation_communities"] = (
+    label_propagation_communities
+)
+
+
+def _lpa_oracle() -> str:
+    from youtube_etl_automated_pipeline_spark.plans.queries_graph import (
+        SUPP_NODE_BASE,
+    )
+
+    parts = [
+        f"""
+WITH eo AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {SUPP_NODE_BASE} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM eo
+  UNION ALL
+  SELECT s AS src, c AS dst FROM eo
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+)"""
+    ]
+    for r in range(LPA_ROUNDS):
+        parts.append(
+            f""",
+c{r + 1} AS MATERIALIZED (
+  SELECT e.dst, l.lbl, count(*) AS c
+  FROM edges e JOIN l{r} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT dst AS node, lbl
+  FROM c{r + 1}
+  QUALIFY row_number() OVER (
+    PARTITION BY dst ORDER BY c DESC, lbl ASC) = 1
+)"""
+        )
+    return "".join(parts) + f"""
+SELECT lbl AS community_label,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM l{LPA_ROUNDS}
+GROUP BY lbl
+ORDER BY n_members DESC, community_label ASC
+LIMIT {LPA_TOP}
+"""
+
+
+ORACLES_ENGINE8["label_propagation_communities"] = _lpa_oracle()
+
+
+# -------------------------------------------- streaming funnel twin
+def streaming_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequence_funnel_regex census maintained through REAL
+    streaming state: a TWS ValueState accumulates each user's symbol
+    string across micro-batches and every batch re-scans it with the
+    same unique-extent pattern, so any order-respecting batch split
+    equals the one-shot scan (2-batch restart == one-shot == batch
+    twin pinned in tests/test_engine8.py). Shares the batch twin's
+    oracle verbatim.
+
+    Scale: state is one string per user (per-user-activity bounded —
+    the identical bound the batch twin's grouped aggregation
+    carries); each batch's work is one state-partition shuffle plus
+    an O(len) scan per touched user. The rollup keeps each user's
+    LAST emission via keep-max on the strictly-increasing seq_len."""
+    from youtube_etl_automated_pipeline_spark.session import (
+        ensure_protobuf_on_session,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.incremental import (
+        read_events_stream,
+        run_stream_to_memory,
+        tws_state_partitions,
+    )
+    from youtube_etl_automated_pipeline_spark.streaming.stateful import (
+        tws_funnel_seq,
+    )
+
+    ensure_protobuf_on_session(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_stream_to_memory(
+            tws_funnel_seq(stream),
+            "tws_funnel",
+            output_mode="update",
+            skip_nodata=True,
+            state_partitions=tws_state_partitions(),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    last = out.groupBy("user_id").agg(
+        F.max(
+            F.struct("seq_len", "n_conversions", "longest_run")
+        ).alias("s")
+    )
+    return last.select(
+        "user_id",
+        F.col("s.seq_len").alias("seq_len"),
+        F.col("s.n_conversions").alias("n_conversions"),
+        F.col("s.longest_run").alias("longest_run"),
+    ).orderBy("user_id")
+
+
+QUERIES_ENGINE8["streaming_funnel_regex"] = streaming_funnel_regex
+
+
+def _streaming_funnel_oracle() -> str:
+    # shares the batch twin's oracle verbatim: a fully-consumed
+    # availableNow run accumulates every user's full symbol string
+    # and the last re-scan equals the batch regex count
+    return ORACLES_ENGINE8["sequence_funnel_regex"]
+
+
+ORACLES_ENGINE8["streaming_funnel_regex"] = _streaming_funnel_oracle()

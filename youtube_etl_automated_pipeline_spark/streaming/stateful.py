@@ -559,3 +559,86 @@ def tws_ewma_user_value(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+TWS_FUNNEL_SCHEMA = (
+    "user_id bigint, seq_len int, n_conversions int, longest_run int"
+)
+_FUNNEL_PATTERN = "V[CE]*P"
+
+
+class FunnelSeqProcessor:
+    """The sequence_funnel_regex census maintained incrementally: a
+    ValueState holds each user's accumulated symbol string; every
+    micro-batch appends its (ts, event_id)-sorted symbols and re-scans
+    the full string with the SAME unique-extent pattern the batch twin
+    uses (V[CE]*P's match extent is unique at any start, so Python re,
+    Java regex and RE2 all count identically). State is one string per
+    user, bounded by that user's activity — the same per-key bound the
+    batch twin's grouped collect carries. seq_len strictly increases
+    per emission, so the rollup's keep-max collapse is deterministic
+    and any order-respecting batch split equals the one-shot scan."""
+
+    def init(self, handle) -> None:
+        self._seq = handle.getValueState("seq", "seq string")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import re
+
+        pdfs = [p for p in rows if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        add = "".join(str(s)[:1].upper() for s in pdf["sym"].tolist())
+        prev = self._seq.get()[0] if self._seq.exists() else ""
+        seq = prev + add
+        self._seq.update((seq,))
+        runs = re.findall(_FUNNEL_PATTERN, seq)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "seq_len": [len(seq)],
+                "n_conversions": [len(runs)],
+                "longest_run": [max((len(r) for r in runs), default=0)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_funnel_processor():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "FunnelSeqStatefulProcessor",
+        (FunnelSeqProcessor, StatefulProcessor),
+        {},
+    )()
+
+
+def tws_funnel_seq(events: DataFrame) -> DataFrame:
+    """Apply the funnel-sequence processor to a STREAMING events
+    DataFrame (update mode). The batch twin's participation filter
+    (user_id/ts/event_type all non-null — an event without identity,
+    time or type has no place in a sequence) applies BEFORE keying;
+    the sentinel quarantine wraps the groupBy as the engine-wide TWS
+    entry contract (vacuously, post-filter)."""
+    keyed = _null_safe_user_key(
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        ),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id"),
+        F.expr("upper(substring(event_type, 1, 1))").alias("sym"),
+    )
+    return _restore_null_user_key(
+        keyed.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_tws_funnel_processor(),
+            outputStructType=TWS_FUNNEL_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
