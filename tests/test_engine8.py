@@ -657,3 +657,100 @@ def test_streaming_funnel_restart_equals_oneshot_and_batch(
         for r in sequence_funnel_regex(spark, SF_SMOKE).collect()
     }
     assert incremental == batch
+
+
+def test_decision_stump_matches_bruteforce(spark):
+    """The one-scan histogram stump must equal a Python brute force
+    that evaluates every (feature, bucket) candidate with exact
+    integer arithmetic over the same bucketing."""
+    import re as _re
+
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        STUMP_BUCKETS,
+        decision_stump_quality,
+    )
+    from youtube_etl_automated_pipeline_spark.sources import load_table
+
+    docs = [
+        r
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+        if r["text"] is not None and r["lang"] is not None
+    ]
+    feats = {"n_chars": [], "n_digits": [], "n_spaces": []}
+    ys = []
+    for r in docs:
+        ys.append(1 if r["lang"] == "en" else 0)
+        feats["n_chars"].append(int(r["n_chars"]))
+        feats["n_digits"].append(len(_re.findall("[0-9]", r["text"])))
+        feats["n_spaces"].append(r["text"].count(" "))
+    B = STUMP_BUCKETS
+    best = None
+    for f in sorted(feats):
+        xs = feats[f]
+        lo, hi = min(xs), max(xs)
+        span = hi - lo + 1
+        agg = {}
+        for x, y in zip(xs, ys):
+            b = (x - lo) * B // span
+            p, n = agg.get(b, (0, 0))
+            agg[b] = (p + y, n + 1 - y)
+        tp = sum(p for p, _ in agg.values())
+        tn = sum(n for _, n in agg.values())
+        lp = ln = 0
+        for b in sorted(agg):
+            p, n = agg[b]
+            lp, ln = lp + p, ln + n
+            rp, rn = tp - lp, tn - ln
+            if lp + ln == 0 or rp + rn == 0:
+                continue
+            score = (lp * lp + ln * ln) * 1_000_000 // (lp + ln) + (
+                rp * rp + rn * rn
+            ) * 1_000_000 // (rp + rn)
+            key = (-score, f, b)
+            if best is None or key < best[0]:
+                thr = lo + ((b + 1) * span + B - 1) // B - 1
+                best = (
+                    key,
+                    (
+                        f, b, thr, lp + ln, rp + rn, lp, rp, score,
+                        (max(lp, ln) + max(rp, rn)) * 1_000_000
+                        // (lp + ln + rp + rn),
+                    ),
+                )
+    got = decision_stump_quality(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (
+        r["feature"], r["split_bucket"], r["threshold"], r["n_left"],
+        r["n_right"], r["left_pos"], r["right_pos"], r["score_q"],
+        r["train_acc_ppm"],
+    ) == best[1]
+
+
+def test_acf_matches_exact_python(spark):
+    """The DECIMAL(38) ACF must equal an unbounded-int Python
+    computation (mean-free scaled deviations, truncating ppm)."""
+    from youtube_etl_automated_pipeline_spark.plans.queries_engine8 import (
+        ACF_MAX_LAG,
+        weekly_revenue_acf,
+    )
+
+    series = _weekly_series(spark)
+    got = {
+        (r["nation_name"], r["lag"]): r["acf_ppm"]
+        for r in weekly_revenue_acf(spark, SF_SMOKE).collect()
+    }
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    for nat, pts in series.items():
+        xs = [c for _, c in pts]
+        n = len(xs)
+        s = sum(xs)
+        d = [x * n - s for x in xs]
+        den = sum(v * v for v in d)
+        for k in range(1, ACF_MAX_LAG + 1):
+            num = sum(d[t] * d[t - k] for t in range(k, n))
+            assert got[(nat, k)] == tdiv(num * 1_000_000, den), (nat, k)
+    assert len(got) == len(series) * ACF_MAX_LAG

@@ -69,9 +69,21 @@ Batch 3 (same file):
   batch with the same unique-extent pattern; restart == one-shot ==
   batch twin.
 
+Batch 4 (same file):
+
+- ``decision_stump_quality`` — in-engine depth-1 CART: one corpus
+  scan builds a range-independent 64-bucket pos/neg histogram per
+  feature; every candidate threshold evaluates on that bounded
+  relation via cumulative windows; quantized Gini in
+  DECIMAL(38)/HUGEINT.
+
+- ``weekly_revenue_acf`` — exact-ppm lag-1..8 autocorrelation via
+  the mean-free integer trick (d_t = x_t*n - S, no division until
+  the final truncating ppm), DECIMAL(38)/HUGEINT products.
+
 Scale postures are documented per query; every pair/DP expansion is
-bounded by calendar weeks, per-user activity, degree, or K — never
-by corpus row count.
+bounded by calendar weeks, per-user activity, degree, buckets, or K
+— never by corpus row count.
 """
 
 from __future__ import annotations
@@ -1387,3 +1399,316 @@ def _streaming_funnel_oracle() -> str:
 
 
 ORACLES_ENGINE8["streaming_funnel_regex"] = _streaming_funnel_oracle()
+
+
+# -------------------------------------------- decision-tree stump
+STUMP_BUCKETS = 64
+
+
+def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised split learning IN-ENGINE: the depth-1 CART stump
+    that best separates English from non-English documents over three
+    cheap integer features (n_chars, digit count, space count) —
+    the first step of every tree/GBM trainer, expressed as pure
+    aggregation. Candidate thresholds are the 63 boundaries of a
+    range-independent 64-bucket histogram per feature; the winning
+    split maximizes the quantized Gini score
+    (lp^2+ln^2)*1e6 div n_l + (rp^2+rn^2)*1e6 div n_r (equivalently
+    minimizes weighted child Gini; DECIMAL(38)/HUGEINT headroom, so
+    the integer envelope holds to ~1e15 docs), ties to (feature,
+    bucket) ascending. Output: ONE row — feature, threshold, split
+    sizes, class counts, score and training accuracy in exact ppm.
+
+    Scale: one corpus scan builds the (feature, bucket) pos/neg
+    histogram (map-side combinable, 3 x 64 rows); every candidate
+    evaluation happens on that bounded relation via cumulative
+    windows. Adding a feature adds 64 histogram rows, not a scan."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.col("n_chars").alias("f_chars"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+            ).cast("bigint").alias("f_digits"),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+            ).cast("bigint").alias("f_spaces"),
+        )
+    )
+    feats = docs.select(
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_chars").alias("f"),
+                    F.col("f_chars").cast("bigint").alias("x"),
+                ),
+                F.struct(
+                    F.lit("n_digits").alias("f"), F.col("f_digits").alias("x")
+                ),
+                F.struct(
+                    F.lit("n_spaces").alias("f"), F.col("f_spaces").alias("x")
+                ),
+            )
+        ).alias("fx"),
+    ).select("y", F.col("fx.f").alias("f"), F.col("fx.x").alias("x"))
+    # a document with an unknown (NULL) feature value contributes no
+    # candidate for THAT feature but still counts for the others —
+    # pinned identically in the oracle; keeps the bucket window
+    # NULL-free (the cross-engine NULL-ordering gotcha)
+    feats = feats.filter(F.col("x").isNotNull())
+    B = STUMP_BUCKETS
+    stats = feats.groupBy("f").agg(
+        F.min("x").alias("lo"),
+        (F.max("x") - F.min("x") + 1).alias("span"),
+    )
+    hist = (
+        feats.join(F.broadcast(stats), "f")
+        .withColumn("b", F.expr(f"(x - lo) * {B} div span"))
+        .groupBy("f", "b", "lo", "span")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("neg"),
+        )
+    )
+    w = Window.partitionBy("f").orderBy("b")
+    tot = Window.partitionBy("f")
+    cand = hist.select(
+        "f",
+        "b",
+        "lo",
+        "span",
+        F.sum("pos").over(w).alias("lp"),
+        F.sum("neg").over(w).alias("ln"),
+        (F.sum("pos").over(tot)).alias("tp"),
+        (F.sum("neg").over(tot)).alias("tn"),
+    ).select(
+        "f",
+        "b",
+        "lo",
+        "span",
+        "lp",
+        "ln",
+        (F.col("tp") - F.col("lp")).alias("rp"),
+        (F.col("tn") - F.col("ln")).alias("rn"),
+    ).filter(
+        (F.col("lp") + F.col("ln") > 0) & (F.col("rp") + F.col("rn") > 0)
+    )
+    scored = cand.select(
+        "f",
+        "b",
+        "lo",
+        "span",
+        "lp",
+        "ln",
+        "rp",
+        "rn",
+        F.expr(
+            "CAST((CAST(lp AS DECIMAL(38,0)) * lp"
+            "      + CAST(ln AS DECIMAL(38,0)) * ln) * 1000000"
+            "     div (lp + ln)"
+            "   + (CAST(rp AS DECIMAL(38,0)) * rp"
+            "      + CAST(rn AS DECIMAL(38,0)) * rn) * 1000000"
+            "     div (rp + rn) AS BIGINT)"
+        ).alias("score_q"),
+    )
+    best = scored.orderBy(
+        F.desc("score_q"), F.asc("f"), F.asc("b")
+    ).limit(1)
+    return best.select(
+        F.col("f").alias("feature"),
+        F.col("b").cast("int").alias("split_bucket"),
+        F.expr(f"lo + ((b + 1) * span + {B - 1}) DIV {B} - 1").alias(
+            "threshold"
+        ),
+        (F.col("lp") + F.col("ln")).cast("bigint").alias("n_left"),
+        (F.col("rp") + F.col("rn")).cast("bigint").alias("n_right"),
+        F.col("lp").cast("bigint").alias("left_pos"),
+        F.col("rp").cast("bigint").alias("right_pos"),
+        "score_q",
+        F.expr(
+            "CAST((greatest(lp, ln) + greatest(rp, rn)) * 1000000"
+            " div (lp + ln + rp + rn) AS BIGINT)"
+        ).alias("train_acc_ppm"),
+    )
+
+
+QUERIES_ENGINE8["decision_stump_quality"] = decision_stump_quality
+
+ORACLES_ENGINE8["decision_stump_quality"] = f"""
+WITH docs AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(n_chars AS BIGINT) AS f_chars,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS f_digits,
+         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+              AS BIGINT) AS f_spaces
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+feats AS (
+  SELECT * FROM (
+    SELECT y, 'n_chars' AS f, f_chars AS x FROM docs
+    UNION ALL SELECT y, 'n_digits', f_digits FROM docs
+    UNION ALL SELECT y, 'n_spaces', f_spaces FROM docs
+  ) WHERE x IS NOT NULL
+),
+stats AS (
+  SELECT f, MIN(x) AS lo, MAX(x) - MIN(x) + 1 AS span
+  FROM feats GROUP BY f
+),
+hist AS (
+  SELECT fe.f, (fe.x - st.lo) * {STUMP_BUCKETS} // st.span AS b,
+         st.lo, st.span,
+         SUM(fe.y) AS pos, SUM(1 - fe.y) AS neg
+  FROM feats fe JOIN stats st ON fe.f = st.f
+  GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT f, b, lo, span,
+         SUM(pos) OVER (PARTITION BY f ORDER BY b) AS lp,
+         SUM(neg) OVER (PARTITION BY f ORDER BY b) AS ln,
+         SUM(pos) OVER (PARTITION BY f)
+           - SUM(pos) OVER (PARTITION BY f ORDER BY b) AS rp,
+         SUM(neg) OVER (PARTITION BY f)
+           - SUM(neg) OVER (PARTITION BY f ORDER BY b) AS rn
+  FROM hist
+),
+scored AS (
+  SELECT f, b, lo, span, lp, ln, rp, rn,
+         CAST((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
+                * 1000000 // (lp + ln)
+              + (CAST(rp AS HUGEINT) * rp + CAST(rn AS HUGEINT) * rn)
+                * 1000000 // (rp + rn) AS BIGINT) AS score_q
+  FROM cand
+  WHERE lp + ln > 0 AND rp + rn > 0
+)
+SELECT f AS feature,
+       CAST(b AS INT) AS split_bucket,
+       CAST(lo + ((b + 1) * span + {STUMP_BUCKETS - 1})
+              // {STUMP_BUCKETS} - 1 AS BIGINT) AS threshold,
+       CAST(lp + ln AS BIGINT) AS n_left,
+       CAST(rp + rn AS BIGINT) AS n_right,
+       CAST(lp AS BIGINT) AS left_pos,
+       CAST(rp AS BIGINT) AS right_pos,
+       score_q,
+       CAST((greatest(lp, ln) + greatest(rp, rn)) * 1000000
+            // (lp + ln + rp + rn) AS BIGINT) AS train_acc_ppm
+FROM scored
+ORDER BY score_q DESC, feature ASC, split_bucket ASC
+LIMIT 1
+"""
+
+
+# ------------------------------------------------ lag-k ACF census
+ACF_MAX_LAG = 8
+
+
+def weekly_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..8 autocorrelation of each nation's weekly revenue — the
+    time-series diagnostic (is there weekly momentum? monthly
+    cycle?) that complements the engine's forecasting family
+    (seasonal-naive, Holt, trend slope), exact in integer ppm.
+
+    Exactness: deviations are kept integral with the mean-free trick
+    d_t = x_t*n - S (no division by n ever happens), products ride in
+    DECIMAL(38) (Spark) / HUGEINT (DuckDB) — d^2 reaches ~1e23, far
+    outside bigint — and acf_ppm = (num*1e6) div den truncates
+    identically in both engines, negative lags included. Lags are
+    INDEX-based over the (wk)-ordered series (the regular-sampling
+    convention; gap weeks are documented as absent observations).
+
+    Scale: the corpus-sized work is the weekly rollup's one shuffle;
+    the lag windows and the per-(nation, lag) sums run over the
+    calendar-bounded series. Output is nations x ACF_MAX_LAG rows."""
+    weekly = _weekly_nation_revenue(spark, sf_dir)
+    n_w = Window.partitionBy("nation_name")
+    o_w = Window.partitionBy("nation_name").orderBy("wk")
+    dev = weekly.select(
+        "nation_name",
+        "wk",
+        (
+            F.col("rev_cents") * F.count(F.lit(1)).over(n_w)
+            - F.sum("rev_cents").over(n_w)
+        ).alias("d"),
+    )
+    lagged = dev.select(
+        "nation_name",
+        "d",
+        *[
+            F.lag("d", k).over(o_w).alias(f"d{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    num_cols = [
+        F.sum(
+            F.expr(f"CAST(d AS DECIMAL(20,0)) * CAST(d{k} AS DECIMAL(20,0))")
+        ).alias(f"num{k}")
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    agg = lagged.groupBy("nation_name").agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(20,0)) * CAST(d AS DECIMAL(20,0))")).alias(
+            "den"
+        ),
+        *num_cols,
+    )
+    pairs = agg.select(
+        "nation_name",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.expr(
+                            f"CAST((num{k} * 1000000) div den AS BIGINT)"
+                        ).alias("acf_ppm"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        "nation_name", F.col("p.lag").alias("lag"), F.col("p.acf_ppm").alias("acf_ppm")
+    ).orderBy("nation_name", "lag")
+
+
+QUERIES_ENGINE8["weekly_revenue_acf"] = weekly_revenue_acf
+
+ORACLES_ENGINE8["weekly_revenue_acf"] = f"""
+WITH weekly AS ({_WEEKLY_SQL}),
+dev AS (
+  SELECT nation_name, wk,
+         CAST(rev_cents * count(*) OVER (PARTITION BY nation_name)
+              - SUM(rev_cents) OVER (PARTITION BY nation_name)
+              AS HUGEINT) AS d
+  FROM weekly
+),
+lagged AS (
+  SELECT nation_name, d,
+         {", ".join(
+             f"lag(d, {k}) OVER (PARTITION BY nation_name ORDER BY wk)"
+             f" AS d{k}" for k in range(1, ACF_MAX_LAG + 1)
+         )}
+  FROM dev
+),
+agg AS (
+  SELECT nation_name,
+         SUM(d * d) AS den,
+         {", ".join(
+             f"SUM(d * d{k}) AS num{k}"
+             for k in range(1, ACF_MAX_LAG + 1)
+         )}
+  FROM lagged GROUP BY nation_name
+)
+{" UNION ALL ".join(
+    f"SELECT nation_name, CAST({k} AS INT) AS lag,"
+    f" CAST((num{k} * 1000000) // den AS BIGINT) AS acf_ppm FROM agg"
+    for k in range(1, ACF_MAX_LAG + 1)
+)}
+ORDER BY nation_name, lag
+"""
