@@ -28,10 +28,16 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _REG: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-# 8 concurrent persisted intermediates is plenty for any one query
-# chain; at 100 TB each entry is a bounded (blocked/sampled) relation,
-# never a full fact table.
-_CAP = 8
+# Bounded LRU of persisted intermediates. Sized so that the memos
+# SHARED ACROSS QUERIES (minhash_base and its banding, the planted
+# embedding corpus, the tokenized ROUGE counts) survive between their
+# consumers in a full 315-query sweep: at the old cap of 8 the ~60
+# registered sites evicted a shared entry before its next consumer
+# ran, silently re-paying the build (r08). Each entry is a bounded
+# (blocked/sampled/grouped) relation, never a full fact table, so 24
+# resident entries stay small; eviction remains safe (an unpersisted
+# DataFrame still computes).
+_CAP = 24
 
 
 def memo_persist(

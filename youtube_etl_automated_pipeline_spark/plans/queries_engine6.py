@@ -1010,7 +1010,12 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), "o_custkey")
         .select("c_nationkey", "cents")
     )
-    med = group_median_exact(orders, value_col="cents", buckets=B)
+    med = group_median_exact(
+        orders,
+        value_col="cents",
+        buckets=B,
+        memo_key=("exact_median", sf_dir),
+    )
     return (
         med.join(F.broadcast(nat), med.c_nationkey == nat.n_nationkey)
         .select(
@@ -1023,11 +1028,19 @@ def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _median_base(rows: DataFrame, value_col: str, buckets: int):
+def _median_base(
+    rows: DataFrame, value_col: str, buckets: int, memo_key: tuple | None = None
+):
     """Round-0 stats + the round-1 bucketed base relation. b1 =
     (v-lo)*B DIV span is in [0, B) by construction — (v-lo) < span so
     (v-lo)*B < span*B — which is what makes the histogram relation
-    range-invariant (asserted directly in tests)."""
+    range-invariant (asserted directly in tests).
+
+    ``memo_key``: persist the groups-bounded stats relation. Without
+    it, every consumer of ``base`` (histogram pass, refinement pass)
+    re-executes the stats AGGREGATE — a full input scan per consumer
+    (r08: the median family was scanning the fact relation ~6x per
+    run through this seam; guide section 1.2, don't recompute)."""
     vals = rows.select("c_nationkey", F.col(value_col).alias("v"))
     stats = vals.groupBy("c_nationkey").agg(
         F.min("v").alias("lo"),
@@ -1040,6 +1053,15 @@ def _median_base(rows: DataFrame, value_col: str, buckets: int):
         (F.col("hi") - F.col("lo") + 1).alias("span"),
         F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("r"),
     )
+    if memo_key is not None:
+        from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+            memo_persist,
+        )
+
+        stats_df = stats
+        stats = memo_persist(
+            rows.sparkSession, (*memo_key, "med_stats"), lambda: stats_df
+        )
     base = vals.join(F.broadcast(stats), "c_nationkey").withColumn(
         "b1", F.expr(f"(v - lo) * {buckets} div span")
     )
@@ -1047,17 +1069,27 @@ def _median_base(rows: DataFrame, value_col: str, buckets: int):
 
 
 def group_median_exact(
-    rows: DataFrame, value_col: str, buckets: int = MED_BUCKETS
+    rows: DataFrame,
+    value_col: str,
+    buckets: int = MED_BUCKETS,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """The reusable range-independent exact-median operator over a
     (c_nationkey, <value_col>) relation — see exact_median_two_pass
     for the round-by-round shape. Returns (c_nationkey, n,
     median_val). Exposed separately so tests can drive it with
-    synthetic wide-range columns."""
+    synthetic wide-range columns.
+
+    ``memo_key`` persists the three BOUNDED intermediates consumed
+    more than once (stats: one row per group; pick1: one row per
+    group; ref: the located bucket's rows, ~1/buckets of the input by
+    construction) — without it each consumer re-executes its subtree
+    from the scan (r08; the callers with a stable (query, sf_dir)
+    identity pass one, synthetic test drivers skip it)."""
     from pyspark.sql import Window
 
     B = buckets
-    base, stats = _median_base(rows, value_col, B)
+    base, stats = _median_base(rows, value_col, B, memo_key=memo_key)
 
     pick1 = _locate(
         _median_hist(base, "b1").join(
@@ -1066,11 +1098,25 @@ def group_median_exact(
         "b1",
         "r",
     )
+    if memo_key is not None:
+        from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+            memo_persist,
+        )
+
+        pick1_df = pick1
+        pick1 = memo_persist(
+            rows.sparkSession, (*memo_key, "med_pick1"), lambda: pick1_df
+        )
     # refinement round: only the median bucket's rows, re-bucketed by
     # the scaled remainder t = (v-lo)*B - b1*span in [0, span)
     ref = base.join(F.broadcast(pick1.select("c_nationkey", "b1")), [
         "c_nationkey", "b1"
     ]).withColumn("b2", F.expr(f"((v - lo) * {B} - b1 * span) * {B} div span"))
+    if memo_key is not None:
+        ref_df = ref
+        ref = memo_persist(
+            rows.sparkSession, (*memo_key, "med_ref"), lambda: ref_df
+        )
     pick2 = _locate(
         _median_hist(ref, "b2").join(
             pick1.select("c_nationkey", F.col("off").alias("r1")),

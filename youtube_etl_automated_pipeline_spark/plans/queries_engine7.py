@@ -63,7 +63,10 @@ QUANTILES_PCT = (25, 50, 75, 95)
 
 
 def group_quantiles_exact(
-    rows: DataFrame, value_col: str, qs=QUANTILES_PCT
+    rows: DataFrame,
+    value_col: str,
+    qs=QUANTILES_PCT,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """(c_nationkey, q, n, val) — the exact lower q-th percentile
     (rank r = max(ceil(n*q/100), 1)) per group, every rank served by
@@ -76,7 +79,7 @@ def group_quantiles_exact(
     )
 
     B = MED_BUCKETS
-    base, stats = _median_base(rows, value_col, B)
+    base, stats = _median_base(rows, value_col, B, memo_key=memo_key)
     ranks = stats.select(
         "c_nationkey",
         "n",
@@ -110,11 +113,25 @@ def group_quantiles_exact(
             "c_nationkey", "q", "b1", (F.col("r") - F.col("below")).alias("off1")
         )
     )
+    if memo_key is not None:
+        from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+            memo_persist,
+        )
+
+        pick1_df = pick1
+        pick1 = memo_persist(
+            rows.sparkSession, (*memo_key, "q_pick1"), lambda: pick1_df
+        )
     # refinement over the UNION of picked buckets (<= groups x |qs|)
     need1 = pick1.select("c_nationkey", "b1").distinct()
     ref = base.join(F.broadcast(need1), ["c_nationkey", "b1"]).withColumn(
         "b2", F.expr(f"((v - lo) * {B} - b1 * span) * {B} div span")
     )
+    if memo_key is not None:
+        ref_df = ref
+        ref = memo_persist(
+            rows.sparkSession, (*memo_key, "q_ref"), lambda: ref_df
+        )
     w2 = Window.partitionBy("c_nationkey", "b1").orderBy("b2")
     cum2 = (
         ref.groupBy("c_nationkey", "b1", "b2")
@@ -176,7 +193,9 @@ def exact_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), "o_custkey")
         .select("c_nationkey", "cents")
     )
-    hits = group_quantiles_exact(orders, "cents")
+    hits = group_quantiles_exact(
+        orders, "cents", memo_key=("exact_quantiles", sf_dir)
+    )
     banner = hits.groupBy("c_nationkey").agg(
         F.max("n").cast("bigint").alias("n_orders"),
         *[

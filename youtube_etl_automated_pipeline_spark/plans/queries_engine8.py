@@ -1014,7 +1014,11 @@ WM_BUCKETS = 1024  # fixed per round — range-independent, the
 
 
 def group_weighted_median_exact(
-    rows: DataFrame, value_col: str, weight_col: str, keys: list
+    rows: DataFrame,
+    value_col: str,
+    weight_col: str,
+    keys: list,
+    memo_key: tuple | None = None,
 ) -> DataFrame:
     """Range-independent EXACT weighted median per group: the
     histogram-refinement machinery of group_median_exact
@@ -1048,6 +1052,19 @@ def group_weighted_median_exact(
             F.expr("CAST((wsum + 1) DIV 2 AS BIGINT)").alias("t"),
         )
     )
+    if memo_key is not None:
+        # persist the bounded multi-consumer intermediates (one row
+        # per group / ~1/B of the input): without this every consumer
+        # re-executes the stats aggregate — a full scan each (r08,
+        # same seam as group_median_exact)
+        from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+            memo_persist,
+        )
+
+        stats_df = stats
+        stats = memo_persist(
+            rows.sparkSession, (*memo_key, "wm_stats"), lambda: stats_df
+        )
     base = vals.join(F.broadcast(stats), keys).withColumn(
         "b1", F.expr(f"(v - lo) * {B} div span")
     )
@@ -1074,9 +1091,19 @@ def group_weighted_median_exact(
     pick1 = wlocate(
         whist(base, "b1").join(stats.select(*keys, "t"), keys), "b1", "t"
     )
+    if memo_key is not None:
+        pick1_df = pick1
+        pick1 = memo_persist(
+            rows.sparkSession, (*memo_key, "wm_pick1"), lambda: pick1_df
+        )
     ref = base.join(
         F.broadcast(pick1.select(*keys, "b1")), [*keys, "b1"]
     ).withColumn("b2", F.expr(f"((v - lo) * {B} - b1 * span) * {B} div span"))
+    if memo_key is not None:
+        ref_df = ref
+        ref = memo_persist(
+            rows.sparkSession, (*memo_key, "wm_ref"), lambda: ref_df
+        )
     pick2 = wlocate(
         whist(ref, "b2").join(
             pick1.select(*keys, F.col("off").alias("r1")), keys
@@ -1129,7 +1156,11 @@ def weighted_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     med = group_weighted_median_exact(
-        li, "cents", "qty", ["l_returnflag", "l_linestatus"]
+        li,
+        "cents",
+        "qty",
+        ["l_returnflag", "l_linestatus"],
+        memo_key=("weighted_median", sf_dir),
     )
     return med.select(
         "l_returnflag",

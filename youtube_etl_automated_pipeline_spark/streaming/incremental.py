@@ -212,8 +212,48 @@ def stream_state_partitions(spark, n: int | str | None = None):
 def tws_state_partitions() -> int:
     """State width for transformWithStateInPandas queries: wider than
     the generic streaming default because each state partition runs a
-    real Python worker doing per-key compute."""
-    return int(os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS", "8"))
+    real Python worker doing per-key compute AND opens its own
+    RocksDB instance — both parallelize with width. Default tracks
+    the session's cores (half of them, floor 8: r08 width sweep at
+    sf0.1 measured warm 2.9-3.5 s at 16, 3.5 s at 8, 4.8-5.2 s at 2
+    for tws_user_peaks on a 32-core local master), so a bigger
+    machine widens automatically; a real deployment still pins
+    SPARK_GRAFT_TWS_STATE_PARTITIONS before the first checkpoint
+    commit (the sticky-width contract)."""
+    env = os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS")
+    if env is not None:
+        return int(env)
+    from youtube_etl_automated_pipeline_spark.session import (
+        default_parallelism,
+    )
+
+    return max(8, default_parallelism() // 2)
+
+
+_QUIET_MARKER = "_graft_state_server_quieted"
+
+
+def quiet_state_server_logs(spark) -> None:
+    """Silence the TWS state server's per-key WARN ("Value state X
+    doesn't contain a value"), which it emits for EVERY first-sight
+    key once processors use the single-round-trip get()-returns-None
+    protocol — thousands of synchronous log lines per micro-batch at
+    gate scale. Idempotent per session; failures are swallowed (a
+    logging tweak must never fail a query)."""
+    sc = spark.sparkContext
+    if getattr(sc, _QUIET_MARKER, False):
+        return
+    try:
+        jvm = sc._jvm
+        lvl = jvm.org.apache.logging.log4j.Level.ERROR
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.state."
+            "TransformWithStateInPySparkStateServer",
+            lvl,
+        )
+    except Exception:
+        pass
+    setattr(sc, _QUIET_MARKER, True)
 
 
 def run_stream_to_memory(
@@ -239,6 +279,7 @@ def run_stream_to_memory(
     state-store commit cycle)."""
     qname = f"{name}_{next(_memsink_seq)}"
     spark = result.sparkSession
+    quiet_state_server_logs(spark)
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     nodata_prev = spark.conf.get(nodata_key, "true")
     with stream_state_partitions(spark, state_partitions):

@@ -103,9 +103,12 @@ class UserPeakProcessor:
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        n, peak = (0, -1)
-        if self._state.exists():
-            n, peak = self._state.get()
+        # one get() instead of exists()+get(): every state-client call
+        # is a proto round-trip to the JVM state server PER KEY PER
+        # BATCH, and get() already returns None when absent (r08,
+        # guide section 4 — shrink the Python-boundary chatter)
+        st = self._state.get()
+        n, peak = (0, -1) if st is None else st
         for pdf in rows:
             n += len(pdf)
             v = pdf["value"].to_numpy(dtype="float64")
@@ -201,9 +204,11 @@ class UserTopKProcessor:
         self._top = handle.getListState("topk", "cents bigint, seen bigint")
 
     def handleInputRows(self, key, rows, timerValues):
-        old: list[tuple[int, int]] = []
-        if self._top.exists():
-            old = [(int(r[0]), int(r[1])) for r in self._top.get()]
+        # no exists() probe: iterating an absent ListState terminates
+        # immediately (the client maps no-such-state to iterator
+        # exhaustion), so the probe was a pure extra round-trip per
+        # key per batch (r08)
+        old = [(int(r[0]), int(r[1])) for r in self._top.get()]
         n_seen = sum(s for _, s in old)
         cents: list[int] = [c for c, _ in old]
         for pdf in rows:
@@ -270,9 +275,11 @@ class UserTypeCountProcessor:
                 delta[str(t)] = delta.get(str(t), 0) + int(c)
         out = []
         for t, c in delta.items():
-            prev = 0
-            if self._counts.containsKey((t,)):
-                prev = int(self._counts.getValue((t,))[0])
+            # getValue() returns None for an absent key — the
+            # containsKey() probe doubled the per-(user, type)
+            # round-trips (r08)
+            got = self._counts.getValue((t,))
+            prev = 0 if got is None else int(got[0])
             n = prev + c
             self._counts.updateValue((t,), (n,))
             out.append((key[0], t, n))
@@ -334,17 +341,21 @@ class InactiveUserProcessor:
         self._state = handle.getValueState("last_seen", "last_ms bigint, n bigint")
 
     def handleInputRows(self, key, rows, timerValues):
-        last_ms, n = (-1, 0)
-        if self._state.exists():
-            last_ms, n = (int(x) for x in self._state.get())
+        st = self._state.get()  # None when absent: no exists() probe
+        fresh = st is None
+        last_ms, n = (-1, 0) if fresh else (int(x) for x in st)
         for pdf in rows:
             n += len(pdf)
             ms = (pdf["us"].to_numpy(dtype="int64") // 1000)
             if len(ms):
                 last_ms = max(last_ms, int(ms.max()))
         self._state.update((last_ms, n))
-        for expiry in list(self._handle.listTimers()):
-            self._handle.deleteTimer(expiry)
+        # a FRESH key cannot have an armed timer — skip the
+        # listTimers()+deleteTimer() round-trips on first sight (r08);
+        # re-keyed batches still re-arm by deleting the stale timer
+        if not fresh:
+            for expiry in list(self._handle.listTimers()):
+                self._handle.deleteTimer(expiry)
         self._handle.registerTimer(last_ms + TWS_INACTIVE_AFTER_MS)
         return iter(())  # timers produce the output, not data batches
 
@@ -422,8 +433,8 @@ class TransitionDeltaProcessor:
         ]
         prev: str | None = None
         have_prev = False
-        if self._last.exists():
-            st = self._last.get()
+        st = self._last.get()  # None when absent: no exists() probe
+        if st is not None:
             prev = None if st[2] == _ETYPE_NULL else str(st[2])
             have_prev = True
         counts: dict[tuple, int] = {}
@@ -504,8 +515,9 @@ class EwmaStateProcessor:
         cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(
             "int64"
         )
-        if self._st.exists():
-            e, n = (int(x) for x in self._st.get())
+        st = self._st.get()  # None when absent: no exists() probe
+        if st is not None:
+            e, n = (int(x) for x in st)
             start = 0
         else:
             e, n = int(cents[0]), 1
