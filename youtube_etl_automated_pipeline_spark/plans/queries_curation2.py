@@ -183,10 +183,25 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus on emb_id (a second wide shuffle of every vector).
     # Flat cluster_id = bucket * k_f + fine_cid (same formula in the
     # oracle, so the census keys match bit-for-bit).
-    m = assign_two_level(u, "emb_id", coarse, fine, carry_v=True).select(
-        "emb_id",
-        (F.col("bucket") * F.lit(kf) + F.col("fine_cid")).alias("cluster_id"),
-        "v",
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    # memo-persisted like its sibling uall: the assignment is an
+    # Arrow-kernel pass over every vector and BOTH the prune arm and
+    # the members census consume it — unpersisted it runs twice (r08)
+    m = memo_persist(
+        spark,
+        ("semdedup_assign", sf_dir),
+        lambda: assign_two_level(
+            u, "emb_id", coarse, fine, carry_v=True
+        ).select(
+            "emb_id",
+            (F.col("bucket") * F.lit(kf) + F.col("fine_cid")).alias(
+                "cluster_id"
+            ),
+            "v",
+        ),
     )
     blocked = blocked_pair_groups(m, SEMDEDUP_BLOCK_CAP)
     # distinct: a member may be dropped via pairs in several block-

@@ -119,8 +119,19 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id", "tgt_id", micro1.alias("micro")
     )
     w1 = Window.partitionBy("src_id").orderBy(F.desc("micro"), F.asc("tgt_id"))
-    top_fwd = s1.withColumn("rank", F.row_number().over(w1)).filter(
-        F.col("rank") <= BITEXT_K
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    # k x |Q| rows, consumed by THREE arms (forward sums, best pick,
+    # backward candidate set) — unpersisted, the stage-1 scan + window
+    # re-executes per arm (r08, guide section 1.2)
+    top_fwd = memo_persist(
+        spark,
+        ("bitext_top_fwd", sf_dir),
+        lambda: s1.withColumn("rank", F.row_number().over(w1)).filter(
+            F.col("rank") <= BITEXT_K
+        ),
     )
     sum_x = top_fwd.groupBy("src_id").agg(F.sum("micro").alias("sum_x"))
     best = top_fwd.filter(F.col("rank") == 1).select(

@@ -112,6 +112,10 @@ def _weekly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Everything downstream operates on the calendar-bounded
     (nations x weeks) relation.
     """
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull()
         & F.col("o_totalprice").isNotNull()
@@ -119,7 +123,15 @@ def _weekly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
+    # memo-persisted: the calendar-bounded (nations x weeks) rollup is
+    # the shared staging table of the whole weekly-series family
+    # (Theil-Sen, changepoint, Holt backtest, ACF) — without the memo
+    # each consumer (often several PER QUERY: both self-join sides, a
+    # stats agg) re-runs the corpus rollup (r08, guide section 1.2)
+    return memo_persist(
+        spark,
+        ("weekly_nation_revenue", sf_dir),
+        lambda: (
         orders.join(
             F.broadcast(cust.select("c_custkey", "c_nationkey")),
             orders.o_custkey == F.col("c_custkey"),
@@ -139,6 +151,7 @@ def _weekly_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation_name", "wk")
         .agg(F.sum("cents").alias("rev_cents"))
+        ),
     )
 
 
@@ -189,6 +202,17 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "WHEN b.rev_cents < a.rev_cents THEN -1 ELSE 0 END"
             ).alias("sgn"),
         )
+    )
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    # pairs is calendar-bounded (nations x weeks^2) and consumed by
+    # BOTH the median window and the Mann-Kendall agg — persist it or
+    # the weekly self-join runs twice (r08)
+    pairs_df = pairs
+    pairs = memo_persist(
+        spark, ("theil_sen_pairs", sf_dir), lambda: pairs_df
     )
     ranked = pairs.withColumn(
         "rn",

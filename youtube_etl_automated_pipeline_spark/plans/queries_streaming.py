@@ -431,9 +431,10 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    # no trailing orderBy (r08): the range-partitioner's sampling pass
+    # re-executed the whole probe-join subtree a second time, and the
+    # driver compare is order-insensitive
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def _cdc_ops(orders: DataFrame) -> DataFrame:
@@ -531,7 +532,11 @@ def streaming_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
         open(os.path.join(fixture, "_READY"), "w").close()
 
-    run_dir = os.path.join(base_dir, "run")
+    from youtube_etl_automated_pipeline_spark.session import fast_scratch_dir
+
+    # per-run state on tmpfs (r08): the 3-batch MERGE rewrites the
+    # state parquet three times — on ext4 /tmp that is pure fsync tax
+    run_dir = fast_scratch_dir("cdc", sf_tag)
     shutil.rmtree(run_dir, ignore_errors=True)
     state = os.path.join(run_dir, "state")
     ckpt = os.path.join(run_dir, "ckpt")
@@ -588,7 +593,10 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (1_000_000 + 10 * b, 1_000_000 + 10 * b))
         open(os.path.join(fixture, "_READY"), "w").close()
 
-    run_dir = os.path.join(base_dir, "run")
+    from youtube_etl_automated_pipeline_spark.session import fast_scratch_dir
+
+    # per-run partial-agg log + checkpoint on tmpfs (r08, see CDC)
+    run_dir = fast_scratch_dir("aggstate", sf_tag)
     shutil.rmtree(run_dir, ignore_errors=True)
     state = os.path.join(run_dir, "state")
     ckpt = os.path.join(run_dir, "ckpt")
@@ -715,8 +723,11 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from youtube_etl_automated_pipeline_spark.streaming.ivm import JoinView
 
+    from youtube_etl_automated_pipeline_spark.session import fast_scratch_dir
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join("/tmp/spark_graft_ivm", sf_tag)
+    # accumulators + view log are rebuilt per run: tmpfs (r08, see CDC)
+    base = fast_scratch_dir("ivm", sf_tag)
     shutil.rmtree(base, ignore_errors=True)
     view = JoinView(
         a_dir=os.path.join(base, "orders_acc"),

@@ -82,6 +82,31 @@ def _fast_tmp_dir() -> str | None:
     return d
 
 
+def fast_scratch_dir(*parts: str) -> str:
+    """Ephemeral PER-RUN state root on tmpfs when available, /tmp
+    otherwise: the incremental-view gate queries (CDC merge, agg-state
+    log, IVM join view) rebuild parquet state tables + checkpoints on
+    every invocation, and on this host /tmp is disk-backed ext4 — the
+    state rewrites pay fsyncs a warm cluster would not (r08; same
+    rationale as _fast_tmp_dir for shuffle/checkpoint temp). Returns a
+    path under the root; callers own create/cleanup exactly as they
+    did under /tmp. Durable FIXTURES (memoized per-sf inputs) stay on
+    /tmp — only state that is rebuilt per run belongs here."""
+    root = None
+    if os.environ.get("SPARK_GRAFT_NO_TMPFS") != "1":
+        shm = "/dev/shm"
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            try:
+                st = os.statvfs(shm)
+                if st.f_bavail * st.f_frsize >= (8 << 30):
+                    root = os.path.join(shm, "spark_graft_tmp", "runstate")
+            except OSError:
+                pass
+    if root is None:
+        root = "/tmp/spark_graft_runstate"
+    return os.path.join(root, *parts)
+
+
 def ensure_protobuf() -> None:
     """Make ``google.protobuf`` importable. If the real distribution
     is installed, do nothing. Otherwise add the vendored miniproto

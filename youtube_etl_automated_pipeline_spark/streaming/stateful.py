@@ -602,7 +602,8 @@ class FunnelSeqProcessor:
             return
         pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
         add = "".join(str(s)[:1].upper() for s in pdf["sym"].tolist())
-        prev = self._seq.get()[0] if self._seq.exists() else ""
+        st = self._seq.get()  # None when absent: no exists() probe
+        prev = "" if st is None else st[0]
         seq = prev + add
         self._seq.update((seq,))
         runs = re.findall(_FUNNEL_PATTERN, seq)
