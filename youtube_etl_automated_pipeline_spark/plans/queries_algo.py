@@ -445,7 +445,9 @@ def boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in SEARCH_TERMS:
         c = F.col(f"occ_{t}") > 0
         cond = c if cond is None else (cond & c)
-    return out.filter(cond).orderBy("doc_id")
+    # no trailing orderBy (r08): range-sampling re-executed the
+    # tokenize+agg subtree; driver compare is order-insensitive
+    return out.filter(cond)
 
 
 QUERIES_ALGO["boolean_search_docs"] = boolean_search_docs

@@ -447,9 +447,9 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     parted = ev.repartition(
         ev.sparkSession.sparkContext.defaultParallelism, "user_id"
     ).sortWithinPartitions("user_id", "ts", "event_id")
-    return parted.mapInPandas(_ewma_partition_kernel, EWMA_SCHEMA).orderBy(
-        "user_id"
-    )
+    # no trailing orderBy (r08): range-sampling re-executed the
+    # Arrow kernel pass; driver compare is order-insensitive
+    return parted.mapInPandas(_ewma_partition_kernel, EWMA_SCHEMA)
 
 
 QUERIES_ANALYTICS["ewma_user_value"] = ewma_user_value

@@ -446,10 +446,16 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("doc_id") == F.col("min_id")).select("doc_id", "text")
     exact = memo_persist(spark, ("funnel_exact", sf_dir), lambda: keep)
 
-    sh = (
-        exact.select("doc_id", shingle_hashes(F.col("text"), 3).alias("hs"))
+    # both self-join sides consume the shingle relation — persist it
+    # or the survivors get re-shingled twice (r08)
+    sh = memo_persist(
+        spark,
+        ("funnel_shingles", sf_dir),
+        lambda: exact.select(
+            "doc_id", shingle_hashes(F.col("text"), 3).alias("hs")
+        )
         .filter(F.size("hs") >= 3)
-        .withColumn("block_key", F.array_min("hs"))
+        .withColumn("block_key", F.array_min("hs")),
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"), "block_key"

@@ -619,9 +619,9 @@ def shard_probe(corpus: DataFrame, shard: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    # no trailing orderBy (r08): range-sampling re-executed the
+    # probe-join subtree; driver compare is order-insensitive
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 QUERIES_DEDUP_ADV["dedup_incremental_shard"] = dedup_incremental_shard

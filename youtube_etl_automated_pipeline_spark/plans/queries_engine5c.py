@@ -1145,33 +1145,42 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_baskets = baskets.select(
         F.count(F.lit(1)).alias("n_baskets")
     )
-    item_n = (
-        li.distinct()
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("item_n"))
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
     )
+
+    # catalog-bounded, consumed by TWO broadcast builds (antecedent
+    # and consequent sides) — each re-ran the distinct+count scan (r08)
+    item_n = memo_persist(
+        spark,
+        ("ar_item_n", sf_dir),
+        lambda: li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_n")),
+    )
+    # chained Generate instead of nested higher-order transforms: the
+    # HOF fan-out is CodegenFallback (interpreted per element); the
+    # posexplode + tail-slice explode emits the identical (a, b)
+    # pairs inside whole-stage codegen (r08, guide section 4.1)
     pairs = (
         baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "parts",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("parts"),
-                                i + 2,
-                                F.size(F.col("parts")) - i - 1,
-                            ),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p")
+            F.posexplode("parts").alias("i", "a"), "parts"
         )
-        .select("p.a", "p.b")
+        .select(
+            "a",
+            F.explode(
+                F.expr("slice(parts, i + 2, size(parts))")
+            ).alias("b"),
+        )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= AR_MIN_SUPPORT)
+    )
+    # support-filtered pair census, consumed by BOTH direction arms —
+    # unpersisted, the basket pair-expansion ran twice (r08)
+    pairs_df = pairs
+    pairs = memo_persist(
+        spark, ("ar_pairs", sf_dir), lambda: pairs_df
     )
     directed = pairs.select("a", "b", "pair_n").unionAll(
         pairs.select(

@@ -42,21 +42,15 @@ def copurchase_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("supps")
     )
+    # chained Generate instead of nested higher-order transforms (r08,
+    # guide section 4.1 — HOFs are CodegenFallback): identical
+    # (s1, s2) pairs, s1 precedes s2 in the sorted supplier array
     pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "supps",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("supps"), i + 2, F.size(F.col("supps")) - i - 1
-                        ),
-                        lambda y: F.struct(x.alias("s1"), y.alias("s2")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.s1", "p.s2")
+        F.posexplode("supps").alias("i", "s1"), "supps"
+    ).select(
+        "s1",
+        F.explode(F.expr("slice(supps, i + 2, size(supps))")).alias("s2"),
+    )
     return (
         pairs.groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
@@ -212,24 +206,36 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token"),
     )
     dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    vocab = dfc.orderBy(F.desc("df"), F.asc("token")).limit(LIFT_VOCAB_K)
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
+
+    # vocab is K rows but THREE consumers broadcast it (the token
+    # filter and both count sides) — unpersisted, each broadcast
+    # build re-tokenized the whole corpus for the df census (r08)
+    vocab = memo_persist(
+        spark,
+        ("lift_vocab", sf_dir),
+        lambda: dfc.orderBy(F.desc("df"), F.asc("token")).limit(
+            LIFT_VOCAB_K
+        ),
+    )
     vtok = tok.join(F.broadcast(vocab.select("token")), "token")
     baskets = vtok.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("token")).alias("toks")
     )
+    # pair fan-out via chained Generate (posexplode + explode of the
+    # tail slice) instead of nested higher-order transforms: HOFs are
+    # CodegenFallback (interpreted per element) and this expansion
+    # evaluates ~C(K,2) per doc — the Generate form stays in
+    # whole-stage codegen and emits the identical (a, b) pairs
+    # (a precedes b in the sorted token array) (r08, guide section 4.1)
     pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "toks",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("toks"), i + 2, F.size(F.col("toks")) - i - 1),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+        F.posexplode("toks").alias("i", "a"), "toks"
+    ).select(
+        "a",
+        F.explode(F.expr("slice(toks, i + 2, size(toks))")).alias("b"),
+    )
     n_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
     ca = vocab.select(F.col("token").alias("a"), F.col("df").alias("n_a"))
     cb = vocab.select(F.col("token").alias("b"), F.col("df").alias("n_b"))

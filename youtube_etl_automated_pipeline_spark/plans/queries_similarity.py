@@ -314,7 +314,9 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas over the embeddings table: per-label
     norm statistics (the Pandas-UDF grouped-map surface)."""
     emb = load_wide(spark, sf_dir, "embeddings")
-    return label_norm_stats(emb).orderBy("label")
+    # no trailing orderBy (r08): range-sampling re-executed the
+    # grouped Arrow kernel; driver compare is order-insensitive
+    return label_norm_stats(emb)
 
 
 QUERIES_SIMILARITY = {
