@@ -108,8 +108,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable.
     """
     from youtube_etl_automated_pipeline_spark.ext.multimodal import dhash_bands
+    from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
+        memo_persist,
+    )
 
-    feats = dhash_bands(png_encode_images(_media(spark, sf_dir)))
+    # persist the dHash features: BOTH self-join sides consume them,
+    # and unpersisted each side re-ran the full PNG encode+decode+hash
+    # kernel over every image (r08, guide section 1.2); 5 ints/image
+    feats = memo_persist(
+        spark,
+        ("phash_feats", sf_dir),
+        lambda: dhash_bands(png_encode_images(_media(spark, sf_dir))),
+    )
     bands = feats.select(
         "media_id",
         "b0",
@@ -148,7 +158,6 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", ham.alias("hamming_bits"))
         .filter(F.col("hamming_bits") <= PHASH_HAM_MAX)
         .distinct()
-        .orderBy("media_a", "media_b")
     )
 
 

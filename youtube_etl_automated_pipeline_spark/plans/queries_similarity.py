@@ -246,7 +246,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.ext.embed_lsh import signatures
 
     corpus, uall, dim = planted_corpus(spark, sf_dir)
-    sig = signatures(corpus, dim)
+    # persist the LSH signatures: both self-join sides consume them,
+    # and unpersisted each side re-ran the hyperplane kernel over the
+    # whole corpus (r08); B_BANDS small ints per vector
+    sig = memo_persist(
+        spark,
+        ("emb_lsh_sig", sf_dir),
+        lambda: signatures(corpus, dim),
+    )
     a = sig.select(F.col("emb_id").alias("vec_a"), "band", "key")
     b = sig.select(F.col("emb_id").alias("vec_b"), "band", "key")
     cand = (
