@@ -759,7 +759,6 @@ def test_persisted_minhash_index_roundtrip_equals_oneshot(spark):
     Both paths run through the same shard_probe builder; the only
     difference is whether the corpus side is the from-disk scan or
     the in-memory signature relation."""
-    import hashlib
     import os
 
     import __spark_entry__ as entry
@@ -769,21 +768,21 @@ def test_persisted_minhash_index_roundtrip_equals_oneshot(spark):
         minhash_base,
         shard_probe,
     )
-    from youtube_etl_automated_pipeline_spark.sources import table_fingerprint
+    from youtube_etl_automated_pipeline_spark.plans.queries_dedup_adv import (
+        incremental_index_dir,
+    )
 
     roundtrip = entry.queries()["dedup_incremental_shard"](
         spark, SF_SMOKE
     ).collect()
 
-    # the index must genuinely exist on disk, committed by Spark
-    fp_tag = hashlib.md5(
-        repr(table_fingerprint(SF_SMOKE, "documents")).encode()
-    ).hexdigest()[:12]
-    sf_tag = os.path.basename(os.path.normpath(SF_SMOKE))
-    idx_dir = os.path.join("/tmp/spark_graft_minhash_index", sf_tag, fp_tag)
-    assert os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
-
     base = minhash_base(spark, SF_SMOKE)
+    # the index must genuinely exist on disk, committed by Spark —
+    # asserted against the PRODUCT's own path derivation (per-uid
+    # root + parameter version salt), not a re-implementation that
+    # can drift
+    idx_dir = incremental_index_dir(SF_SMOKE, base.columns)
+    assert os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
     oneshot = shard_probe(
         base.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0),
         base.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0),

@@ -487,6 +487,29 @@ def _index_root() -> str:
     return d
 
 
+def incremental_index_dir(sf_dir: str, base_columns) -> str:
+    """The persisted signature index's directory for ``sf_dir``.
+    Cache key = (table fingerprint) x (code/parameter version salt):
+    a change to the permutation count, shard modulus, shingle width,
+    or the index schema itself must MISS, never serve a stale index
+    built under the old parameters across process runs. ONE shared
+    derivation — the round-trip test asserts against this same
+    function, so the path contract cannot drift between product and
+    test (it did during the round-8 interruption)."""
+    import hashlib
+    import os
+
+    version_salt = repr(
+        (N_PERM, INCREMENTAL_BATCH_MOD, JACCARD_THRESHOLD, "shingle=3",
+         tuple(sorted(base_columns)))
+    )
+    fp_tag = hashlib.md5(
+        (repr(table_fingerprint(sf_dir, "documents")) + version_salt).encode()
+    ).hexdigest()[:16]
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_index_root(), sf_tag, fp_tag)
+
+
 def _sweep_stale_builds(root: str) -> None:
     """Bound index-root growth: drop crashed builders' ``.build-*``
     leftovers (>1h old) and published fingerprints unused for 7 days —
@@ -542,23 +565,10 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup semantics; batch twin of the streamed index
     (streaming_minhash_dedup keeps the same (band, sig) -> canon map
     as live state)."""
-    import hashlib
     import os
 
     base = minhash_base(spark, sf_dir)
-    # Cache key = (table fingerprint) x (code/parameter version salt):
-    # a change to the permutation count, shard modulus, shingle width,
-    # or the index schema itself must MISS, never serve a stale index
-    # built under the old parameters across process runs.
-    version_salt = repr(
-        (N_PERM, INCREMENTAL_BATCH_MOD, JACCARD_THRESHOLD, "shingle=3",
-         tuple(sorted(base.columns)))
-    )
-    fp_tag = hashlib.md5(
-        (repr(table_fingerprint(sf_dir, "documents")) + version_salt).encode()
-    ).hexdigest()[:16]
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = os.path.join(_index_root(), sf_tag, fp_tag)
+    idx_dir = incremental_index_dir(sf_dir, base.columns)
     # one write per (sf_dir, fingerprint, params): _SUCCESS is Spark's
     # own commit marker, so a killed half-write is never trusted; the
     # PUBLISH is write-to-private-tmp + atomic rename, so concurrent

@@ -630,8 +630,13 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.56s -> ~0.35s after the reshape). No window anywhere; the final
     rollup is 5 rows. MAE in milli-cents via decimal DIV.
     """
+    # priority IS NOT NULL replays the oracle's inner-join semantics
+    # exactly: a NULL priority never equi-joins itself, so the old
+    # self-join form contributed no scored rows for it (the round-8
+    # null-parity sweep caught the reshape keeping the NULL group)
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
     )
     daily = orders.groupBy(
         F.col("o_orderpriority").alias("priority"),
@@ -641,6 +646,10 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("rev_cents")
     )
+    # presence flags, not value nullness, decide the pairing: the
+    # oracle's join pairs two DAY ROWS whether or not their rev sums
+    # are NULL (all-null-price days), and count(*) counts such pairs
+    # while the value sums skip them — is_a/is_p replay that exactly
     roles = daily.select(
         "priority",
         F.explode(
@@ -648,24 +657,26 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.col("day"), F.col("rev_cents").alias("a"),
                     F.lit(None).cast("long").alias("p"),
+                    F.lit(1).alias("is_a"), F.lit(0).alias("is_p"),
                 ),
                 F.struct(
                     F.date_add("day", SNB_LAG_DAYS).alias("day"),
                     F.lit(None).cast("long").alias("a"),
                     F.col("rev_cents").alias("p"),
+                    F.lit(0).alias("is_a"), F.lit(1).alias("is_p"),
                 ),
             )
         ).alias("r"),
-    ).select("priority", "r.day", "r.a", "r.p")
+    ).select("priority", "r.day", "r.a", "r.p", "r.is_a", "r.is_p")
     scored = (
         roles.groupBy("priority", "day")
         .agg(
-            F.max("a").alias("actual_cents"), F.max("p").alias("pred_cents")
+            F.max("a").alias("actual_cents"),
+            F.max("p").alias("pred_cents"),
+            F.max("is_a").alias("has_a"),
+            F.max("is_p").alias("has_p"),
         )
-        .filter(
-            F.col("actual_cents").isNotNull()
-            & F.col("pred_cents").isNotNull()
-        )
+        .filter((F.col("has_a") == 1) & (F.col("has_p") == 1))
     )
     err = F.col("actual_cents") - F.col("pred_cents")
     return (
