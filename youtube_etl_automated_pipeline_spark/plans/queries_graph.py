@@ -37,7 +37,9 @@ SUPP_NODE_BASE = 1_000_000  # supplier node id offset (keyspaces overlap)
 #                                          + (17 * inbound) div 20
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _edges(
+    spark: SparkSession, sf_dir: str, by_dst: bool = False
+) -> DataFrame:
     from youtube_etl_automated_pipeline_spark.operators.cache_registry import (
         memo_persist,
     )
@@ -66,11 +68,39 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # inside the first action. spark.graft.checkpoint.reliable=true
         # swaps in a real DFS checkpoint (or pre-bucket the edges
         # table); same note as ext.dedup clustering.
+        #
         return truncate_lineage(fwd.unionByName(rev), eager=False)
 
-    # memo_persist: PageRank and BFS share one edge relation per
-    # sf_dir — the "materialize the graph staging table once" posture.
-    return memo_persist(spark, ("trade_edges", sf_dir), build)
+    # memo_persist: PageRank, BFS, LPA and k-core share one edge
+    # relation per sf_dir — the "materialize the graph staging table
+    # once" posture.
+    base = memo_persist(spark, ("trade_edges", sf_dir), build)
+    if not by_dst:
+        return base
+    # by_dst overlay (r09, guide section 2.4 — operations keyed the
+    # same way share one exchange): LPA / PageRank / BFS aggregate on
+    # dst EVERY round — LPA's (dst, lbl) count + per-dst argmax
+    # (HashPartitioning(dst) satisfies ClusteredDistribution(dst,
+    # lbl)), PageRank's inbound sum, BFS's frontier distinct — while
+    # the per-round label/rank/frontier relation rides an explicitly
+    # hinted broadcast join that preserves the streamed edge side's
+    # partitioning, so every round's aggregate skips its Exchange
+    # (plans/r09: LPA 2 Exchanges/round -> 0, 4.3 s -> ~0.9-1.2 s).
+    # The repartition must sit ABOVE the lineage cut: a LogicalRDD
+    # checkpointed from a lazy adaptive plan reports
+    # UnknownPartitioning (measured: repartition-then-checkpoint kept
+    # all per-round Exchanges), whereas here the persisted relation's
+    # own Exchange(hashpartitioning(dst)) IS the cached plan, so
+    # InMemoryTableScan advertises it. Kept SEPARATE from the base
+    # relation: k-core peels by src with per-round re-checkpoints and
+    # measured ~1 s SLOWER consuming the 32-way dst layout, so it
+    # stays on the base. On a cluster this overlay is the bucketed
+    # graph staging table.
+    return memo_persist(
+        spark,
+        ("trade_edges_bydst", sf_dir),
+        lambda: base.repartition(F.col("dst")),
+    )
 
 
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +109,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank div degree), aggregate contributions by dst (one shuffle),
     damp + teleport. The symmetric edge set guarantees out-degree > 0
     for every node, so no dangling-mass correction is needed."""
-    edges = _edges(spark, sf_dir)
+    edges = _edges(spark, sf_dir, by_dst=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -93,7 +123,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "deg", F.col("pr0").alias("pr"), "teleport"
     )
     for _ in range(PR_ITERS):
-        contrib = edges.join(pr, edges.src == pr.node).select(
+        # broadcast(pr): one row per node vs one per arc — pin the
+        # build side so the streamed edge cache's dst-partitioning
+        # reaches the inbound aggregate (same rationale as LPA's
+        # label hint; the planner was broadcasting the bigger cached
+        # edge relation because only its size is known accurately).
+        contrib = edges.join(F.broadcast(pr), edges.src == pr.node).select(
             F.col("dst"), F.expr("pr div deg").alias("contrib")
         )
         inbound = contrib.groupBy(F.col("dst").alias("node")).agg(
@@ -101,7 +136,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             pr.drop("pr")
-            .join(inbound, "node", "left")
+            # broadcast(inbound): per-node relation again — without
+            # the hint this left join shuffled BOTH per-node sides on
+            # node every iteration (plans/r09 before: Exchange pairs
+            # per round)
+            .join(F.broadcast(inbound), "node", "left")
             .select(
                 "node",
                 "deg",

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youtube_etl_automated_pipeline_spark.ext.similarity import (
+    _dot_rounded_exact,
+    _unit_rows_exact,
     as_double,
     cosine_unit_cols,
     embedding_dim,
@@ -144,7 +146,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds EXACT_BLOCK_LIMIT rather than letting the all-pairs join
     grow O(n²/L) unbounded."""
     emb = load_wide(spark, sf_dir, "embeddings")
-    dim = embedding_dim(emb)
     biggest = (
         # NULL-labeled rows never survive the equi-join below (join on
         # "label" drops them), so they can't contribute pairs — exclude
@@ -163,21 +164,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within-block sweep is O(block^2) — use "
             "dedup_embedding_lsh (banded candidates) at this scale."
         )
-    normed = emb.select("vec_id", unit(F.col("embedding")).alias("u"), "label")
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a"), "label"
+
+    # r09 optimization (guide section 4.2): the label-blocked
+    # self-join evaluated the dim-term cosine expression per joined
+    # pair row (block² rows materialized through the join, scored in
+    # the JVM row-at-a-time). Now ONE grouped Arrow kernel per label
+    # block computes the block's pair scores as vectorized numpy row
+    # tiles and emits only the qualifying pairs. BIT-EXACT, not
+    # approximate: the kernel replays Spark's IEEE-754 float64 op
+    # sequence term by term (see _unit_rows_exact/_dot_rounded_exact)
+    # and applies the same rounded >= 0.3 predicate, so the emitted
+    # (label, vec_a, vec_b, cos_sim) set is bitwise the self-join's.
+    # The shuffle moves |rows| vectors once (groupBy label) instead
+    # of block² joined pair rows; the O(block²) compute itself is
+    # unchanged — that is this query's declared exact contract, with
+    # the EXACT_BLOCK_LIMIT guard above bounding it (the banded LSH
+    # sibling is the scale path).
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # deterministic tiling, ids ascending
+        ids = ids[order]
+        u = _unit_rows_exact(
+            np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"].iloc[order]
+                ]
+            )
+        )
+        label = int(pdf["label"].iloc[0])
+        n = len(ids)
+        # row tiles bound the (tile, n) score matrix to ~32 MB even at
+        # the 65536-row guard ceiling
+        tile = max(1, (1 << 22) // max(1, n))
+        outs = []
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            r = _dot_rounded_exact(u[lo:hi], u)  # (hi-lo, n) rounded
+            ia, ib = np.nonzero(
+                (r >= 0.3) & (ids[lo:hi, None] < ids[None, :])
+            )
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "label": np.full(len(ia), label, dtype=np.int32),
+                            "vec_a": ids[lo + ia],
+                            "vec_b": ids[ib],
+                            "cos_sim": r[ia, ib],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "label": np.array([], dtype=np.int32),
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        emb.filter(F.col("label").isNotNull())
+        .select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            block_pairs,
+            "label int, vec_a bigint, vec_b bigint, cos_sim double",
+        )
     )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b"), "label"
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select(
-        "label",
-        "vec_a",
-        "vec_b",
-        cosine_unit_cols("u_a", "u_b", dim).alias("cos_sim"),
-    )
-    return scored.filter(F.col("cos_sim") >= 0.3)
 
 
 DUP_EVERY = 20
@@ -785,27 +845,84 @@ def knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against one corpus scan — the bruteforce-topk posture;
     an unbounded holdout routes through the IVF buckets instead
     (similarity_ivf_topk), same semantics.
+
+    r09 optimization (guide sections 4.2, 2.3): the crossJoin form
+    materialized |ref| x |hold| joined rows and evaluated the
+    dim-term cosine expression per pair, then shuffled every scored
+    pair into the top-k window — the all-pairs kernel the r08 verdict
+    named the slowest real query. Now ONE Arrow map pass over the
+    corpus scores each partition against the broadcast holdout matrix
+    in numpy and emits only each partition's top-K rows per query
+    (the global top-K is a subset of per-partition top-Ks), so the
+    window's exchange sees |hold| x K x partitions candidate rows
+    instead of |ref| x |hold| scored pairs. BIT-EXACT by
+    construction, not approximately: the kernel replays Spark's exact
+    IEEE-754 float64 op sequence — cast-to-double, sum of squares
+    left-to-right, x/norm per element, left-associative product sum
+    (numpy ufuncs are unfused binary64, iterated dim-sequentially to
+    preserve association order), floor(x*1e6+0.5)/1e6 — and selects
+    per-partition top-K under the final (rounded cos DESC, id ASC)
+    total order, so the candidate set provably contains the global
+    top-K and every surviving score is bitwise the expression's
+    value.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_wide(spark, sf_dir, "embeddings").where(
         F.col("label").isNotNull()
     )
-    dim = embedding_dim(emb)
-    hold = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("actual"),
-        unit(F.col("embedding")).alias("q_u"),
+    hold_pd = (
+        emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD == 0)
+        .select("vec_id", "label", "embedding")
+        .toPandas()
     )
-    ref = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD != 0).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        unit(F.col("embedding")).alias("c_u"),
+    q_ids = hold_pd["vec_id"].to_numpy(dtype=np.int64)
+    q_labels = hold_pd["label"].to_numpy(dtype=np.int64)
+    q_mat = _unit_rows_exact(
+        np.stack([np.asarray(v, dtype=np.float64) for v in hold_pd["embedding"]])
+        if len(hold_pd)
+        else np.zeros((0, 1))
     )
-    scored = ref.crossJoin(F.broadcast(hold)).select(
-        "query_id",
-        "actual",
-        "neighbor_id",
-        "neighbor_label",
-        cosine_unit_cols("q_u", "c_u", dim).alias("cos_sim"),
+    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_mat))
+
+    def topk_kernel(batches):
+        ids, labels, q = bc.value  # (m,), (m,), (m, dim)
+        m = len(ids)
+        cand: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf) or not m:
+                continue
+            c_u = _unit_rows_exact(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+            )
+            r = _dot_rounded_exact(c_u, q)  # (n_batch, m)
+            nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nlab = pdf["label"].to_numpy(dtype=np.int64)
+            k = min(KNN_K, len(nid))
+            rows = {"query_id": [], "actual": [], "neighbor_id": [],
+                    "neighbor_label": [], "cos_sim": []}
+            for j in range(m):
+                # exact per-batch top-K under the FINAL total order
+                # (rounded cos DESC, neighbor_id ASC)
+                order = np.lexsort((nid, -r[:, j]))[:k]
+                rows["query_id"].extend([int(ids[j])] * len(order))
+                rows["actual"].extend([int(labels[j])] * len(order))
+                rows["neighbor_id"].extend(nid[order].tolist())
+                rows["neighbor_label"].extend(nlab[order].tolist())
+                rows["cos_sim"].extend(r[order, j].tolist())
+            cand.append(pd.DataFrame(rows))
+        if cand:
+            yield pd.concat(cand, ignore_index=True)
+
+    scored = emb.filter(F.col("vec_id") % KNN_HOLDOUT_MOD != 0).select(
+        "vec_id", "label", "embedding"
+    ).mapInPandas(
+        topk_kernel,
+        "query_id bigint, actual int, neighbor_id bigint, "
+        "neighbor_label int, cos_sim double",
     )
     top = topk_by_query(scored, "query_id", "cos_sim", "neighbor_id", KNN_K)
     votes = top.groupBy("query_id", "actual", "neighbor_label").agg(

@@ -73,6 +73,22 @@ def _fast_tmp_dir() -> str | None:
                     shutil.rmtree(p, ignore_errors=True)
                 except PermissionError:
                     pass  # pid alive, owned by someone else: keep
+            elif name == "runstate":
+                # fast_scratch_dir's per-run state root. Its OWN mtime
+                # refreshes every time any run creates a child, so the
+                # generic rule below would never fire and crashed-run
+                # leaks would accumulate in RAM (r08 advice). Sweep
+                # one level down instead: per-run state is rebuilt on
+                # every invocation (callers rmtree+recreate at start),
+                # so a 6h-old child is a crashed run's leak, never a
+                # live one. The root itself is kept.
+                for sub in os.listdir(p):
+                    sp = os.path.join(p, sub)
+                    try:
+                        if os.path.getmtime(sp) < cutoff:
+                            shutil.rmtree(sp, ignore_errors=True)
+                    except OSError:
+                        pass
             elif os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except (OSError, ValueError):

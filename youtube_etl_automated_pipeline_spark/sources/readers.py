@@ -98,6 +98,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rearm_shared_cache(spark: SparkSession) -> None:
+    """Re-register the shared-scan ``.cache()`` bit after an external
+    ``spark.catalog.clearCache()`` (bench cold-posture de-warming,
+    r08 verdict): clearCache drops CacheManager entries, so without
+    this the memoized DataFrames would silently recompute UNCACHED for
+    the rest of the session — breaking the documented warm posture for
+    every later run. Lazy: the next action re-materializes the cache,
+    which is exactly the cold-first-run cost the bench reports."""
+    if os.environ.get("SPARK_GRAFT_SHARED_SCAN") != "1":
+        return
+    app_id = spark.sparkContext.applicationId
+    for key, df in _SCAN_CACHE.items():
+        if key[0] == app_id:
+            try:
+                df.cache()
+            except Exception:
+                pass
+
+
 def table_fingerprint(sf_dir: str, name: str) -> tuple:
     """A cheap content-version token for one testdata table. Trained-
     model memos (_BPE_MEMO, the k-means centroid memo, memo_persist's

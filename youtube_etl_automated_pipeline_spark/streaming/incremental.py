@@ -219,7 +219,20 @@ def tws_state_partitions() -> int:
     for tws_user_peaks on a 32-core local master), so a bigger
     machine widens automatically; a real deployment still pins
     SPARK_GRAFT_TWS_STATE_PARTITIONS before the first checkpoint
-    commit (the sticky-width contract)."""
+    commit (the sticky-width contract).
+
+    MIGRATION HAZARD (r08 advice): the default changed from a fixed 8
+    to max(8, cores//2), so the same code now computes a DIFFERENT
+    width per host. All repo call sites create ephemeral per-run
+    checkpoints, so nothing here can break — but any external durable
+    transformWithState checkpoint committed under the old fixed-8
+    default that is reopened on a >16-core machine will find the
+    session conf disagreeing with the checkpoint. Spark resolves this
+    itself (the checkpointed width is sticky and silently wins — see
+    stream_state_partitions' MIGRATION note and
+    test_checkpoint_state_width_is_sticky), so restores stay correct
+    at the old width; pin the env var if you need the widths to
+    match across hosts."""
     env = os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS")
     if env is not None:
         return int(env)
